@@ -1,0 +1,122 @@
+"""Canonical document extraction — the single definition of the
+pipeline's per-document semantics (SURVEY.md §7 step 2, FIXTURES.md §2).
+
+``extract_document(html: bytes)`` re-expresses the reference's
+reading-order walk (page/page.go:140-153 + 199-204) as one function:
+
+1. regions = ReadingOrder ``RegionRefIndexed`` entries, malformed entries
+   silently skipped, stable-sorted by int ``@index``;
+2. per region, text = first direct-child ``TextEquiv``'s ``Unicode``
+   verbatim (literal embedded whitespace preserved — byte identity);
+   a dangling regionRef (no TextRegion with that id) is skipped, same as
+   the reference's ("", false) resolution;
+3. document text = region texts joined by ``"\\n"``;
+4. spans = per-region byte+char offsets into the joined text plus the
+   bbox min/max over ``Coords@points`` (page/page.go:302-322); a region
+   whose Coords are missing/malformed carries a null bbox (the reference
+   surfaces that as a Polygon error, page/page.go:328-346).
+
+Golden values for the kant fixture are pinned in FIXTURES.md §3
+(sha256 7bac7349…, 1518 chars / 1591 bytes, spans table).
+
+Everything here is pure Python so the exact same code path is unit
+tested without Spark and executed inside Arrow batches on executors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from .mets import Match as MetsMatch
+from .mets import Mets
+from .page import Page, Rect
+from .xmlwalk import local_name, parse_bytes
+
+
+def sniff_kind(data: bytes) -> str:
+    """Classify a document payload by its root element local name:
+    'page' (PcGts), 'mets', or 'other'. Cheap byte-level pre-check first
+    so obviously-non-XML payloads don't pay a parse."""
+    try:
+        root = parse_bytes(data)
+    except Exception:
+        return "other"
+    ln = local_name(root.tag)
+    if ln == "PcGts":
+        return "page"
+    if ln == "mets":
+        return "mets"
+    return "other"
+
+
+def extract_document(data: bytes) -> dict[str, Any]:
+    """bytes -> {'text': str|None, 'spans': list[dict]|None, 'error': str|None}.
+
+    Never raises: malformed documents yield text=None with an error
+    message (mirrors the reference's silent-skip tolerance,
+    page/page.go:144-146; per-partition error counters live in the Spark
+    kernel, SURVEY.md §4.4).
+    """
+    try:
+        page = Page.from_bytes(data)
+        if local_name(page.root.tag) != "PcGts":
+            return {"text": None, "spans": None, "error": "not a PAGE-XML document"}
+        parts: list[str] = []
+        spans: list[dict[str, Any]] = []
+        byte_off = 0
+        char_off = 0
+        for region in page.regions():
+            text, ok = region.text_equiv_unicode_at(0)
+            if not ok:
+                continue  # dangling regionRef or no TextEquiv/Unicode
+            bbox: Optional[Rect] = None
+            try:
+                bbox = region.polygon().rectangle()
+            except ValueError:
+                bbox = None
+            if parts:  # '\n' separator: 1 byte, 1 char
+                byte_off += 1
+                char_off += 1
+            n_bytes = len(text.encode("utf-8"))
+            n_chars = len(text)
+            spans.append(
+                {
+                    "region_id": region.id(),
+                    "index": region.index,
+                    "byte_start": byte_off,
+                    "byte_end": byte_off + n_bytes,
+                    "char_start": char_off,
+                    "char_end": char_off + n_chars,
+                    "bbox": (
+                        {"x0": bbox.x0, "y0": bbox.y0, "x1": bbox.x1, "y1": bbox.y1}
+                        if bbox is not None
+                        else None
+                    ),
+                }
+            )
+            parts.append(text)
+            byte_off += n_bytes
+            char_off += n_chars
+        return {"text": "\n".join(parts), "spans": spans, "error": None}
+    except Exception as exc:  # malformed XML etc.
+        return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
+
+
+def mets_records(
+    data: bytes, use: str = "", file_id: str = "", mimetype: str = ""
+) -> list[dict[str, str]]:
+    """bytes -> flat rows of the METS file-resolution query
+    (Mets.Find, mets/mets.go:53-59). Returns [] for non-METS payloads."""
+    try:
+        m = Mets.from_bytes(data)
+    except Exception:
+        return []
+    return [
+        {
+            "file_id": f.id,
+            "mimetype": f.mimetype,
+            "flocat_type": f.flocat.type,
+            "flocat_url": f.flocat.url,
+        }
+        for f in m.find(MetsMatch(use=use, file_id=file_id, mimetype=mimetype))
+    ]
