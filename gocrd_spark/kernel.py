@@ -1,0 +1,121 @@
+"""Arrow batch kernels — the only Python↔JVM surface of the engine.
+
+Everything here is ``mapInPandas``-shaped (iterator of pandas DataFrames
+in, iterator out): zero per-row Python UDFs (north rule). The kernels
+call the pure-Python document model (gocrd_spark.extract), which is unit
+tested without Spark; this module only adds batching, schema shaping and
+per-partition counters.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .extract import extract_document, mets_records
+
+BBOX_TYPE = StructType(
+    [
+        StructField("x0", IntegerType()),
+        StructField("y0", IntegerType()),
+        StructField("x1", IntegerType()),
+        StructField("y1", IntegerType()),
+    ]
+)
+
+SPAN_TYPE = StructType(
+    [
+        StructField("region_id", StringType()),
+        StructField("index", IntegerType()),
+        StructField("byte_start", LongType()),
+        StructField("byte_end", LongType()),
+        StructField("char_start", LongType()),
+        StructField("char_end", LongType()),
+        StructField("bbox", BBOX_TYPE),
+    ]
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("error", StringType()),
+    ]
+)
+
+METS_FILES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("file_id", StringType()),
+        StructField("mimetype", StringType()),
+        StructField("flocat_type", StringType()),
+        StructField("flocat_url", StringType()),
+    ]
+)
+
+
+def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch of (url, html) -> (url, text, spans, error)."""
+    out = {"url": [], "text": [], "spans": [], "error": []}
+    for url, html in zip(pdf["url"], pdf["html"]):
+        result = extract_document(bytes(html) if html is not None else b"")
+        out["url"].append(url)
+        out["text"].append(result["text"])
+        out["spans"].append(result["spans"])
+        out["error"].append(result["error"])
+    return pd.DataFrame(out)
+
+
+def extract_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield extract_batch(pdf)
+
+
+def mets_kernel_factory(use: str = "", file_id: str = "", mimetype: str = ""):
+    """METS file-resolution kernel (Mets.Find, mets/mets.go:53-59) with
+    the predicate pushed into the tree walk — rows that match nothing
+    emit nothing (UDTF-shaped)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("url", "file_id", "mimetype", "flocat_type", "flocat_url")}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for rec in mets_records(
+                    bytes(html) if html is not None else b"",
+                    use=use,
+                    file_id=file_id,
+                    mimetype=mimetype,
+                ):
+                    out["url"].append(url)
+                    out["file_id"].append(rec["file_id"])
+                    out["mimetype"].append(rec["mimetype"])
+                    out["flocat_type"].append(rec["flocat_type"])
+                    out["flocat_url"].append(rec["flocat_url"])
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def salted_partition_key(salt: int = 42):
+    """Deterministic salted url-hash key (SURVEY.md §4.3): defeats
+    host/domain-level input skew; keyed on (url, salt) so partition
+    contents are stable across runs given the same snapshot + salt + N —
+    the property the commit-log resume relies on (SURVEY.md §4.4)."""
+    return F.xxhash64(F.col("url"), F.lit(salt))
+
+
+def group_id(num_groups: int, salt: int = 42):
+    """Logical commit-group id: pmod(xxhash64(url, salt), N)."""
+    return F.pmod(salted_partition_key(salt), F.lit(num_groups)).cast("int")

@@ -1,0 +1,275 @@
+"""The extraction pipeline — declarative plan + resumable runner.
+
+Shape (SURVEY.md §3.2, §4.3-§4.4): one columnar narrow map.
+
+    pages (Iceberg/parquet scan; column-pruned to url+html,
+           partition-pruned on warc_ts)
+      -> [optional] salted repartition by xxhash64(url, salt)   # the ONE wide shuffle
+      -> mapInPandas(extract_kernel)                            # Arrow batches, zero per-row Python
+      -> parquet/Iceberg sink (resumable mode: executor-side
+         per-commit-group writes + commit log)
+
+Resumability (SURVEY.md §4.4): rows are assigned a deterministic
+commit-group ``g = pmod(xxhash64(url, salt), n_groups)``; each group is
+written atomically (tmp file + rename) followed by a commit marker
+``_commits/g=<g>.json`` carrying counters. A restart lists commit
+markers and anti-filters completed groups — committed work is never
+recomputed, failed documents never fail the job (they emit error rows,
+mirroring page/page.go:144-146 tolerance).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kernel import EXTRACTED_SCHEMA, METS_FILES_SCHEMA, extract_batch, extract_kernel
+from .kernel import group_id, mets_kernel_factory
+
+
+def load_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Source scan. Prefers an Iceberg table identifier (catalog present),
+    falls back to a parquet directory — same 5-column schema either way."""
+    if "://" not in path and not os.path.exists(path) and "." in path:
+        try:
+            return spark.read.format("iceberg").load(path)
+        except Exception:
+            pass
+    return spark.read.parquet(path)
+
+
+def prune_warc_ts(df: DataFrame, start: Optional[str] = None, end: Optional[str] = None) -> DataFrame:
+    """Time-range pruning on warc_ts. With an Iceberg ``days(warc_ts)``
+    partition spec this prunes at planning time; on plain parquet it
+    pushes down as a min/max row-group filter (visible as PushedFilters
+    in .explain)."""
+    if start:
+        df = df.filter(F.col("warc_ts") >= F.lit(start).cast("timestamp"))
+    if end:
+        df = df.filter(F.col("warc_ts") < F.lit(end).cast("timestamp"))
+    return df
+
+
+def extract_pages(
+    df: DataFrame,
+    salt: int = 42,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """The declarative extraction plan: project to (url, html) — column
+    pruning reaches the scan — then the Arrow batch kernel.
+
+    ``num_partitions`` triggers the salted url-hash repartition; leave
+    None for shuffle-free operation when input splits are already
+    balanced (the scan's own partitioning is reused — zero shuffles).
+    """
+    sel = df.select("url", "html")
+    if num_partitions:
+        sel = sel.repartition(num_partitions, F.xxhash64(F.col("url"), F.lit(salt)))
+    return sel.mapInPandas(extract_kernel, EXTRACTED_SCHEMA)
+
+
+def mets_files(
+    df: DataFrame,
+    use: str = "",
+    file_id: str = "",
+    mimetype: str = "",
+) -> DataFrame:
+    """Relational surface of Mets.Find (mets/mets.go:53-59): narrow
+    flat-map from pages to matched file entries; empty predicate fields
+    are wildcards. Predicate evaluated inside the tree walk (the
+    reference pushes filters into its XPath the same way)."""
+    return df.select("url", "html").mapInPandas(
+        mets_kernel_factory(use=use, file_id=file_id, mimetype=mimetype),
+        METS_FILES_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resumable runner: executor-side atomic group writes + commit log
+# ---------------------------------------------------------------------------
+
+def _commit_dir(output_dir: str) -> str:
+    return os.path.join(output_dir, "_commits")
+
+
+def committed_groups(output_dir: str) -> set[int]:
+    cdir = _commit_dir(output_dir)
+    if not os.path.isdir(cdir):
+        return set()
+    done = set()
+    for name in os.listdir(cdir):
+        if name.startswith("g=") and name.endswith(".json"):
+            done.add(int(name[2 : -len(".json")]))
+    return done
+
+
+def read_commit_stats(output_dir: str) -> list[dict]:
+    cdir = _commit_dir(output_dir)
+    out = []
+    if not os.path.isdir(cdir):
+        return out
+    for name in sorted(os.listdir(cdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(cdir, name)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def run_extract_job(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    n_groups: int = 64,
+    salt: int = 42,
+    ts_start: Optional[str] = None,
+    ts_end: Optional[str] = None,
+    fail_group: Optional[int] = None,
+) -> dict:
+    """Resumable extraction run. Returns a summary dict of counters.
+
+    Each commit group ``g`` (deterministic function of url+salt+n_groups)
+    is written by exactly one task — ``repartition(n_groups, g)``
+    co-locates all of a group's rows — as ``data/g=<g>/part-<uuid>.parquet``
+    via tmp+rename, then marked done in the commit log. A rerun skips
+    committed groups entirely (anti-filter on a column predicate, so
+    Catalyst can prune before the shuffle).
+
+    ``fail_group`` injects a mid-job failure for the kill/resume test.
+
+    At 10^12-document scale: n_groups scales to O(100k); the commit dir
+    maps to an object-store prefix; listing is one LIST call; group size
+    = input/n_groups stays within executor memory because the kernel
+    streams Arrow batches straight into an open ParquetWriter (no
+    per-group buffering).
+    """
+    os.makedirs(os.path.join(output_dir, "data"), exist_ok=True)
+    os.makedirs(_commit_dir(output_dir), exist_ok=True)
+
+    done = committed_groups(output_dir)
+    pages = prune_warc_ts(load_pages(spark, input_path), ts_start, ts_end)
+    df = pages.select("url", "html").withColumn("g", group_id(n_groups, salt))
+    if done:
+        df = df.filter(~F.col("g").isin(*[int(g) for g in done]))
+    df = df.repartition(n_groups, F.col("g"))
+
+    data_dir = os.path.join(output_dir, "data")
+    commit_dir = _commit_dir(output_dir)
+    inject_fail = fail_group
+
+    def writer_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("text", pa.string()),
+                pa.field(
+                    "spans",
+                    pa.list_(
+                        pa.struct(
+                            [
+                                pa.field("region_id", pa.string()),
+                                pa.field("index", pa.int32()),
+                                pa.field("byte_start", pa.int64()),
+                                pa.field("byte_end", pa.int64()),
+                                pa.field("char_start", pa.int64()),
+                                pa.field("char_end", pa.int64()),
+                                pa.field(
+                                    "bbox",
+                                    pa.struct(
+                                        [
+                                            pa.field("x0", pa.int32()),
+                                            pa.field("y0", pa.int32()),
+                                            pa.field("x1", pa.int32()),
+                                            pa.field("y1", pa.int32()),
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        )
+                    ),
+                ),
+                pa.field("error", pa.string()),
+            ]
+        )
+        # state per commit group seen in this task
+        writers: dict[int, tuple] = {}  # g -> (writer, tmp_path, final_path, stats)
+        t0 = time.time()
+
+        def get_writer(g: int):
+            if g not in writers:
+                gdir = os.path.join(data_dir, f"g={g}")
+                os.makedirs(gdir, exist_ok=True)
+                fname = f"part-{uuid.uuid4().hex}.parquet"
+                tmp = os.path.join(gdir, "." + fname + ".tmp")
+                final = os.path.join(gdir, fname)
+                stats = {"g": g, "input_rows": 0, "ok_rows": 0, "err_rows": 0,
+                         "bytes_in": 0, "bytes_out": 0}
+                writers[g] = (pq.ParquetWriter(tmp, arrow_schema, compression="zstd"),
+                              tmp, final, stats)
+            return writers[g]
+
+        for pdf in batches:
+            for g_value, grp in pdf.groupby("g", sort=False):
+                g = int(g_value)
+                if inject_fail is not None and g == inject_fail:
+                    raise RuntimeError(f"injected failure for group {g}")
+                result = extract_batch(grp)
+                writer, _, _, stats = get_writer(g)
+                stats["input_rows"] += len(grp)
+                n_err = int(result["error"].notna().sum())
+                stats["err_rows"] += n_err
+                stats["ok_rows"] += len(result) - n_err
+                stats["bytes_in"] += int(grp["html"].map(
+                    lambda b: len(b) if b is not None else 0).sum())
+                stats["bytes_out"] += int(result["text"].map(
+                    lambda t: len(t.encode("utf-8")) if t is not None else 0).sum())
+                writer.write_table(pa.Table.from_pandas(result, schema=arrow_schema,
+                                                        preserve_index=False))
+        # close + atomic publish + commit markers
+        summaries = []
+        for g, (writer, tmp, final, stats) in writers.items():
+            writer.close()
+            os.replace(tmp, final)  # atomic on one filesystem
+            stats["wall_ms"] = int((time.time() - t0) * 1000)
+            marker = os.path.join(commit_dir, f"g={g}.json")
+            marker_tmp = marker + f".{uuid.uuid4().hex}.tmp"
+            with open(marker_tmp, "w") as fh:
+                json.dump(stats, fh)
+            os.replace(marker_tmp, marker)
+            summaries.append(stats)
+        yield pd.DataFrame(
+            summaries
+            or {k: [] for k in ("g", "input_rows", "ok_rows", "err_rows",
+                                 "bytes_in", "bytes_out", "wall_ms")}
+        )
+
+    summary_schema = (
+        "g int, input_rows long, ok_rows long, err_rows long, "
+        "bytes_in long, bytes_out long, wall_ms long"
+    )
+    stats_rows = df.mapInPandas(writer_kernel, summary_schema).collect()
+    agg = {
+        "groups_committed_this_run": len(stats_rows),
+        "groups_previously_done": len(done),
+        "input_rows": sum(r.input_rows for r in stats_rows),
+        "ok_rows": sum(r.ok_rows for r in stats_rows),
+        "err_rows": sum(r.err_rows for r in stats_rows),
+        "bytes_in": sum(r.bytes_in for r in stats_rows),
+        "bytes_out": sum(r.bytes_out for r in stats_rows),
+    }
+    return agg
+
+
+def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Read back a resumable run's output."""
+    return spark.read.parquet(os.path.join(output_dir, "data"))

@@ -1,0 +1,168 @@
+"""End-to-end Spark pipeline tests: golden byte-identity through the
+full mapInPandas path, Spark-vs-pure-Python parity, METS relational
+surface, and commit-log resume (SURVEY.md §5.2 items 2-3)."""
+
+import hashlib
+import os
+
+import pytest
+
+from gocrd_spark import datagen
+from gocrd_spark.extract import extract_document, mets_records
+from gocrd_spark.pipeline import (
+    committed_groups,
+    extract_pages,
+    mets_files,
+    read_extracted,
+    run_extract_job,
+)
+
+GOLDEN_SHA = "7bac7349cf86baac9834073fbfd7e589efa9d716e28578d6940362a02c7ec065"
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = spark.createDataFrame(datagen.pages_pdf(N_DOCS), schema=datagen.PAGES_SCHEMA)
+    df.cache().count()
+    return df
+
+
+def test_golden_end_to_end(spark, pages):
+    row = (
+        extract_pages(pages, num_partitions=8)
+        .filter(f"url = '{datagen.KANT_URL}'")
+        .collect()[0]
+    )
+    assert row.error is None
+    assert hashlib.sha256(row.text.encode("utf-8")).hexdigest() == GOLDEN_SHA
+    assert [(s.region_id, s.byte_start, s.byte_end) for s in row.spans] == [
+        ("r_1_1", 0, 7),
+        ("r_2_1", 8, 626),
+        ("r_2_2", 627, 1585),
+        ("r_2_3", 1586, 1591),
+    ]
+    assert row.spans[0].bbox.asDict() == {"x0": 846, "y0": 294, "x1": 1026, "y1": 337}
+
+
+def test_spark_matches_pure_python_kernel(spark, pages):
+    """Every row, not just the fixture: the distributed path must agree
+    byte-for-byte with the unit-tested kernel."""
+    got = {r.url: r for r in extract_pages(pages, num_partitions=8).collect()}
+    assert len(got) == N_DOCS
+    for i in range(N_DOCS):
+        row = datagen.make_row(i)
+        expected = extract_document(row["html"])
+        actual = got[row["url"]]
+        assert actual.text == expected["text"], row["url"]
+        assert actual.error == expected["error"] or (
+            expected["error"] is not None and actual.error is not None
+        )
+        if expected["spans"] is not None:
+            assert len(actual.spans) == len(expected["spans"])
+            for a, e in zip(actual.spans, expected["spans"]):
+                assert (a.region_id, a["index"], a.byte_start, a.byte_end) == (
+                    e["region_id"], e["index"], e["byte_start"], e["byte_end"],
+                )
+
+
+def test_no_separator_region_leaks(spark, pages):
+    """Unreferenced SeparatorRegions must stay invisible (page/page_test.go:23)."""
+    rows = extract_pages(pages).collect()
+    for row in rows:
+        if row.spans is None:
+            continue
+        assert all(s.region_id != "sep_1" for s in row.spans)
+
+
+def test_mets_files_surface(spark, pages):
+    got = mets_files(pages).filter(f"url = '{datagen.METS_URL}'").collect()
+    assert {(r.file_id, r.mimetype) for r in got} == {
+        ("PAGE_0020_PAGE", "application/vnd.prima.page+xml"),
+        ("PAGE_0020_ALTO", "application/alto+xml"),
+        ("PAGE_0021_ALTO", "application/alto+xml"),
+    }
+    # predicate pushdown into the walk
+    alto = mets_files(pages, mimetype="application/alto+xml").collect()
+    expected = sum(
+        len(mets_records(datagen.make_row(i)["html"], mimetype="application/alto+xml"))
+        for i in range(N_DOCS)
+    )
+    assert len(alto) == expected and expected > 2
+
+
+def test_error_rows_never_fail_job(spark, pages):
+    rows = extract_pages(pages).collect()
+    errs = [r for r in rows if r.error is not None]
+    # doc_id==100 is the injected garbage row; METS rows also error ("not a PAGE-XML")
+    assert any("ParseError" in r.error for r in errs)
+    assert all(r.text is None for r in errs)
+
+
+def test_warc_ts_pruning(spark, pages, tmp_path):
+    from gocrd_spark.pipeline import load_pages, prune_warc_ts
+
+    path = str(tmp_path / "pages_parquet")
+    pages.write.parquet(path)
+    df = prune_warc_ts(load_pages(spark, path), start="2026-01-05", end="2026-01-07")
+    got = {r.url for r in df.select("url").collect()}
+    expected = {
+        datagen.make_row(i)["url"] for i in range(N_DOCS) if i % 30 in (4, 5)
+    }
+    assert got == expected
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "warc_ts" in plan
+
+
+class TestResume:
+    def _write_input(self, spark, pages, tmp_path) -> str:
+        path = str(tmp_path / "pages_in")
+        pages.write.parquet(path)
+        return path
+
+    def test_kill_and_resume(self, spark, pages, tmp_path):
+        inp = self._write_input(spark, pages, tmp_path)
+        out = str(tmp_path / "out")
+        n_groups = 8
+
+        # run 1: inject a failure in group 3 -> job dies mid-flight
+        with pytest.raises(Exception):
+            run_extract_job(spark, inp, out, n_groups=n_groups, fail_group=3)
+        done_after_crash = committed_groups(out)
+        assert 3 not in done_after_crash  # failed group not committed
+
+        # run 2: resume completes the remaining groups only
+        summary = run_extract_job(spark, inp, out, n_groups=n_groups)
+        assert summary["groups_previously_done"] == len(done_after_crash)
+        assert committed_groups(out) == set(range(n_groups)) & committed_groups(out)
+
+        # output identical to a clean one-shot run
+        clean = str(tmp_path / "clean")
+        run_extract_job(spark, inp, clean, n_groups=n_groups)
+        resumed_rows = {
+            r.url: (r.text, r.error) for r in read_extracted(spark, out).collect()
+        }
+        clean_rows = {
+            r.url: (r.text, r.error) for r in read_extracted(spark, clean).collect()
+        }
+        assert resumed_rows == clean_rows
+        assert len(resumed_rows) == N_DOCS
+
+    def test_no_recompute_of_committed_groups(self, spark, pages, tmp_path):
+        inp = self._write_input(spark, pages, tmp_path)
+        out = str(tmp_path / "out2")
+        first = run_extract_job(spark, inp, out, n_groups=4)
+        assert first["input_rows"] == N_DOCS
+        second = run_extract_job(spark, inp, out, n_groups=4)
+        assert second["groups_committed_this_run"] == 0
+        assert second["input_rows"] == 0  # anti-filter pruned everything
+        assert len(read_extracted(spark, out).collect()) == N_DOCS
+
+    def test_counters(self, spark, pages, tmp_path):
+        inp = self._write_input(spark, pages, tmp_path)
+        out = str(tmp_path / "out3")
+        summary = run_extract_job(spark, inp, out, n_groups=4)
+        assert summary["input_rows"] == N_DOCS
+        assert summary["ok_rows"] + summary["err_rows"] == N_DOCS
+        assert summary["err_rows"] >= 1
+        assert summary["bytes_in"] > summary["bytes_out"] > 0
