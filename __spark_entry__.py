@@ -1,38 +1,495 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship extraction over a deterministic synthetic
+  ``pages`` table (BASELINE.json input_hint shape) at sf0.001 scale.
+- ``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+  the training-data operator suite). SQL-expressible ones have DuckDB
+  twins in ``oracle_sql()``; XML-kernel and LSH/ANN ops are rows-only
+  (their correctness gate is the golden pytest suite, FIXTURES.md §3-4).
+- ``oracle_sql()``   — ANSI-SQL twins. Engine-parity rule: oracle-checked
+  outputs carry only BIGINT/VARCHAR columns (ratios as fixed-point
+  ``*_e6`` scaled integers, timestamps as epoch seconds) so value hashes
+  cannot diverge on float formatting.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PAGES_CACHE: dict[str, str] = {}
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized pages table for this scale factor (cached parquet).
+    n_docs = sf * 100_000 (sf0.001 -> 100, sf0.01 -> 1_000, sf0.1 -> 10_000)."""
+    from gocrd_spark import datagen
+
+    n_docs = max(int(_sf_of(sf_dir) * 100_000), 10)
+    key = f"sf_{n_docs}"
+    if key not in _PAGES_CACHE:
+        path = os.path.join("/tmp", "gocrd_pages_cache", key)
+        marker = os.path.join(path, "_SUCCESS")
+        if not os.path.exists(marker):
+            datagen.write_pages(spark, n_docs, path)
+        _PAGES_CACHE[key] = path
+    return spark.read.parquet(_PAGES_CACHE[key])
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline at sf0.001 — salted repartition
+    + Arrow batch kernel -> (url, text, n_spans, error)."""
+    from gocrd_spark.pipeline import extract_pages
+
+    pages = _pages(spark, "/root/testdata/sf0.001")
+    out = extract_pages(pages, num_partitions=8)
+    return out.select(
+        "url", "text", F.size(F.coalesce(F.col("spans"), F.array())).alias("n_spans"),
+        "error",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.pipeline import extract_pages
+
+    return extract_pages(_pages(spark, sf_dir)).select("url", "text", "error")
+
+
+def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.pipeline import extract_pages
+
+    out = extract_pages(_pages(spark, sf_dir))
+    return out.select("url", F.explode("spans").alias("s")).select(
+        "url",
+        F.col("s.region_id").alias("region_id"),
+        F.col("s.index").alias("ro_index"),
+        F.col("s.byte_start").alias("byte_start"),
+        F.col("s.byte_end").alias("byte_end"),
+        F.col("s.char_start").alias("char_start"),
+        F.col("s.char_end").alias("char_end"),
+    )
+
+
+def _q_mets_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.pipeline import mets_files
+
+    return mets_files(_pages(spark, sf_dir), mimetype="application/alto+xml")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import token_stats
+
+    ts = token_stats(_docs(spark, sf_dir))
+    return ts.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_actual",
+        F.round(F.col("avg_token_len") * 1_000_000).cast("long").alias("avg_token_len_e6"),
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import quality_score
+
+    qs = quality_score(_docs(spark, sf_dir))
+    return qs.select(
+        "doc_id",
+        F.round(F.col("punct_ratio") * 1_000_000).cast("long").alias("punct_ratio_e6"),
+        F.round(F.col("digit_ratio") * 1_000_000).cast("long").alias("digit_ratio_e6"),
+        F.round(F.col("stop_ratio") * 1_000_000).cast("long").alias("stop_ratio_e6"),
+        F.round(F.col("quality") * 1_000_000).cast("long").alias("quality_e6"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_guess", F.col("marker_hits").cast("long").alias("marker_hits")
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.12)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard") * 1_000_000).cast("long").alias("jaccard_e6"),
+    )
+
+
+def _q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.dedup import minhash_lsh
+
+    pairs = minhash_lsh(_docs(spark, sf_dir), n=3, threshold=0.12)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard") * 1_000_000).cast("long").alias("jaccard_e6"),
+    )
+
+
+def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), n=2, max_hamming=6)
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.similarity import topk_bruteforce
+
+    return topk_bruteforce(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.similarity import topk_lsh
+
+    return topk_lsh(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def _q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.similarity import label_centroids
+
+    c = label_centroids(_emb(spark, sf_dir))
+    return c.select(
+        "label",
+        F.transform(
+            F.col("centroid"), lambda v: F.round(v * 1_000_000).cast("long")
+        ).alias("centroid_e6"),
+        "n",
+    )
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window counts per event_type (streaming-shaped
+    aggregation expressed as batch — the same plan a Structured Streaming
+    job would produce for this window)."""
+    ev = _events(spark, sf_dir)
+    win = (F.unix_timestamp("ts") / 300).cast("long") * 300
+    return (
+        ev.groupBy(win.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 1_000_000).cast("long").alias("sum_value_e6"),
+        )
+    )
+
+
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-min gap per user;
+    window functions (lag + cumulative sum)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = ev.withColumn("is_new", new_session).withColumn(
+        "session_idx", F.sum("is_new").over(w)
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_idx").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum("value") * 1_000_000).cast("long").alias("total_value_e6"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return totals.orderBy(
+        F.col("total_value_e6").desc(), F.col("user_id").asc()
+    ).limit(10)
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate over lineitem (partial-agg/codegen showcase)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity") * 1_000_000).cast("long").alias("sum_qty_e6"),
+            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_base_price_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.multimodal import extract_features, synth_media_pdf
+
+    n = max(int(_sf_of(sf_dir) * 10_000), 10)
+    media = spark.createDataFrame(
+        synth_media_pdf(n), schema="id long, kind string, payload binary"
+    )
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "id",
+        "kind",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * 1_000_000).cast("long").alias("f0_e6"),
+        "error",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # gocrd extraction surface (XML kernel — rows-only checks; golden
+        # byte-identity is gated by pytest, FIXTURES.md §3)
+        "extract_text": _q_extract_text,
+        "extract_spans": _q_extract_spans,
+        "mets_files_alto": _q_mets_files,
+        # dedup suite (documents)
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_near_dups": _q_minhash_dups,
+        "simhash_near_dups": _q_simhash_dups,
+        # text analysis (documents)
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        # similarity search (embeddings)
+        "ann_topk_brute": _q_ann_brute,
+        "ann_topk_lsh": _q_ann_lsh,
+        "label_centroids": _q_centroids,
+        # events analytics (streaming-shaped batch)
+        "events_window": _q_events_window,
+        "user_sessions": _q_user_sessions,
+        "top_users": _q_top_users,
+        # relational showcase
+        "pricing_summary": _q_pricing_summary,
+        # multimodal plumbing (stubbed decode, deterministic fake)
+        "multimodal_features": _q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = "('the','a','and','of','to','in')"
+    punct_expr = " + ".join(
+        f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in [".", ",", "!", "?", ";", ":"]
+    )
+    digit_expr = " + ".join(
+        f"(length(text) - length(replace(text, '{d}', '')))" for d in range(10)
+    )
+    lang_score = {
+        lang: " + ".join(
+            f"(CASE WHEN list_contains(toks, '{m}') THEN 1 ELSE 0 END)"
+            for m in markers
+        )
+        for lang, markers in {
+            "de": ["der", "die", "und", "nicht", "ist"],
+            "en": ["the", "and", "of", "is", "not"],
+            "es": ["el", "los", "que", "es", "y"],
+            "fr": ["le", "les", "et", "est", "ne"],
+        }.items()
+    }
+    return {
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 2
+        """,
+        "token_stats": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS n_chars_actual,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   n_chars_actual::BIGINT AS n_chars_actual,
+                   CAST(round(CASE WHEN len(toks) > 0
+                        THEN round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6)
+                        ELSE 0.0 END * 1000000) AS BIGINT) AS avg_token_len_e6
+            FROM t
+        """,
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, length(text)::DOUBLE AS n_chars,
+                     ({punct_expr})::DOUBLE AS n_punct,
+                     ({digit_expr})::DOUBLE AS n_digit,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, x -> x IN {stop_list}))::DOUBLE / len(toks)
+                          ELSE 0.0 END AS stop_ratio
+              FROM t)
+            SELECT doc_id,
+                   CAST(round(round(punct_ratio, 6) * 1000000) AS BIGINT) AS punct_ratio_e6,
+                   CAST(round(round(digit_ratio, 6) * 1000000) AS BIGINT) AS digit_ratio_e6,
+                   CAST(round(round(stop_ratio, 6) * 1000000) AS BIGINT) AS stop_ratio_e6,
+                   CAST(round(round(greatest(0.0, least(1.0,
+                        1.0 - punct_ratio*2 - digit_ratio*2 + least(stop_ratio, 0.2))), 6)
+                        * 1000000) AS BIGINT) AS quality_e6
+            FROM r
+        """,
+        "lang_id": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     ({lang_score['de']}) AS s_de, ({lang_score['en']}) AS s_en,
+                     ({lang_score['es']}) AS s_es, ({lang_score['fr']}) AS s_fr
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_guess,
+                   greatest(s_de, s_en, s_es, s_fr)::BIGINT AS marker_hits
+            FROM s
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT AS norm_len
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 3
+                       THEN list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE [array_to_string(t, ' ')] END) AS shingles
+              FROM toks),
+            ex AS (
+              SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+                     count(*) AS n_inter
+              FROM ex a JOIN ex b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT doc_a, doc_b,
+                   CAST(round(round(n_inter::DOUBLE / (na + nb - n_inter), 6) * 1000000) AS BIGINT) AS jaccard_e6
+            FROM inter
+            WHERE round(n_inter::DOUBLE / (na + nb - n_inter), 6) >= 0.12
+        """,
+        "ann_topk_brute": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 9) AS cos
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        """,
+        "label_centroids": """
+            WITH ex AS (
+              SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+              FROM embeddings),
+            per_dim AS (
+              SELECT label, pos, avg(val::DOUBLE) AS avg_val, count(*) AS n
+              FROM ex GROUP BY label, pos)
+            SELECT label,
+                   list_transform(list_sort(list(struct_pack(pos := pos, avg_val := avg_val)),
+                                  'ASC'), s -> CAST(round(round(s.avg_val, 6) * 1000000) AS BIGINT))
+                     AS centroid_e6,
+                   any_value(n) AS n
+            FROM per_dim GROUP BY label
+        """,
+        "events_window": """
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_e6
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g)
+            SELECT user_id, max(session_idx)::BIGINT AS n_sessions, count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "top_users": """
+            SELECT user_id,
+                   CAST(round(sum(value) * 1000000) AS BIGINT) AS total_value_e6,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY total_value_e6 DESC, user_id ASC LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity) * 1000000) AS BIGINT) AS sum_qty_e6,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_c,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

@@ -1,0 +1,259 @@
+"""Deduplication operators for web-scale corpora.
+
+Four tiers, trading recall for cost:
+
+- ``exact_dedup``       — hash-groupBy on normalized text; one shuffle on
+                          a 16-byte key. The 100 TB workhorse.
+- ``ngram_jaccard_pairs`` — exact n-gram (shingle) Jaccard similarity via a
+                          shingle-explode + co-occurrence join: scales as
+                          sum of per-shingle df² — fine after LSH
+                          prefiltering, exact on small candidate sets.
+- ``minhash_lsh``       — MinHash signatures + banded LSH bucketing, all
+                          built-in expressions (xxhash64 per shingle,
+                          array_min per permutation); candidates verified
+                          with exact Jaccard. Near-dup detection at scale:
+                          shuffle only on (band, bucket-hash) keys.
+- ``simhash64``         — 64-bit SimHash per document via built-in bit
+                          arithmetic (no UDF); hamming-distance pairs via
+                          band join on 16-bit chunks.
+
+Shuffle accounting at 10^12 docs: exact/minhash shuffle compact keys +
+doc ids only (never the text column — projection drops it before the
+exchange); Jaccard verification joins only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per normalized-text hash. Returns
+    (doc_id, text_hash, n_dups) for kept (canonical) documents."""
+    hashed = docs.select(
+        "doc_id", F.md5(F.encode(_norm_text(F.col("text")), "utf-8")).alias("text_hash")
+    )
+    return hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    ).select("doc_id", "text_hash", "n_dups")
+
+
+def _shingles(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    tokens = F.filter(F.split(_norm_text(col), " "), lambda x: x != F.lit(""))
+    return F.array_distinct(
+        F.when(
+            F.size(tokens) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - n),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def shingle_docs(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select("doc_id", _shingles(F.col("text"), n).alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle *sets* via co-occurrence:
+    explode shingles, self-join per shingle, count intersections, then
+    |A∪B| = |A|+|B|-|A∩B|. Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b and jaccard >= threshold.
+
+    Cost note: per-shingle fanout is df² — at crawl scale run it only on
+    LSH candidate buckets (minhash_lsh does exactly that); as a direct
+    operator it is exact and suits ≤10^6-doc partitions/samples.
+    """
+    sh = shingle_docs(docs, n).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature per document: for permutation i, the min of
+    xxhash64(shingle, seed=i) over the shingle set. Pure built-ins —
+    array_min over a transform — no UDF, fully codegen'd."""
+    sh = shingle_docs(docs, n)
+
+    # NB: a plain `lambda s, i=i: ...` would NOT work here — pyspark infers
+    # the lambda-variable count from the function arity, so a defaulted
+    # second arg gets silently rebound to the array index.
+    def _perm(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("shingles"), _perm(i))) for i in range(num_hashes)]
+    )
+    return sh.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+
+    - signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    - bucket key = xxhash64 of the band slice -> groupBy (band, key);
+    - candidate pairs from same-bucket docs (self-join within bucket);
+    - verified with exact shingle-set Jaccard (array_intersect sizes) —
+      only candidates pay the verification, not all O(N²) pairs.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(docs, n, num_hashes)
+    bands_df = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands_df.alias("x")
+        .join(bands_df.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = shingle_docs(docs, n)
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash64(docs: DataFrame, n: int = 2) -> DataFrame:
+    """64-bit SimHash per document from word n-gram shingle hashes, with
+    pure built-in bit arithmetic: bit b of the simhash is 1 iff the count
+    of shingle-hashes with bit b set exceeds half the shingle count.
+
+    Returns (doc_id, simhash long). Near-dup candidates come from equal
+    16-bit chunks (simhash_bands) — hamming<=3 guarantees a shared chunk.
+    """
+    sh = shingle_docs(docs, n)
+    hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    n_sh = F.size(F.col("shingles"))
+    def _vote(b: int):
+        # closure factory, not a defaulted lambda arg (see _perm note above)
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), _vote(b)) for b in range(64)
+    ]
+    simhash = None
+    for b, votes in enumerate(bit_votes):
+        bit = F.when(votes * 2 > n_sh, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    return sh.select("doc_id", simhash.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, n: int = 2, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band join on 16-bit chunks (pigeonhole:
+    hamming<=3 over 4 chunks -> at least one identical chunk), then exact
+    hamming filter via bit_count(xor)."""
+    sig = simhash64(docs, n)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk_id", "cc.chunk")
+    pairs = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_id", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

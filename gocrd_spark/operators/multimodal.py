@@ -1,0 +1,101 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow batch kernels.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_image`` raises NotImplementedError unless ``fake=True``, in
+which case a deterministic fake decoder derives features from a stable
+byte hash — making the *Spark-side plumbing* (schema, batching,
+partitioning, UDF signatures) fully real and testable.
+
+Layout contract for a multimodal table:
+    media(id long, kind string, payload binary,
+          meta struct<width:int, height:int, mime:string>)
+
+At 100 TB: payloads dominate row size, so the same rules as the XML
+pipeline apply — small Arrow batches, salted repartition by id-hash,
+column pruning so feature passes never read payload bytes they don't
+need.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = (
+    "id long, kind string, feature array<float>, width int, height int, error string"
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an HxWx3 array.
+
+    STUB: real decoding needs an image library not present in this
+    container. ``fake=True`` yields a deterministic 8x8x3 array derived
+    from the payload's sha256 — stable across runs and processes.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library (e.g. Pillow); "
+            "not available in this environment — use fake=True for plumbing tests"
+        )
+    digest = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def extract_features_batch(pdf: pd.DataFrame, fake: bool = True) -> pd.DataFrame:
+    """One Arrow batch of media rows -> feature rows. Per-payload errors
+    become error rows (the pipeline-wide tolerance contract)."""
+    out = {"id": [], "kind": [], "feature": [], "width": [], "height": [], "error": []}
+    for row in pdf.itertuples(index=False):
+        out["id"].append(row.id)
+        out["kind"].append(row.kind)
+        try:
+            img = decode_image(bytes(row.payload), fake=fake)
+            # fake "feature": per-channel means over a 16-cell grid flattened
+            feat = img.reshape(-1, 3).mean(axis=0)
+            feature = np.tile(feat, FEATURE_DIM // 3 + 1)[:FEATURE_DIM] / 255.0
+            out["feature"].append([float(x) for x in feature])
+            out["width"].append(img.shape[1])
+            out["height"].append(img.shape[0])
+            out["error"].append(None)
+        except Exception as exc:
+            out["feature"].append(None)
+            out["width"].append(None)
+            out["height"].append(None)
+            out["error"].append(f"{type(exc).__name__}: {exc}")
+    return pd.DataFrame(out)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature extraction over a multimodal table: mapInPandas kernel,
+    payload column pruned in, features out."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield extract_features_batch(pdf, fake=fake)
+
+    return media.select("id", "kind", "payload").mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def synth_media_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic fake media table for tests."""
+    rows = []
+    for i in range(n):
+        digest = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        rows.append(
+            {
+                "id": i,
+                "kind": ("image", "audio", "video")[i % 3],
+                "payload": digest * (1 + i % 5),
+            }
+        )
+    return pd.DataFrame(rows)

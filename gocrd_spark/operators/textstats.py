@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure built-in ``pyspark.sql.functions`` expressions —
+JVM-side, whole-stage-codegen'd, zero Python in the hot path. Each has a
+DuckDB-oracle-compatible SQL twin in ``__spark_entry__.oracle_sql``.
+
+Operators:
+- ``token_stats``    — whitespace tokenization counts + length stats
+- ``quality_score``  — boilerplate/quality heuristics (punct/digit/short-line ratios)
+- ``lang_id``        — stopword-hit language guess (de/en/es/fr heuristic)
+- ``fingerprint``    — md5 document fingerprint over whitespace-normalized text
+
+At 100 TB these are narrow maps over the scan (no shuffle, no UDF):
+the plan is Scan -> Project with WholeStageCodegen covering everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(col: Column) -> Column:
+    """Non-empty whitespace-delimited tokens."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics (doc_id, n_tokens, n_chars_actual,
+    avg_token_len)."""
+    tokens = _tokens(F.col("text"))
+    n_tokens = F.size(tokens)
+    total_token_chars = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return docs.select(
+        F.col("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(
+            F.when(n_tokens > 0, total_token_chars.cast("double") / n_tokens).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def _count_char(col: Column, ch: str) -> Column:
+    return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristics per document: punctuation density, digit density,
+    stop-token ratio, and a composite score in [0,1]. Fixed character
+    classes (not locale regex classes) so the SQL oracle is bit-identical."""
+    text = F.col("text")
+    n_chars = F.length(text).cast("double")
+    n_punct = sum(_count_char(text, c) for c in [".", ",", "!", "?", ";", ":"])
+    n_digit = sum(_count_char(text, str(d)) for d in range(10))
+    tokens = _tokens(text)
+    n_tokens = F.size(tokens)
+    n_stop = F.size(
+        F.filter(tokens, lambda x: x.isin("the", "a", "and", "of", "to", "in"))
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(1.0) - punct_ratio * 2 - digit_ratio * 2
+            + F.least(stop_ratio, F.lit(0.2)),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+# stopword markers per language — chosen to be unambiguous LIKE patterns
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "en": ["the", "and", "of", "is", "not"],
+    "es": ["el", "los", "que", "es", "y"],
+    "fr": ["le", "les", "et", "est", "ne"],
+}
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-free stopword-hit language guess. Each language scores the
+    count of its marker words present (as whole tokens); highest score
+    wins, ties broken by language code order; zero hits -> 'und'
+    (undetermined). Deterministic and SQL-expressible."""
+    tokens = _tokens(F.lower(F.col("text")))
+    scores = {
+        lang: sum(
+            F.when(F.array_contains(tokens, m), 1).otherwise(0) for m in markers
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    guess = F.lit("und")
+    # reversed so earlier language codes win ties via later .when override
+    for lang in sorted(scores, reverse=True):
+        guess = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(guess)
+    guess = F.when(best_score == 0, F.lit("und")).otherwise(guess)
+    return docs.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        best_score.cast("int").alias("marker_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over lowercased, whitespace-collapsed,
+    trimmed text — the canonical pre-dedup normalization."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "utf-8")).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
