@@ -259,6 +259,27 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.relational import revenue_by_nation
+
+    t = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+    return revenue_by_nation(t("lineitem"), t("orders"), t("customer"), t("nation"))
+
+
+def _q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.relational import segment_order_stats
+
+    t = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+    return segment_order_stats(t("orders"), t("customer"))
+
+
+def _q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.relational import priority_lineitem_counts
+
+    t = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+    return priority_lineitem_counts(t("lineitem"), t("orders"))
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.multimodal import extract_features, synth_media_pdf
 
@@ -302,8 +323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "user_sessions": _q_user_sessions,
         "top_users": _q_top_users,
-        # relational showcase
+        # relational showcase (broadcast-dim + fact-fact + semi joins)
         "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "segment_order_stats": _q_segment_stats,
+        "order_priority": _q_order_priority,
         # multimodal plumbing (stubbed decode, deterministic fake)
         "multimodal_features": _q_multimodal,
     }
@@ -491,5 +515,30 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2001-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_c,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "segment_order_stats": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_price_c,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
         """,
     }

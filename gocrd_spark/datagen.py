@@ -204,3 +204,20 @@ def write_pages(spark, n_docs: int, path: str, num_partitions: Optional[int] = N
     """Materialize the synthetic table as parquet (bench cache)."""
     pages_df(spark, n_docs, num_partitions).write.mode("overwrite").parquet(path)
     return path
+
+
+def write_pages_partitioned(
+    spark, n_docs: int, path: str, num_partitions: Optional[int] = None
+) -> str:
+    """Materialize with day-level directory partitioning — the sandbox
+    stand-in for Iceberg's hidden ``days(warc_ts)`` partitioning (no
+    Iceberg runtime jar ships in this container; SURVEY.md §7 step 6
+    'parquet fallback'). A ``warc_ts`` range scan prunes whole
+    directories at planning time (PartitionFilters in .explain)."""
+    from pyspark.sql import functions as F
+
+    df = pages_df(spark, n_docs, num_partitions).withColumn(
+        "warc_day", F.date_format("warc_ts", "yyyy-MM-dd")
+    )
+    df.write.mode("overwrite").partitionBy("warc_day").parquet(path)
+    return path

@@ -47,14 +47,26 @@ def load_pages(spark: SparkSession, path: str) -> DataFrame:
 
 
 def prune_warc_ts(df: DataFrame, start: Optional[str] = None, end: Optional[str] = None) -> DataFrame:
-    """Time-range pruning on warc_ts. With an Iceberg ``days(warc_ts)``
-    partition spec this prunes at planning time; on plain parquet it
-    pushes down as a min/max row-group filter (visible as PushedFilters
-    in .explain)."""
+    """Time-range pruning on warc_ts.
+
+    - Iceberg ``days(warc_ts)`` / day-partitioned parquet layout
+      (``warc_day=YYYY-MM-DD`` directories, datagen.write_pages_partitioned):
+      the derived warc_day predicate prunes whole partitions at planning
+      time (PartitionFilters in .explain);
+    - flat parquet: the warc_ts predicate pushes down as a row-group
+      min/max filter (PushedFilters).
+    Both predicates are applied when applicable — directory pruning cuts
+    I/O, the row filter keeps exactness at day boundaries.
+    """
+    has_day = "warc_day" in df.columns
     if start:
         df = df.filter(F.col("warc_ts") >= F.lit(start).cast("timestamp"))
+        if has_day:
+            df = df.filter(F.col("warc_day") >= F.date_format(F.lit(start).cast("timestamp"), "yyyy-MM-dd"))
     if end:
         df = df.filter(F.col("warc_ts") < F.lit(end).cast("timestamp"))
+        if has_day:
+            df = df.filter(F.col("warc_day") <= F.date_format(F.lit(end).cast("timestamp"), "yyyy-MM-dd"))
     return df
 
 

@@ -1,0 +1,69 @@
+"""Structured Streaming surface of the events analytics.
+
+The batch pipeline's windowed aggregation (``__spark_entry__._q_events_window``)
+re-expressed as a stream: file source -> watermark -> tumbling window ->
+sink. The reference has no streaming (batch library, SURVEY.md §2.2);
+this exists so the engine covers the streaming checklist row for event
+tables at scale: late rows beyond the watermark are dropped, state is
+bounded by (watermark horizon / window size) per event_type.
+
+Run modes:
+- ``trigger=availableNow`` (tests, backfill): drains everything present,
+  exactly-once per checkpoint;
+- continuous micro-batches in production (same code, different trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window counts per event_type."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 1_000_000).cast("long").alias("sum_value_e6"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_e6",
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, checkpoint_dir: str, query_name: str = "events_window"
+):
+    """Drain all currently-available input into an in-memory sink and
+    block until done. Returns the owning SparkSession's sink table name."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return query_name

@@ -1,0 +1,100 @@
+"""Day-partitioned source layout (Iceberg days(warc_ts) stand-in) with
+planning-time partition pruning, and the Structured Streaming surface."""
+
+import os
+
+from gocrd_spark import datagen
+from gocrd_spark.pipeline import load_pages, prune_warc_ts
+
+
+class TestPartitionedLayout:
+    def test_partition_pruning_at_planning_time(self, spark, tmp_path):
+        path = str(tmp_path / "pages_part")
+        datagen.write_pages_partitioned(spark, 120, path)
+        # directory layout exists
+        days = [d for d in os.listdir(path) if d.startswith("warc_day=")]
+        assert len(days) == 30
+
+        df = prune_warc_ts(load_pages(spark, path), start="2026-01-05", end="2026-01-07")
+        got = {r.url for r in df.select("url").collect()}
+        expected = {datagen.make_row(i)["url"] for i in range(120) if i % 30 in (4, 5)}
+        assert got == expected
+
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "warc_day" in plan
+        # the scan must touch only the 2 matching day directories
+        import re
+
+        m = re.search(r"partitions read[:=]?\s*(\d+)", plan)
+        if m:  # spark version-dependent plan text; assert when present
+            assert int(m.group(1)) == 2
+
+    def test_extraction_over_partitioned_source(self, spark, tmp_path):
+        import hashlib
+
+        from gocrd_spark.pipeline import extract_pages
+
+        path = str(tmp_path / "pages_part2")
+        datagen.write_pages_partitioned(spark, 40, path)
+        row = (
+            extract_pages(load_pages(spark, path))
+            .filter(f"url = '{datagen.KANT_URL}'")
+            .collect()[0]
+        )
+        assert (
+            hashlib.sha256(row.text.encode()).hexdigest()
+            == "7bac7349cf86baac9834073fbfd7e589efa9d716e28578d6940362a02c7ec065"
+        )
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """availableNow drain of a file stream must agree with the batch
+        windowed aggregation over the same input."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.streaming.windowed import (
+            run_available_now,
+            windowed_counts_stream,
+        )
+
+        src = "/root/testdata/sf0.001/events.parquet"
+        in_dir = str(tmp_path / "stream_in")
+        os.makedirs(in_dir)
+        shutil.copy(src, os.path.join(in_dir, "chunk1.parquet"))
+
+        stream_df = windowed_counts_stream(spark, in_dir)
+        assert stream_df.isStreaming
+        table = run_available_now(stream_df, str(tmp_path / "ckpt"))
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value_e6)
+            for r in spark.sql(f"SELECT * FROM {table}").collect()
+        }
+
+        ev = spark.read.parquet(src)
+        win = (F.unix_timestamp("ts") / 300).cast("long") * 300
+        batch = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value_e6)
+            for r in ev.groupBy(win.alias("window_start"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value") * 1_000_000).cast("long").alias("sum_value_e6"),
+            )
+            .collect()
+        }
+        assert got == batch
+        assert len(got) > 10
+
+
+class TestRelationalJoins:
+    def test_broadcast_in_plan(self, spark):
+        """The dimension joins must actually broadcast (no shuffle of the
+        fact side for dims)."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["revenue_by_nation"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert df.count() > 0
