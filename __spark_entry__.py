@@ -188,6 +188,18 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_lsh(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _q_emb_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.similarity import embedding_near_dups_exact
+
+    return embedding_near_dups_exact(_emb(spark, sf_dir), threshold=0.42)
+
+
+def _q_emb_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.similarity import embedding_near_dups_lsh
+
+    return embedding_near_dups_lsh(_emb(spark, sf_dir), threshold=0.42)
+
+
 def _q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.similarity import label_centroids
 
@@ -318,6 +330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (embeddings)
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
+        "embedding_near_dups": _q_emb_dups_exact,
+        "embedding_near_dups_lsh": _q_emb_dups_lsh,
         "label_centroids": _q_centroids,
         # events analytics (streaming-shaped batch)
         "events_window": _q_events_window,
@@ -463,6 +477,17 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM scored)
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        """,
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                     * 1000000) AS BIGINT) AS cos_e6
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE CAST(round(round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                     * 1000000) AS BIGINT) >= 420000
         """,
         "label_centroids": """
             WITH ex AS (

@@ -27,9 +27,10 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+from . import xmlwalk as xw
 from .mets import Match as MetsMatch
 from .mets import Mets
-from .page import Page, Rect
+from .page import Page, Rect, _text_equiv_unicode_at, parse_polygon
 from .xmlwalk import local_name, parse_bytes
 
 
@@ -56,22 +57,40 @@ def extract_document(data: bytes) -> dict[str, Any]:
     message (mirrors the reference's silent-skip tolerance,
     page/page.go:144-146; per-partition error counters live in the Spark
     kernel, SURVEY.md §4.4).
+
+    Hot path: a SINGLE pass over the parsed tree. The reference
+    re-resolves every region by ID from the document root
+    (page/page.go:199-212, an O(regions x document) artifact); we build
+    the id->TextRegion index once instead (SURVEY.md §3.2 note) —
+    observable output is identical, including ("", False) for dangling
+    regionRefs (absent from the index -> skipped).
     """
     try:
         page = Page.from_bytes(data)
         if local_name(page.root.tag) != "PcGts":
             return {"text": None, "spans": None, "error": "not a PAGE-XML document"}
+        # one pass: id -> first matching direct TextRegion child of any Page
+        region_index: dict[str, Any] = {}
+        for page_el in xw.children(page.root, "Page"):
+            for tr in xw.children(page_el, "TextRegion"):
+                rid = xw.attr(tr, "id")
+                if rid is not None and rid not in region_index:
+                    region_index[rid] = tr
+
         parts: list[str] = []
         spans: list[dict[str, Any]] = []
         byte_off = 0
         char_off = 0
         for region in page.regions():
-            text, ok = region.text_equiv_unicode_at(0)
+            node = region_index.get(region.id())
+            if node is None:
+                continue  # dangling regionRef: reference yields ("", False)
+            text, ok = _text_equiv_unicode_at(node, 0)
             if not ok:
-                continue  # dangling regionRef or no TextEquiv/Unicode
+                continue  # no TextEquiv/Unicode
             bbox: Optional[Rect] = None
             try:
-                bbox = region.polygon().rectangle()
+                bbox = parse_polygon(node).rectangle()
             except ValueError:
                 bbox = None
             if parts:  # '\n' separator: 1 byte, 1 char

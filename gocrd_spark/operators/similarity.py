@@ -161,6 +161,62 @@ def topk_lsh(
     )
 
 
+def embedding_near_dups_exact(
+    embeddings: DataFrame, threshold: float = 0.42
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine >= threshold. O(N²) — the verification baseline; at corpus
+    scale use :func:`embedding_near_dups_lsh`. Returns
+    (id_a, id_b, cos_e6 fixed-point)."""
+    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cos * 1_000_000).cast("long").alias("cos_e6")
+        )
+        .filter(F.col("cos_e6") >= int(threshold * 1_000_000))
+    )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: multi-table hyperplane LSH
+    candidate pairs (same bucket in any table), exact-cosine verified.
+    Shuffles only (table, bucket, id, vector) tuples — never N² pairs."""
+    tables = [
+        lsh_buckets(embeddings, dim, n_planes, seed + 1000 * t).withColumn(
+            "table", F.lit(t)
+        )
+        for t in range(n_tables)
+    ]
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+    x = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "table", "bucket"
+    )
+    y = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "table", "bucket"
+    )
+    cand = (
+        x.join(y, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return cand.select(
+        "id_a", "id_b", F.round(cos * 1_000_000).cast("long").alias("cos_e6")
+    ).filter(F.col("cos_e6") >= int(threshold * 1_000_000))
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid of embeddings — a grouped array aggregation
     (posexplode + groupBy position), demonstrating vector aggregation

@@ -74,6 +74,7 @@ def extract_pages(
     df: DataFrame,
     salt: int = 42,
     num_partitions: Optional[int] = None,
+    oversize_bytes: Optional[int] = None,
 ) -> DataFrame:
     """The declarative extraction plan: project to (url, html) — column
     pruning reaches the scan — then the Arrow batch kernel.
@@ -81,8 +82,24 @@ def extract_pages(
     ``num_partitions`` triggers the salted url-hash repartition; leave
     None for shuffle-free operation when input splits are already
     balanced (the scan's own partitioning is reused — zero shuffles).
+
+    ``oversize_bytes`` enables two-tier routing (SURVEY.md §4.3
+    document-size skew): documents larger than the threshold go through
+    their own repartition so a handful of giant pages cannot straggle a
+    partition full of normal ones. Output is the union of both tiers —
+    row-for-row identical to the single-tier plan.
     """
     sel = df.select("url", "html")
+    if num_partitions and oversize_bytes:
+        key = F.xxhash64(F.col("url"), F.lit(salt))
+        size = F.coalesce(F.octet_length("html"), F.lit(0))  # null html -> small tier
+        small = sel.filter(size <= oversize_bytes).repartition(num_partitions, key)
+        big = sel.filter(size > oversize_bytes).repartition(
+            max(num_partitions // 4, 1), key
+        )
+        return small.mapInPandas(extract_kernel, EXTRACTED_SCHEMA).unionByName(
+            big.mapInPandas(extract_kernel, EXTRACTED_SCHEMA)
+        )
     if num_partitions:
         sel = sel.repartition(num_partitions, F.xxhash64(F.col("url"), F.lit(salt)))
     return sel.mapInPandas(extract_kernel, EXTRACTED_SCHEMA)
