@@ -302,3 +302,29 @@ def run_extract_job(
 def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
     """Read back a resumable run's output."""
     return spark.read.parquet(os.path.join(output_dir, "data"))
+
+
+def golden_compare(extracted: DataFrame, golden: DataFrame) -> DataFrame:
+    """Byte-identity audit of an extraction run against a golden table
+    ``(url, text)`` — the harness join from SURVEY.md §2.2: the golden
+    side is small, so it broadcasts; the extracted side never shuffles.
+
+    Returns per-url ``(url, match, got_sha, want_sha)`` where match is
+    sha256 equality of the UTF-8 text (null text -> null sha -> False
+    unless both null).
+    """
+    got = extracted.select(
+        "url", F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("got_sha")
+    )
+    want = golden.select(
+        "url", F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("want_sha")
+    )
+    return got.join(F.broadcast(want), "url", "left").select(
+        "url",
+        (
+            F.coalesce(F.col("got_sha") == F.col("want_sha"), F.lit(False))
+            | (F.col("got_sha").isNull() & F.col("want_sha").isNull())
+        ).alias("match"),
+        "got_sha",
+        "want_sha",
+    )
