@@ -69,20 +69,40 @@ def extract_document(data: bytes) -> dict[str, Any]:
         page = Page.from_bytes(data)
         if local_name(page.root.tag) != "PcGts":
             return {"text": None, "spans": None, "error": "not a PAGE-XML document"}
-        # one pass: id -> first matching direct TextRegion child of any Page
+        # one pass: id -> first matching direct TextRegion child of any Page,
+        # and the reading-order refs — no Region objects, no re-resolution
         region_index: dict[str, Any] = {}
+        refs: list[tuple[int, str]] = []
         for page_el in xw.children(page.root, "Page"):
-            for tr in xw.children(page_el, "TextRegion"):
-                rid = xw.attr(tr, "id")
-                if rid is not None and rid not in region_index:
-                    region_index[rid] = tr
+            for child in page_el:
+                ln = xw.local_name(child.tag)
+                if ln == "TextRegion":
+                    rid = xw.attr(child, "id")
+                    if rid is not None and rid not in region_index:
+                        region_index[rid] = child
+                elif ln == "ReadingOrder":
+                    for group in child:
+                        if xw.local_name(group.tag) is None:
+                            continue
+                        for node in group:
+                            if xw.local_name(node.tag) != "RegionRefIndexed":
+                                continue
+                            index_str = xw.attr(node, "index")
+                            ref = xw.attr(node, "regionRef")
+                            if index_str is None or ref is None:
+                                continue  # silent skip (page/page.go:144-146)
+                            try:
+                                refs.append((xw.parse_go_int(index_str), ref))
+                            except ValueError:
+                                continue
+        refs.sort(key=lambda r: r[0])  # stable, like sort.Slice by index
 
         parts: list[str] = []
         spans: list[dict[str, Any]] = []
         byte_off = 0
         char_off = 0
-        for region in page.regions():
-            node = region_index.get(region.id())
+        for index, rid in refs:
+            node = region_index.get(rid)
             if node is None:
                 continue  # dangling regionRef: reference yields ("", False)
             text, ok = _text_equiv_unicode_at(node, 0)
@@ -100,8 +120,8 @@ def extract_document(data: bytes) -> dict[str, Any]:
             n_chars = len(text)
             spans.append(
                 {
-                    "region_id": region.id(),
-                    "index": region.index,
+                    "region_id": rid,
+                    "index": index,
                     "byte_start": byte_off,
                     "byte_end": byte_off + n_bytes,
                     "char_start": char_off,

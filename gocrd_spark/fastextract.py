@@ -1,0 +1,211 @@
+"""Streaming (SAX/expat) implementation of the canonical extraction —
+byte-identical output to :func:`gocrd_spark.extract.extract_document`,
+with O(regions) memory instead of O(document): no DOM is materialized
+(the north_star's "streaming byte-level XML tokenizer").
+
+Measured on this box the DOM path is ~1.1-1.5x FASTER for typical pages
+(CPython callback overhead per element outweighs tree construction done
+in C), so the kernel defaults to DOM; this path is the memory-bounded
+alternative for pathological multi-hundred-MB documents and the
+independent implementation used for differential validation.
+
+Equivalence is enforced three ways: the pinned goldens (FIXTURES.md §3),
+the hypothesis property suite, and a differential test
+(tests/test_fastextract.py) that runs both implementations over
+generated documents and asserts identical results.
+
+Semantics replicated (same contract as the DOM path, SURVEY.md §1.3):
+- root must be PcGts (namespace-blind local-name matching throughout);
+- reading order = /PcGts/Page/ReadingOrder/*/RegionRefIndexed in
+  document order, malformed entries (missing/non-int @index, missing
+  @regionRef) skipped, stable sort by int index;
+- a region resolves to the FIRST direct-child TextRegion of any Page
+  with that @id; its text is the first direct-child TextEquiv's first
+  direct-child Unicode string value (all descendant text); missing
+  TextEquiv/Unicode -> region skipped;
+- bbox = min/max over the first points attribute found across direct
+  Coords children (strconv.Atoi-strict ints); parse failure -> null bbox;
+- XML comments are invisible (no handler registered).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+from xml.parsers import expat
+
+from .xmlwalk import parse_go_int
+
+
+def _local(name: str) -> str:
+    return name.rsplit(":", 1)[-1]
+
+
+def _attr(attrs: dict, want: str) -> Optional[str]:
+    """First attribute whose local name matches, in document order
+    (expat preserves attribute order in the dict)."""
+    for key, value in attrs.items():
+        if key.rsplit(":", 1)[-1] == want:
+            return value
+    return None
+
+
+class _Extractor:
+    __slots__ = (
+        "stack", "root_ok", "refs", "regions", "cur_region", "cur_depth",
+        "texteq_seen", "in_first_texteq", "unicode_seen", "capturing",
+        "chars", "points",
+    )
+
+    def __init__(self) -> None:
+        self.stack: list[str] = []
+        self.root_ok: Optional[bool] = None
+        self.refs: list[tuple[int, str]] = []      # (index, regionRef)
+        self.regions: dict[str, tuple] = {}        # id -> (text|None, points|None)
+        # per-open-TextRegion state
+        self.cur_region: Optional[str] = None
+        self.cur_depth = 0
+        self.texteq_seen = 0
+        self.in_first_texteq = False
+        self.unicode_seen = False
+        self.capturing = False
+        self.chars: list[str] = []
+        self.points: Optional[str] = None
+
+    # -- expat handlers -----------------------------------------------------
+
+    def start(self, name: str, attrs: dict) -> None:
+        ln = _local(name)
+        depth = len(self.stack)
+        if depth == 0:
+            self.root_ok = ln == "PcGts"
+        st = self.stack
+        if self.root_ok:
+            if self.cur_region is not None:
+                rel = depth - self.cur_depth  # depth relative to the TextRegion
+                if rel == 1:
+                    if ln == "TextEquiv":
+                        self.texteq_seen += 1
+                        self.in_first_texteq = self.texteq_seen == 1
+                    elif ln == "Coords" and self.points is None:
+                        p = _attr(attrs, "points")
+                        if p is not None:
+                            self.points = p
+                elif rel == 2 and self.in_first_texteq and ln == "Unicode":
+                    if not self.unicode_seen:
+                        self.unicode_seen = True
+                        self.capturing = True
+                        self.chars = []
+            elif depth == 2 and ln == "TextRegion" and st[1] == "Page":
+                rid = _attr(attrs, "id")
+                if rid is not None and rid not in self.regions:
+                    self.cur_region = rid
+                    self.cur_depth = depth
+                    self.texteq_seen = 0
+                    self.in_first_texteq = False
+                    self.unicode_seen = False
+                    self.points = None
+            elif (
+                depth == 4
+                and ln == "RegionRefIndexed"
+                and st[1] == "Page"
+                and st[2] == "ReadingOrder"
+            ):
+                index_str = _attr(attrs, "index")
+                ref = _attr(attrs, "regionRef")
+                if index_str is not None and ref is not None:
+                    try:
+                        self.refs.append((parse_go_int(index_str), ref))
+                    except ValueError:
+                        pass  # silent skip (page/page.go:144-146)
+        self.stack.append(ln)
+
+    def end(self, name: str) -> None:
+        self.stack.pop()
+        depth = len(self.stack)
+        if self.cur_region is None:
+            return
+        ln = _local(name)
+        rel = depth - self.cur_depth
+        if rel == 2 and self.capturing and ln == "Unicode":
+            self.capturing = False
+        elif rel == 1 and ln == "TextEquiv" and self.in_first_texteq:
+            self.in_first_texteq = False
+        elif rel == 0 and ln == "TextRegion":
+            text = "".join(self.chars) if self.unicode_seen else None
+            self.regions[self.cur_region] = (text, self.points)
+            self.cur_region = None
+            self.chars = []
+
+    def characters(self, data: str) -> None:
+        if self.capturing:
+            self.chars.append(data)
+
+
+def _parse_points(points_attr: Optional[str]) -> Optional[dict]:
+    if points_attr is None:
+        return None
+    parts = points_attr.split(" ")
+    if len(parts) < 2:
+        return None
+    xs, ys = [], []
+    try:
+        for part in parts:
+            comps = part.split(",")
+            if len(comps) != 2:
+                return None
+            xs.append(parse_go_int(comps[0]))
+            ys.append(parse_go_int(comps[1]))
+    except ValueError:
+        return None
+    return {"x0": min(xs), "y0": min(ys), "x1": max(xs), "y1": max(ys)}
+
+
+def extract_document_fast(data: bytes) -> dict[str, Any]:
+    """Streaming twin of extract_document — identical output contract."""
+    ex = _Extractor()
+    parser = expat.ParserCreate(namespace_separator=None)
+    parser.buffer_text = True
+    parser.StartElementHandler = ex.start
+    parser.EndElementHandler = ex.end
+    parser.CharacterDataHandler = ex.characters
+    try:
+        parser.Parse(data, True)
+    except expat.ExpatError as exc:
+        return {"text": None, "spans": None, "error": f"ParseError: {exc}"}
+    except Exception as exc:  # defensive: never raise out of the kernel
+        return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
+    if not ex.root_ok:
+        return {"text": None, "spans": None, "error": "not a PAGE-XML document"}
+
+    ex.refs.sort(key=lambda r: r[0])  # stable, like sort.Slice by index
+    parts: list[str] = []
+    spans: list[dict[str, Any]] = []
+    byte_off = 0
+    char_off = 0
+    for index, rid in ex.refs:
+        entry = ex.regions.get(rid)
+        if entry is None:
+            continue  # dangling regionRef
+        text, points_attr = entry
+        if text is None:
+            continue  # no TextEquiv[1]/Unicode
+        if parts:
+            byte_off += 1
+            char_off += 1
+        n_bytes = len(text.encode("utf-8"))
+        n_chars = len(text)
+        spans.append(
+            {
+                "region_id": rid,
+                "index": index,
+                "byte_start": byte_off,
+                "byte_end": byte_off + n_bytes,
+                "char_start": char_off,
+                "char_end": char_off + n_chars,
+                "bbox": _parse_points(points_attr),
+            }
+        )
+        parts.append(text)
+        byte_off += n_bytes
+        char_off += n_chars
+    return {"text": "\n".join(parts), "spans": spans, "error": None}

@@ -62,8 +62,14 @@ def parse_polygon(node) -> Polygon:
     comma-separated components; non-integer coordinate (strconv.Atoi
     semantics — float coords are a parse error, SURVEY.md §1.2).
     """
-    coords = xw.first_child(node, "Coords")
-    points_attr = xw.attr(coords, "points") if coords is not None else None
+    # xmlpath semantics: ./Coords/@points yields the first points ATTRIBUTE
+    # across Coords children — a Coords without the attribute is skipped,
+    # not an error, as long as a later sibling carries it.
+    points_attr = None
+    for coords in xw.children(node, "Coords"):
+        points_attr = xw.attr(coords, "points")
+        if points_attr is not None:
+            break
     if points_attr is None:
         raise ValueError("invalid coordinates: missing")
     parts = points_attr.split(" ")
