@@ -2,22 +2,31 @@
 
 Measures:
 1. headline extraction throughput (docs/sec) on a synthesized pages
-   table at two parallelism levels — local[N/4] vs local[N] — as the
+   table at two parallelism levels — local[N] vs local[4N] — the
    sandbox proxy for the north rule's N -> 4N executor scaling
    (BASELINE.md: efficiency = (thr_hi / thr_lo) / 4, target >= 0.8);
 2. per-query wall seconds for every __spark_entry__.queries() entry at
    $SPARK_GRAFT_SF_DIR.
 
+Isolation: every measured master runs in its OWN subprocess — pyspark
+reuses one JVM per process across sessions, so in-process re-builds
+accumulate heap/GC pressure and understate later measurements (observed
+2x swings at local[32]).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 100000).
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 100000),
+     SPARK_GRAFT_SCALE_LOW (default 2).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _noop_write(df) -> None:
@@ -29,82 +38,51 @@ def _bench_pages_path(n_docs: int) -> str:
     return os.path.join("/tmp", "gocrd_pages_cache", f"bench_{n_docs}")
 
 
-def _ensure_bench_pages(spark, n_docs: int) -> str:
+# ---------------------------------------------------------------------------
+# subprocess phases (invoked as: python bench.py --phase <name> ...)
+# ---------------------------------------------------------------------------
+
+def phase_prep(n_docs: int, cpus: int) -> None:
     from gocrd_spark import datagen
+    from gocrd_spark.session import get_spark
 
     path = _bench_pages_path(n_docs)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # 128 files so scan parallelism never caps below any tested core
-        # count (at crawl scale the table has thousands of splits anyway)
+        spark = get_spark(master=f"local[{cpus}]", app_name="bench-prep")
+        # 128 files so scan parallelism never caps below any tested core count
         datagen.write_pages(spark, n_docs, path, num_partitions=128)
-    return path
+        spark.stop()
+    print(json.dumps({"path": path}))
 
 
-def _time_extraction(spark, path: str, cores: int, repeats: int = 3) -> float:
-    """Best-of-N wall time of the full extraction plan: scan -> salted
-    url-hash repartition -> kernel (the north-rule hot path)."""
+def phase_extract(master: str, path: str, cores: int, repeats: int) -> None:
     from gocrd_spark.pipeline import extract_pages
+    from gocrd_spark.session import get_spark
 
+    spark = get_spark(master=master, app_name=f"bench-{cores}")
+    # warmup: pay codegen + python worker spawn before timing
+    warm = spark.range(0, 256, 1, 8).selectExpr(
+        "cast(id as string) as url", "cast(null as binary) as html"
+    )
+    _noop_write(extract_pages(warm))
     best = float("inf")
     for _ in range(repeats):
         df = extract_pages(spark.read.parquet(path), num_partitions=cores * 4)
         t0 = time.time()
         _noop_write(df)
         best = min(best, time.time() - t0)
-    return best
+    spark.stop()
+    print(json.dumps({"sec": best}))
 
 
-def _warmup(spark) -> None:
-    """Pay JVM codegen + Python-worker spawn before any timed run."""
-    from gocrd_spark.pipeline import extract_pages
-
-    df = spark.range(0, 256, 1, 8).selectExpr(
-        "cast(id as string) as url", "cast(null as binary) as html"
-    )
-    _noop_write(extract_pages(df))
-
-
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-    # N -> 4N scaling pair. Default 2 -> 8: measured per-process scaling of
-    # the XML-parse workload on this box is ~1.00 from 2 to 8 workers but
-    # only ~0.6 from 8 to 32 (memory-bandwidth ceiling — see BENCH.md), so
-    # 2 -> 8 is the pair where the *engine's* scaling is observable.
-    scale_low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
-    scale_high = 4 * scale_low
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+def phase_queries(cpus: int, sf_dir: str) -> None:
+    sys.path.insert(0, REPO)
     import __spark_entry__ as entry
     from gocrd_spark.session import get_spark
 
-    # ---- phase 0: materialize the bench table at full parallelism ----
-    spark = get_spark(master=f"local[{cpus}]", app_name="bench-prep")
-    pages_path = _ensure_bench_pages(spark, n_docs)
-    spark.stop()
-
-    # ---- phase 1: N vs 4N scaling, then full-width throughput ----
-    times: dict[int, float] = {}
-    for cores, reps in ((scale_low, 2), (scale_high, 3)):
-        spark = get_spark(master=f"local[{cores}]", app_name=f"bench-{cores}")
-        _warmup(spark)
-        times[cores] = _time_extraction(spark, pages_path, cores, repeats=reps)
-        spark.stop()
-
-    spark = get_spark(master=f"local[{cpus}]", app_name="bench-full")
-    _warmup(spark)
-    times[cpus] = _time_extraction(spark, pages_path, cpus)
-
-    thr = {c: n_docs / t for c, t in times.items()}
-    scaling_eff = (thr[scale_high] / thr[scale_low]) / (scale_high / scale_low)
-    t_high = times[cpus]
-
-    # ---- phase 2: per-query timings at full parallelism ----
-    queries = entry.queries()
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench-queries")
     per_query: dict[str, float] = {}
-    for name, fn in queries.items():
+    for name, fn in entry.queries().items():
         t0 = time.time()
         try:
             _noop_write(fn(spark, sf_dir))
@@ -113,10 +91,73 @@ def main() -> int:
             per_query[name] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
     spark.stop()
+    print(json.dumps({"queries": per_query}))
 
+
+def _run_phase(args: list[str]) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")] + args,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=False,
+    )
+    last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not last:
+        sys.stderr.write(proc.stderr[-2000:])
+        raise RuntimeError(f"phase {args} failed")
+    return json.loads(last[-1])
+
+
+def main() -> int:
+    if "--phase" in sys.argv:
+        i = sys.argv.index("--phase")
+        phase = sys.argv[i + 1]
+        kv = dict(a.split("=", 1) for a in sys.argv[i + 2 :])
+        if phase == "prep":
+            phase_prep(int(kv["n_docs"]), int(kv["cpus"]))
+        elif phase == "extract":
+            phase_extract(kv["master"], kv["path"], int(kv["cores"]), int(kv["repeats"]))
+        elif phase == "queries":
+            phase_queries(int(kv["cpus"]), kv["sf_dir"])
+        return 0
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    # N -> 4N pair. Default 2 -> 8: per-process scaling of the XML-parse
+    # workload on this box is ~1.0 from 2 to 8 workers but memory-bandwidth
+    # bound past ~16 (BENCH.md control data), so 2 -> 8 is the pair where
+    # the engine's scaling is observable.
+    scale_low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+    scale_high = 4 * scale_low
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    path = _run_phase(["--phase", "prep", f"n_docs={n_docs}", f"cpus={cpus}"])["path"]
+    # Scaling pair: this VM sees hypervisor CPU steal (observed 25% in top),
+    # so a single measurement window per width is biased by whichever width
+    # catches a contention burst. Interleave the pair (low,high,low,high)
+    # and take best-of per width across windows (BENCH.md).
+    times: dict[int, float] = {}
+    for cores in (scale_low, scale_high, scale_low, scale_high):
+        sec = _run_phase(
+            ["--phase", "extract", f"master=local[{cores}]", f"path={path}",
+             f"cores={cores}", "repeats=2"]
+        )["sec"]
+        times[cores] = min(times.get(cores, float("inf")), sec)
+    times[cpus] = _run_phase(
+        ["--phase", "extract", f"master=local[{cpus}]", f"path={path}",
+         f"cores={cpus}", "repeats=4"]
+    )["sec"]
+    per_query = _run_phase(["--phase", "queries", f"cpus={cpus}", f"sf_dir={sf_dir}"])[
+        "queries"
+    ]
+
+    thr = {c: n_docs / t for c, t in times.items()}
+    scaling_eff = (thr[scale_high] / thr[scale_low]) / (scale_high / scale_low)
     result = {
         "metric": "extraction_wall_sec",
-        "value": round(t_high, 3),
+        "value": round(times[cpus], 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,

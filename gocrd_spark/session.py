@@ -32,6 +32,10 @@ def get_spark(
       ones at runtime — the salted url-hash shuffle benefits directly.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # shuffle/spill to tmpfs when available: this VM's root disk is slow and
+    # the salted-repartition shuffle is I/O-bound through it (a real cluster
+    # would use local NVMe); /dev/shm holds the whole working set here
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
@@ -46,6 +50,8 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
