@@ -120,6 +120,30 @@ def synth_page_xml(rng: random.Random) -> bytes:
     return doc.encode("utf-8")
 
 
+def synth_html_doc(rng: random.Random) -> bytes:
+    """Synthetic HTML page: nav/header/footer boilerplate around a main
+    article — exercises the boilerplate-strip path (htmlextract)."""
+    nav_links = " ".join(
+        f'<a href="/{w}">{w}</a>' for w in rng.sample(WORDS, 6)
+    )
+    paras = []
+    for _ in range(rng.randint(2, 6)):
+        words = [rng.choice(WORDS) for _ in range(rng.randint(15, 40))]
+        paras.append(f"<p>{' '.join(words)}</p>")
+    title_words = " ".join(rng.choice(WORDS) for _ in range(4))
+    doc = (
+        "<!DOCTYPE html>\n<html><head><title>t</title>"
+        "<script>var x = 'never extracted';</script>"
+        "<style>.a{color:red}</style></head>\n<body>"
+        f'<header><nav>{nav_links}</nav></header>'
+        f"<article><h1>{title_words}</h1>\n" + "\n".join(paras) + "</article>"
+        f'<aside>{" ".join(rng.sample(WORDS, 8))}</aside>'
+        f"<footer>{nav_links}</footer>"
+        "</body></html>\n"
+    )
+    return doc.encode("utf-8")
+
+
 def synth_mets_xml(rng: random.Random) -> bytes:
     """Synthetic METS manifest with namespaced elements + a commented file."""
     groups = []
@@ -174,6 +198,9 @@ def make_row(doc_id: int) -> dict:
     elif doc_id % 10 == 7:  # METS manifest
         html = synth_mets_xml(rng)
         lang = "la"
+    elif doc_id % 10 == 3:  # plain HTML page (boilerplate-strip path)
+        html = synth_html_doc(rng)
+        lang = ("de", "en", "la")[doc_id % 3]
     else:
         html = synth_page_xml(rng)
         lang = ("de", "en", "la")[doc_id % 3]

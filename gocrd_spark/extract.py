@@ -25,6 +25,7 @@ tested without Spark and executed inside Arrow batches on executors.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional
 
 from . import xmlwalk as xw
@@ -69,11 +70,19 @@ def extract_document(data: bytes) -> dict[str, Any]:
         page = Page.from_bytes(data)
         if local_name(page.root.tag) != "PcGts":
             return {"text": None, "spans": None, "error": "not a PAGE-XML document"}
+        return _extract_page_root(page.root)
+    except Exception as exc:  # malformed XML etc.
+        return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
+
+
+def _extract_page_root(root) -> dict[str, Any]:
+    """Extraction over an already-parsed PcGts root (single pass)."""
+    try:
         # one pass: id -> first matching direct TextRegion child of any Page,
         # and the reading-order refs — no Region objects, no re-resolution
         region_index: dict[str, Any] = {}
         refs: list[tuple[int, str]] = []
-        for page_el in xw.children(page.root, "Page"):
+        for page_el in xw.children(root, "Page"):
             for child in page_el:
                 ln = xw.local_name(child.tag)
                 if ln == "TextRegion":
@@ -139,6 +148,48 @@ def extract_document(data: bytes) -> dict[str, Any]:
         return {"text": "\n".join(parts), "spans": spans, "error": None}
     except Exception as exc:  # malformed XML etc.
         return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
+
+
+_HTML_HEAD_RE = re.compile(rb"<\s*(?:!doctype\s+html|html)[\s>]", re.IGNORECASE)
+
+
+def extract_any_document(data: bytes) -> dict[str, Any]:
+    """Document-kind routing for Common-Crawl-style ``html: binary``
+    payloads — one output contract for every kind:
+
+    - PAGE-XML (PcGts root)  -> reading-order extraction (gocrd semantics)
+    - HTML (doctype/<html>, or any non-PcGts XML) -> boilerplate-strip
+      main-content extraction (htmlextract, DOM heuristics)
+    - METS manifests          -> error row (manifests carry no page text;
+      query them via pipeline.mets_files)
+    - unparseable bytes       -> error row
+
+    The sniff is one cheap regex over the head plus at most one XML
+    parse, which is then REUSED for PAGE-XML extraction (no re-parse on
+    the majority path).
+    """
+    head = data[:4096] if data else b""
+    if _HTML_HEAD_RE.search(head):
+        from .htmlextract import extract_html
+
+        return extract_html(data)
+    try:
+        root = parse_bytes(data)
+    except Exception as exc:
+        return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
+    ln = local_name(root.tag)
+    if ln == "PcGts":
+        return _extract_page_root(root)
+    if ln == "mets":
+        return {
+            "text": None,
+            "spans": None,
+            "error": "METS manifest (no page text; use mets_files)",
+        }
+    # other XML (incl. XHTML without doctype): tolerant HTML heuristics
+    from .htmlextract import extract_html
+
+    return extract_html(data)
 
 
 def mets_records(

@@ -1,0 +1,171 @@
+"""HTML main-content extraction: boilerplate strip via DOM heuristics.
+
+The north rule's general tier ("HTML boilerplate strip, PDF/layout
+parse, DOM heuristics") applied to Common-Crawl-style payloads that are
+plain HTML rather than PAGE-XML. Pure Python (stdlib ``html.parser`` —
+tolerant of real-world malformed HTML), same shape as the PAGE-XML
+kernel: ``extract_html(data) -> {text, spans, error}`` with byte/char
+span offsets per kept block, so one output schema serves both document
+kinds (routing in extract.extract_any_document).
+
+Heuristics (classic text-density boilerplate stripping):
+- pruned subtrees: script/style/noscript/template/head/nav/footer/
+  header/aside/form/iframe/svg/button/select — never contribute text;
+- block segmentation on block-level tags (p, div, h1-h6, li, td, ...);
+- a block is CONTENT if its text is long enough (>= min_len chars after
+  whitespace collapse) and its link density (chars inside <a> / total
+  chars) is <= max_link_density; headings get a lower length bar;
+- kept blocks joined by '\n' in document order; spans carry the block
+  tag, offsets and link density (fixed-point e6).
+
+Determinism: pure function of the bytes; no models, no randomness.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Any, Optional
+
+PRUNE_TAGS = frozenset(
+    "script style noscript template head nav footer header aside form "
+    "iframe svg button select option".split()
+)
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li td th blockquote pre article section "
+    "main figcaption dd dt table tr ul ol body".split()
+)
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+VOID_BLOCK_TAGS = frozenset(("br", "hr"))
+
+DEFAULT_MIN_LEN = 25
+DEFAULT_HEADING_MIN_LEN = 8
+DEFAULT_MAX_LINK_DENSITY = 0.4
+
+
+class _Block:
+    __slots__ = ("tag", "chars", "link_chars")
+
+    def __init__(self, tag: str) -> None:
+        self.tag = tag
+        self.chars: list[str] = []
+        self.link_chars = 0
+
+
+class _MainContentParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._current: Optional[_Block] = None
+        self._prune_depth = 0
+        self._link_depth = 0
+
+    # -- structure ----------------------------------------------------------
+
+    def _open_block(self, tag: str) -> None:
+        self._current = _Block(tag)
+        self.blocks.append(self._current)
+
+    def _close_block(self) -> None:
+        self._current = None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in PRUNE_TAGS:
+            self._prune_depth += 1
+            return
+        if self._prune_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in VOID_BLOCK_TAGS:
+            self._close_block()
+        elif tag in BLOCK_TAGS:
+            self._open_block(tag)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if self._prune_depth:
+            return
+        if tag in VOID_BLOCK_TAGS:
+            self._close_block()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in PRUNE_TAGS:
+            self._prune_depth = max(0, self._prune_depth - 1)
+            return
+        if self._prune_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._close_block()
+
+    def handle_data(self, data: str) -> None:
+        if self._prune_depth or not data:
+            return
+        if self._current is None:
+            self._open_block("div")  # top-level stray text
+        self._current.chars.append(data)
+        if self._link_depth:
+            self._current.link_chars += len(data)
+
+
+def _normalize(text: str) -> str:
+    return " ".join(text.split())
+
+
+def extract_html(
+    data: bytes,
+    min_len: int = DEFAULT_MIN_LEN,
+    heading_min_len: int = DEFAULT_HEADING_MIN_LEN,
+    max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+) -> dict[str, Any]:
+    """bytes -> {'text', 'spans', 'error'} — same contract as
+    extract_document; span region_id is 'b<i>' (document-order block
+    ordinal of kept blocks' source position)."""
+    try:
+        try:
+            raw = data.decode("utf-8")
+        except UnicodeDecodeError:
+            raw = data.decode("utf-8", errors="replace")
+        parser = _MainContentParser()
+        parser.feed(raw)
+        parser.close()
+
+        parts: list[str] = []
+        spans: list[dict[str, Any]] = []
+        byte_off = 0
+        char_off = 0
+        for i, block in enumerate(parser.blocks):
+            total = sum(len(c) for c in block.chars)
+            if total == 0:
+                continue
+            text = _normalize("".join(block.chars))
+            if not text:
+                continue
+            bar = heading_min_len if block.tag in HEADING_TAGS else min_len
+            if len(text) < bar:
+                continue
+            link_density = block.link_chars / total
+            if link_density > max_link_density:
+                continue
+            if parts:
+                byte_off += 1
+                char_off += 1
+            n_bytes = len(text.encode("utf-8"))
+            n_chars = len(text)
+            spans.append(
+                {
+                    "region_id": f"b{i}",
+                    "index": i,
+                    "byte_start": byte_off,
+                    "byte_end": byte_off + n_bytes,
+                    "char_start": char_off,
+                    "char_end": char_off + n_chars,
+                    "bbox": None,  # HTML has no layout geometry
+                }
+            )
+            parts.append(text)
+            byte_off += n_bytes
+            char_off += n_chars
+        return {"text": "\n".join(parts), "spans": spans, "error": None}
+    except Exception as exc:
+        return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}

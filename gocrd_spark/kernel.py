@@ -23,7 +23,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .extract import extract_document, mets_records
+from .extract import extract_any_document, mets_records
 
 BBOX_TYPE = StructType(
     [
@@ -67,10 +67,13 @@ METS_FILES_SCHEMA = StructType(
 
 
 def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One Arrow batch of (url, html) -> (url, text, spans, error)."""
+    """One Arrow batch of (url, html) -> (url, text, spans, error).
+
+    Routes per document kind (PAGE-XML reading-order walk, HTML
+    boilerplate strip, METS -> error row; extract.extract_any_document)."""
     out = {"url": [], "text": [], "spans": [], "error": []}
     for url, html in zip(pdf["url"], pdf["html"]):
-        result = extract_document(bytes(html) if html is not None else b"")
+        result = extract_any_document(bytes(html) if html is not None else b"")
         out["url"].append(url)
         out["text"].append(result["text"])
         out["spans"].append(result["spans"])

@@ -1,0 +1,148 @@
+"""HTML boilerplate-strip extractor + document-kind routing + PDF stub."""
+
+from gocrd_spark.extract import extract_any_document, extract_document
+from gocrd_spark.htmlextract import extract_html
+from gocrd_spark.pdfextract import extract_pdf, parse_pdf_layout
+
+ARTICLE = b"""<!DOCTYPE html>
+<html><head><title>t</title>
+<script>var hidden = "never extracted";</script>
+<style>.x{color:red}</style>
+</head><body>
+<header><nav><a href="/a">home</a> <a href="/b">about</a> <a href="/c">contact us</a></nav></header>
+<article>
+<h1>The Actual Headline</h1>
+<p>This is the first paragraph of the main article content, long enough to pass the length bar easily.</p>
+<p>A second paragraph with more real content that a reader actually came to this page to read today.</p>
+<p>short</p>
+</article>
+<aside>related links sidebar junk</aside>
+<div><a href="/x">one link</a> <a href="/y">another link</a> <a href="/z">third link here padding</a></div>
+<footer>copyright boilerplate footer text that is quite long but inside footer</footer>
+</body></html>"""
+
+
+class TestHtmlExtract:
+    def test_boilerplate_stripped(self):
+        result = extract_html(ARTICLE)
+        assert result["error"] is None
+        text = result["text"]
+        assert "first paragraph of the main article" in text
+        assert "second paragraph with more real content" in text
+        assert "The Actual Headline" in text
+        # pruned subtrees and heuristic rejections
+        assert "never extracted" not in text
+        assert "color:red" not in text
+        assert "home" not in text  # nav
+        assert "sidebar junk" not in text  # aside
+        assert "copyright" not in text  # footer
+        assert "another link" not in text  # link-dense div
+        assert "short" not in text  # below length bar
+
+    def test_span_offsets_reconstruct(self):
+        result = extract_html(ARTICLE)
+        text, raw = result["text"], result["text"].encode("utf-8")
+        for s in result["spans"]:
+            assert (
+                raw[s["byte_start"] : s["byte_end"]].decode("utf-8")
+                == text[s["char_start"] : s["char_end"]]
+            )
+        assert [s["region_id"] for s in result["spans"]] == sorted(
+            [s["region_id"] for s in result["spans"]], key=lambda r: int(r[1:])
+        )
+
+    def test_malformed_html_tolerated(self):
+        # unclosed tags, stray brackets — html.parser must not raise
+        result = extract_html(
+            b"<html><body><p>Broken but long enough paragraph text to keep here"
+            b"<div>another block of sufficiently long content without closing"
+        )
+        assert result["error"] is None
+        assert "Broken but long enough" in result["text"]
+
+    def test_entities_and_unicode(self):
+        result = extract_html(
+            "<html><body><p>café &amp; résumé — a sentence long "
+            "enough to be kept in output</p></body></html>".encode()
+        )
+        assert "café & résumé" in result["text"]
+
+    def test_whitespace_collapsed(self):
+        result = extract_html(
+            b"<html><body><p>many     spaces\n\tand newlines inside a paragraph "
+            b"long enough to keep</p></body></html>"
+        )
+        assert "many spaces and newlines" in result["text"]
+
+
+class TestRouting:
+    def test_page_xml_routes_to_gocrd_kernel(self):
+        import os
+
+        kant = os.path.join(
+            os.path.dirname(__file__), "fixtures", "kant_aufklaerung_1784_0020.xml"
+        )
+        with open(kant, "rb") as fh:
+            data = fh.read()
+        assert extract_any_document(data) == extract_document(data)
+
+    def test_html_routes_to_boilerplate_strip(self):
+        assert extract_any_document(ARTICLE) == extract_html(ARTICLE)
+
+    def test_mets_routes_to_error(self):
+        import os
+
+        mets = os.path.join(os.path.dirname(__file__), "fixtures", "mets.xml")
+        with open(mets, "rb") as fh:
+            result = extract_any_document(fh.read())
+        assert result["text"] is None and "METS manifest" in result["error"]
+
+    def test_garbage_routes_to_error(self):
+        result = extract_any_document(b"\x00\x01 garbage bytes")
+        assert result["text"] is None and result["error"]
+
+    def test_xhtml_without_doctype(self):
+        data = (
+            b'<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/xhtml">'
+            b"<body><p>an xhtml paragraph that is long enough to keep around here"
+            b"</p></body></html>"
+        )
+        result = extract_any_document(data)
+        assert result["error"] is None
+        assert "xhtml paragraph" in result["text"]
+
+
+class TestPdfStub:
+    def test_raises_without_fake(self):
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            parse_pdf_layout(b"%PDF-1.4 ...")
+
+    def test_fake_layout_deterministic(self):
+        a = extract_pdf(b"%PDF-1.4 payload", fake=True)
+        b = extract_pdf(b"%PDF-1.4 payload", fake=True)
+        assert a == b and a["error"] is None
+        assert a["spans"] and a["spans"][0]["bbox"] is not None
+        # offsets reconstruct
+        raw = a["text"].encode()
+        for s in a["spans"]:
+            assert raw[s["byte_start"] : s["byte_end"]].decode() == a["text"][
+                s["char_start"] : s["char_end"]
+            ]
+
+    def test_stub_error_row_without_fake(self):
+        result = extract_pdf(b"%PDF", fake=False)
+        assert result["text"] is None and "NotImplementedError" in result["error"]
+
+
+class TestDatagenHtmlRows:
+    def test_html_rows_extracted(self):
+        from gocrd_spark import datagen
+
+        row = datagen.make_row(3)  # doc_id % 10 == 3 -> HTML
+        assert row["html"].startswith(b"<!DOCTYPE html>")
+        result = extract_any_document(row["html"])
+        assert result["error"] is None
+        assert len(result["text"]) > 100
+        assert "never extracted" not in result["text"]

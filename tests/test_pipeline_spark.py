@@ -8,7 +8,7 @@ import os
 import pytest
 
 from gocrd_spark import datagen
-from gocrd_spark.extract import extract_document, mets_records
+from gocrd_spark.extract import extract_any_document, mets_records
 from gocrd_spark.pipeline import (
     committed_groups,
     extract_pages,
@@ -52,7 +52,7 @@ def test_spark_matches_pure_python_kernel(spark, pages):
     assert len(got) == N_DOCS
     for i in range(N_DOCS):
         row = datagen.make_row(i)
-        expected = extract_document(row["html"])
+        expected = extract_any_document(row["html"])
         actual = got[row["url"]]
         assert actual.text == expected["text"], row["url"]
         assert actual.error == expected["error"] or (

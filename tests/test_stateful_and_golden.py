@@ -44,7 +44,7 @@ class TestStatefulSessionize:
 class TestGoldenCompare:
     def test_audit_join(self, spark):
         from gocrd_spark import datagen
-        from gocrd_spark.extract import extract_document
+        from gocrd_spark.extract import extract_any_document
         from gocrd_spark.pipeline import extract_pages, golden_compare
 
         pages = spark.createDataFrame(
@@ -55,7 +55,7 @@ class TestGoldenCompare:
         for i in range(50):
             row = datagen.make_row(i)
             golden_rows.append(
-                {"url": row["url"], "text": extract_document(row["html"])["text"]}
+                {"url": row["url"], "text": extract_any_document(row["html"])["text"]}
             )
         golden = spark.createDataFrame(golden_rows, schema="url string, text string")
         audit = golden_compare(extracted, golden)
