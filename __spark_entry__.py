@@ -257,6 +257,34 @@ def _q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions: parse events.props (a JSON object) and
+    aggregate the extracted field per event_type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: per-day event stats (day as epoch seconds)."""
+    ev = _events(spark, sf_dir)
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+    return ev.groupBy(day.alias("day_epoch")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value") * 1_000_000).cast("long").alias("avg_value_e6"),
+    )
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregate over lineitem (partial-agg/codegen showcase)."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -337,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "user_sessions": _q_user_sessions,
         "top_users": _q_top_users,
+        "props_json_stats": _q_props_json,
+        "daily_event_stats": _q_daily_stats,
         # relational showcase (broadcast-dim + fact-fact + semi joins)
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -531,6 +561,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY user_id
             ORDER BY total_value_e6 DESC, user_id ASC LIMIT 10
+        """,
+        "props_json_stats": """
+            WITH t AS (
+              SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT event_type,
+                   count(k) AS n_with_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k
+            FROM t GROUP BY event_type
+        """,
+        "daily_event_stats": """
+            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(round(avg(value) * 1000000) AS BIGINT) AS avg_value_e6
+            FROM events GROUP BY 1
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
