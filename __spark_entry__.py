@@ -37,7 +37,7 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark import datagen
 
     n_docs = max(int(_sf_of(sf_dir) * 100_000), 10)
-    key = f"sf_{n_docs}"
+    key = f"v{datagen.DATAGEN_VERSION}_sf_{n_docs}"
     if key not in _PAGES_CACHE:
         path = os.path.join("/tmp", "gocrd_pages_cache", key)
         marker = os.path.join(path, "_SUCCESS")

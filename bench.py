@@ -35,7 +35,11 @@ def _noop_write(df) -> None:
 
 
 def _bench_pages_path(n_docs: int) -> str:
-    return os.path.join("/tmp", "gocrd_pages_cache", f"bench_{n_docs}")
+    from gocrd_spark.datagen import DATAGEN_VERSION
+
+    return os.path.join(
+        "/tmp", "gocrd_pages_cache", f"bench_v{DATAGEN_VERSION}_{n_docs}"
+    )
 
 
 # ---------------------------------------------------------------------------
