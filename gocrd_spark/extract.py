@@ -32,13 +32,15 @@ from . import xmlwalk as xw
 from .mets import Match as MetsMatch
 from .mets import Mets
 from .page import Page, Rect, _text_equiv_unicode_at, parse_polygon
+from .spans import assemble
 from .xmlwalk import local_name, parse_bytes
 
 
 def sniff_kind(data: bytes) -> str:
     """Classify a document payload by its root element local name:
-    'page' (PcGts), 'mets', or 'other'. Cheap byte-level pre-check first
-    so obviously-non-XML payloads don't pay a parse."""
+    'page' (PcGts), 'mets', or 'other'. Pays one XML parse; for
+    parse-free routing on the hot path use extract_any_document, which
+    sniffs HTML from the head bytes and reuses its single parse."""
     try:
         root = parse_bytes(data)
     except Exception:
@@ -106,46 +108,29 @@ def _extract_page_root(root) -> dict[str, Any]:
                                 continue
         refs.sort(key=lambda r: r[0])  # stable, like sort.Slice by index
 
-        parts: list[str] = []
-        spans: list[dict[str, Any]] = []
-        byte_off = 0
-        char_off = 0
-        for index, rid in refs:
-            node = region_index.get(rid)
-            if node is None:
-                continue  # dangling regionRef: reference yields ("", False)
-            text, ok = _text_equiv_unicode_at(node, 0)
-            if not ok:
-                continue  # no TextEquiv/Unicode
-            bbox: Optional[Rect] = None
-            try:
-                bbox = parse_polygon(node).rectangle()
-            except ValueError:
-                bbox = None
-            if parts:  # '\n' separator: 1 byte, 1 char
-                byte_off += 1
-                char_off += 1
-            n_bytes = len(text.encode("utf-8"))
-            n_chars = len(text)
-            spans.append(
-                {
-                    "region_id": rid,
-                    "index": index,
-                    "byte_start": byte_off,
-                    "byte_end": byte_off + n_bytes,
-                    "char_start": char_off,
-                    "char_end": char_off + n_chars,
-                    "bbox": (
-                        {"x0": bbox.x0, "y0": bbox.y0, "x1": bbox.x1, "y1": bbox.y1}
-                        if bbox is not None
-                        else None
-                    ),
-                }
-            )
-            parts.append(text)
-            byte_off += n_bytes
-            char_off += n_chars
-        return {"text": "\n".join(parts), "spans": spans, "error": None}
+        def blocks():
+            for index, rid in refs:
+                node = region_index.get(rid)
+                if node is None:
+                    continue  # dangling regionRef: reference yields ("", False)
+                text, ok = _text_equiv_unicode_at(node, 0)
+                if not ok:
+                    continue  # no TextEquiv/Unicode
+                bbox: Optional[Rect] = None
+                try:
+                    bbox = parse_polygon(node).rectangle()
+                except ValueError:
+                    bbox = None
+                yield (
+                    rid,
+                    index,
+                    text,
+                    {"x0": bbox.x0, "y0": bbox.y0, "x1": bbox.x1, "y1": bbox.y1}
+                    if bbox is not None
+                    else None,
+                )
+
+        return assemble(blocks())
     except Exception as exc:  # malformed XML etc.
         return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 from typing import Any, Optional
 from xml.parsers import expat
 
+from .spans import assemble
 from .xmlwalk import parse_go_int
 
 
@@ -178,34 +179,15 @@ def extract_document_fast(data: bytes) -> dict[str, Any]:
         return {"text": None, "spans": None, "error": "not a PAGE-XML document"}
 
     ex.refs.sort(key=lambda r: r[0])  # stable, like sort.Slice by index
-    parts: list[str] = []
-    spans: list[dict[str, Any]] = []
-    byte_off = 0
-    char_off = 0
-    for index, rid in ex.refs:
-        entry = ex.regions.get(rid)
-        if entry is None:
-            continue  # dangling regionRef
-        text, points_attr = entry
-        if text is None:
-            continue  # no TextEquiv[1]/Unicode
-        if parts:
-            byte_off += 1
-            char_off += 1
-        n_bytes = len(text.encode("utf-8"))
-        n_chars = len(text)
-        spans.append(
-            {
-                "region_id": rid,
-                "index": index,
-                "byte_start": byte_off,
-                "byte_end": byte_off + n_bytes,
-                "char_start": char_off,
-                "char_end": char_off + n_chars,
-                "bbox": _parse_points(points_attr),
-            }
-        )
-        parts.append(text)
-        byte_off += n_bytes
-        char_off += n_chars
-    return {"text": "\n".join(parts), "spans": spans, "error": None}
+
+    def blocks():
+        for index, rid in ex.refs:
+            entry = ex.regions.get(rid)
+            if entry is None:
+                continue  # dangling regionRef
+            text, points_attr = entry
+            if text is None:
+                continue  # no TextEquiv[1]/Unicode
+            yield rid, index, text, _parse_points(points_attr)
+
+    return assemble(blocks())

@@ -26,6 +26,8 @@ from __future__ import annotations
 from html.parser import HTMLParser
 from typing import Any, Optional
 
+from .spans import assemble
+
 PRUNE_TAGS = frozenset(
     "script style noscript template head nav footer header aside form "
     "iframe svg button select option".split()
@@ -56,7 +58,7 @@ class _MainContentParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = []
         self._current: Optional[_Block] = None
-        self._prune_depth = 0
+        self._prune_stack: list[str] = []
         self._link_depth = 0
 
     # -- structure ----------------------------------------------------------
@@ -68,11 +70,20 @@ class _MainContentParser(HTMLParser):
     def _close_block(self) -> None:
         self._current = None
 
+    def _implied_head_close(self, tag: str) -> None:
+        """HTML5 allows omitting </head> (and </body>): <body> or any
+        block-level start implies the head is closed. Without this, a
+        real-world page that never closes <head> (common: minifiers drop
+        it) would keep the prune on and extract to empty text."""
+        if "head" in self._prune_stack and (tag == "body" or tag in BLOCK_TAGS):
+            self._prune_stack = [t for t in self._prune_stack if t != "head"]
+
     def handle_starttag(self, tag: str, attrs) -> None:
+        self._implied_head_close(tag)
         if tag in PRUNE_TAGS:
-            self._prune_depth += 1
+            self._prune_stack.append(tag)
             return
-        if self._prune_depth:
+        if self._prune_stack:
             return
         if tag == "a":
             self._link_depth += 1
@@ -82,16 +93,21 @@ class _MainContentParser(HTMLParser):
             self._open_block(tag)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        if self._prune_depth:
+        if self._prune_stack:
             return
         if tag in VOID_BLOCK_TAGS:
             self._close_block()
 
     def handle_endtag(self, tag: str) -> None:
         if tag in PRUNE_TAGS:
-            self._prune_depth = max(0, self._prune_depth - 1)
+            if tag in self._prune_stack:
+                # pop the most recent matching entry (tolerates interleaving)
+                for i in range(len(self._prune_stack) - 1, -1, -1):
+                    if self._prune_stack[i] == tag:
+                        del self._prune_stack[i]
+                        break
             return
-        if self._prune_depth:
+        if self._prune_stack:
             return
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
@@ -99,7 +115,7 @@ class _MainContentParser(HTMLParser):
             self._close_block()
 
     def handle_data(self, data: str) -> None:
-        if self._prune_depth or not data:
+        if self._prune_stack or not data:
             return
         if self._current is None:
             self._open_block("div")  # top-level stray text
@@ -130,42 +146,21 @@ def extract_html(
         parser.feed(raw)
         parser.close()
 
-        parts: list[str] = []
-        spans: list[dict[str, Any]] = []
-        byte_off = 0
-        char_off = 0
-        for i, block in enumerate(parser.blocks):
-            total = sum(len(c) for c in block.chars)
-            if total == 0:
-                continue
-            text = _normalize("".join(block.chars))
-            if not text:
-                continue
-            bar = heading_min_len if block.tag in HEADING_TAGS else min_len
-            if len(text) < bar:
-                continue
-            link_density = block.link_chars / total
-            if link_density > max_link_density:
-                continue
-            if parts:
-                byte_off += 1
-                char_off += 1
-            n_bytes = len(text.encode("utf-8"))
-            n_chars = len(text)
-            spans.append(
-                {
-                    "region_id": f"b{i}",
-                    "index": i,
-                    "byte_start": byte_off,
-                    "byte_end": byte_off + n_bytes,
-                    "char_start": char_off,
-                    "char_end": char_off + n_chars,
-                    "bbox": None,  # HTML has no layout geometry
-                }
-            )
-            parts.append(text)
-            byte_off += n_bytes
-            char_off += n_chars
-        return {"text": "\n".join(parts), "spans": spans, "error": None}
+        def blocks():
+            for i, block in enumerate(parser.blocks):
+                total = sum(len(c) for c in block.chars)
+                if total == 0:
+                    continue
+                text = _normalize("".join(block.chars))
+                if not text:
+                    continue
+                bar = heading_min_len if block.tag in HEADING_TAGS else min_len
+                if len(text) < bar:
+                    continue
+                if block.link_chars / total > max_link_density:
+                    continue
+                yield f"b{i}", i, text, None  # HTML has no layout geometry
+
+        return assemble(blocks())
     except Exception as exc:
         return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}

@@ -25,19 +25,22 @@ from pyspark.sql.types import (
 
 from .extract import extract_any_document, mets_records
 
+# long, not int: the reference parses @index and coordinates with
+# strconv.Atoi (64-bit), so values beyond int32 are legal input that must
+# not overflow the Arrow conversion
 BBOX_TYPE = StructType(
     [
-        StructField("x0", IntegerType()),
-        StructField("y0", IntegerType()),
-        StructField("x1", IntegerType()),
-        StructField("y1", IntegerType()),
+        StructField("x0", LongType()),
+        StructField("y0", LongType()),
+        StructField("x1", LongType()),
+        StructField("y1", LongType()),
     ]
 )
 
 SPAN_TYPE = StructType(
     [
         StructField("region_id", StringType()),
-        StructField("index", IntegerType()),
+        StructField("index", LongType()),
         StructField("byte_start", LongType()),
         StructField("byte_end", LongType()),
         StructField("char_start", LongType()),

@@ -18,6 +18,8 @@ import hashlib
 import random
 from typing import Any
 
+from .spans import assemble
+
 _WORDS = (
     "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
     "eiusmod tempor incididunt ut labore et dolore magna aliqua"
@@ -56,33 +58,11 @@ def parse_pdf_layout(payload: bytes, fake: bool = False) -> list[dict[str, Any]]
 def extract_pdf(data: bytes, fake: bool = False) -> dict[str, Any]:
     """Same output contract as extract_document / extract_html."""
     try:
-        blocks = parse_pdf_layout(data, fake=fake)
-        parts: list[str] = []
-        spans: list[dict[str, Any]] = []
-        byte_off = 0
-        char_off = 0
-        for i, block in enumerate(blocks):
-            text = block["text"]
-            if parts:
-                byte_off += 1
-                char_off += 1
-            n_bytes = len(text.encode("utf-8"))
-            n_chars = len(text)
-            spans.append(
-                {
-                    "region_id": f"p{block['page']}_b{i}",
-                    "index": i,
-                    "byte_start": byte_off,
-                    "byte_end": byte_off + n_bytes,
-                    "char_start": char_off,
-                    "char_end": char_off + n_chars,
-                    "bbox": block["bbox"],
-                }
-            )
-            parts.append(text)
-            byte_off += n_bytes
-            char_off += n_chars
-        return {"text": "\n".join(parts), "spans": spans, "error": None}
+        layout = parse_pdf_layout(data, fake=fake)
+        return assemble(
+            (f"p{block['page']}_b{i}", i, block["text"], block["bbox"])
+            for i, block in enumerate(layout)
+        )
     except NotImplementedError as exc:
         return {"text": None, "spans": None, "error": f"NotImplementedError: {exc}"}
     except Exception as exc:

@@ -89,9 +89,11 @@ def extract_pages(
     partition full of normal ones. Output is the union of both tiers —
     row-for-row identical to the single-tier plan.
     """
+    from .kernel import salted_partition_key
+
     sel = df.select("url", "html")
     if num_partitions and oversize_bytes:
-        key = F.xxhash64(F.col("url"), F.lit(salt))
+        key = salted_partition_key(salt)
         size = F.coalesce(F.octet_length("html"), F.lit(0))  # null html -> small tier
         small = sel.filter(size <= oversize_bytes).repartition(num_partitions, key)
         big = sel.filter(size > oversize_bytes).repartition(
@@ -101,7 +103,7 @@ def extract_pages(
             big.mapInPandas(extract_kernel, EXTRACTED_SCHEMA)
         )
     if num_partitions:
-        sel = sel.repartition(num_partitions, F.xxhash64(F.col("url"), F.lit(salt)))
+        sel = sel.repartition(num_partitions, salted_partition_key(salt))
     return sel.mapInPandas(extract_kernel, EXTRACTED_SCHEMA)
 
 
@@ -207,7 +209,7 @@ def run_extract_job(
                         pa.struct(
                             [
                                 pa.field("region_id", pa.string()),
-                                pa.field("index", pa.int32()),
+                                pa.field("index", pa.int64()),
                                 pa.field("byte_start", pa.int64()),
                                 pa.field("byte_end", pa.int64()),
                                 pa.field("char_start", pa.int64()),
@@ -216,10 +218,10 @@ def run_extract_job(
                                     "bbox",
                                     pa.struct(
                                         [
-                                            pa.field("x0", pa.int32()),
-                                            pa.field("y0", pa.int32()),
-                                            pa.field("x1", pa.int32()),
-                                            pa.field("y1", pa.int32()),
+                                            pa.field("x0", pa.int64()),
+                                            pa.field("y0", pa.int64()),
+                                            pa.field("x1", pa.int64()),
+                                            pa.field("y1", pa.int64()),
                                         ]
                                     ),
                                 ),
@@ -238,8 +240,14 @@ def run_extract_job(
             if g not in writers:
                 gdir = os.path.join(data_dir, f"g={g}")
                 os.makedirs(gdir, exist_ok=True)
-                fname = f"part-{uuid.uuid4().hex}.parquet"
-                tmp = os.path.join(gdir, "." + fname + ".tmp")
+                # deterministic final name per group: a task RETRY (or a
+                # speculative attempt) re-publishing the group atomically
+                # OVERWRITES the previous attempt's file instead of adding
+                # a duplicate — group contents are deterministic, so last
+                # writer wins with identical bytes. Tmp name stays unique
+                # per attempt so concurrent attempts never share a handle.
+                fname = f"part-{g:05d}.parquet"
+                tmp = os.path.join(gdir, f".part-{uuid.uuid4().hex}.tmp")
                 final = os.path.join(gdir, fname)
                 stats = {"g": g, "input_rows": 0, "ok_rows": 0, "err_rows": 0,
                          "bytes_in": 0, "bytes_out": 0}
@@ -317,13 +325,18 @@ def golden_compare(extracted: DataFrame, golden: DataFrame) -> DataFrame:
         "url", F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("got_sha")
     )
     want = golden.select(
-        "url", F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("want_sha")
+        "url",
+        F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("want_sha"),
+        F.lit(True).alias("audited"),  # distinguishes null-sha from no-golden-row
     )
     return got.join(F.broadcast(want), "url", "left").select(
         "url",
         (
-            F.coalesce(F.col("got_sha") == F.col("want_sha"), F.lit(False))
-            | (F.col("got_sha").isNull() & F.col("want_sha").isNull())
+            F.coalesce(F.col("audited"), F.lit(False))  # url absent from golden -> False
+            & (
+                F.coalesce(F.col("got_sha") == F.col("want_sha"), F.lit(False))
+                | (F.col("got_sha").isNull() & F.col("want_sha").isNull())
+            )
         ).alias("match"),
         "got_sha",
         "want_sha",

@@ -53,15 +53,18 @@ def _sessionize_factory(gap_seconds: int):
             last_ts, n_sessions, n_events = state.get
         else:
             last_ts, n_sessions, n_events = None, 0, 0
-        for pdf in pdfs:
-            # event-time order within the batch; ties broken by event_id
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"].astype("int64") // 10**9:
-                ts = int(ts)
-                if last_ts is None or ts - last_ts > gap_seconds:
-                    n_sessions += 1
-                last_ts = ts
-                n_events += 1
+        # A group's micro-batch rows arrive as MULTIPLE Arrow chunks in
+        # shuffle order — sorting per chunk is not enough (a later chunk
+        # can hold earlier events and regress last_ts). Concatenate and
+        # sort ONCE per group before folding.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"].astype("int64") // 10**9:
+            ts = int(ts)
+            if last_ts is None or ts - last_ts > gap_seconds:
+                n_sessions += 1
+            last_ts = ts
+            n_events += 1
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}

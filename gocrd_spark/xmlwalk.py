@@ -127,7 +127,12 @@ def walk(roots, steps) -> Iterator[ET.Element]:
 def parse_go_int(s: str) -> int:
     """strconv.Atoi-compatible integer parse: optional ASCII sign + ASCII
     digits only (rejects whitespace, unicode digits, underscores that
-    Python's int() would accept)."""
+    Python's int() would accept), and Atoi's ErrRange for values outside
+    int64 — the reference skips such ReadingOrder entries
+    (page/page.go:220-222,144-146), so we must too."""
     if not _INT_RE.match(s):
         raise ValueError(f"invalid integer: {s!r}")
-    return int(s)
+    value = int(s)
+    if not -(2**63) <= value < 2**63:
+        raise ValueError(f"integer out of int64 range: {s!r}")
+    return value

@@ -67,6 +67,22 @@ class TestHtmlExtract:
         )
         assert "café & résumé" in result["text"]
 
+    def test_unclosed_head_implied_close(self):
+        """HTML5 allows omitting </head>/</body>; an unclosed <head> must
+        not swallow the document (code-review regression)."""
+        result = extract_html(
+            b"<!DOCTYPE html><html><head><title>t</title>"
+            b"<body><p>long article content that must absolutely survive "
+            b"the missing head close tag</p>"
+        )
+        assert "long article content" in result["text"]
+        # block start (no <body> at all) also implies the close
+        result2 = extract_html(
+            b"<html><head><title>t</title>"
+            b"<p>paragraph long enough to keep after an implied head close</p>"
+        )
+        assert "implied head close" in result2["text"]
+
     def test_whitespace_collapsed(self):
         result = extract_html(
             b"<html><body><p>many     spaces\n\tand newlines inside a paragraph "

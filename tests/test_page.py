@@ -218,6 +218,26 @@ def test_malformed_reading_order_entries_skipped():
     ]
 
 
+def test_out_of_range_index_skipped_like_atoi_errrange():
+    """strconv.Atoi returns ErrRange beyond int64 -> the reference skips
+    the entry (page/page.go:220-222,144-146); we must too."""
+    doc = (
+        b'<PcGts><Page><ReadingOrder><g>'
+        b'<RegionRefIndexed index="99999999999999999999" regionRef="big"/>'
+        b'<RegionRefIndexed index="0" regionRef="ok"/></g></ReadingOrder>'
+        b'<TextRegion id="big"><TextEquiv><Unicode>NO</Unicode></TextEquiv></TextRegion>'
+        b'<TextRegion id="ok"><TextEquiv><Unicode>yes</Unicode></TextEquiv></TextRegion>'
+        b"</Page></PcGts>"
+    )
+    page = Page.from_bytes(doc)
+    assert [(r.id(), r.index) for r in page.regions()] == [("ok", 0)]
+    from gocrd_spark.extract import extract_document
+    from gocrd_spark.fastextract import extract_document_fast
+
+    assert extract_document(doc)["text"] == "yes"
+    assert extract_document_fast(doc)["text"] == "yes"
+
+
 def test_positional_text_equiv():
     page = Page.from_bytes(MINI)
     a = page.find_region_by_id("a")

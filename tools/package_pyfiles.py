@@ -18,7 +18,7 @@ def main() -> str:
         for dirpath, dirnames, filenames in os.walk(pkg):
             dirnames[:] = [d for d in dirnames if d != "__pycache__"]
             for name in filenames:
-                if name.endswith(".py"):
+                if name.endswith((".py", ".xml")):  # .xml: package-data fixtures
                     full = os.path.join(dirpath, name)
                     zf.write(full, os.path.relpath(full, ROOT))
     print(out)
