@@ -188,6 +188,13 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_lsh(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.similarity import topk_ivf
+
+    return topk_ivf(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=10,
+                    n_cells=8, n_probe=4)
+
+
 def _q_emb_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.similarity import embedding_near_dups_exact
 
@@ -358,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (embeddings)
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "embedding_near_dups": _q_emb_dups_exact,
         "embedding_near_dups_lsh": _q_emb_dups_lsh,
         "label_centroids": _q_centroids,

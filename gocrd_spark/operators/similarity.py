@@ -217,6 +217,105 @@ def embedding_near_dups_lsh(
     ).filter(F.col("cos_e6") >= int(threshold * 1_000_000))
 
 
+def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (L2) as a column expression — the
+    centroid table is tiny, so it ships as literals inside the plan and
+    assignment is a narrow map (no join, no shuffle)."""
+    dists = []
+    for centroid in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+        diff = F.zip_with(vec_col, lit_c, lambda a, b: a.cast("double") - b)
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d))
+    arr = F.array(*dists)
+    return F.array_position(arr, F.array_min(arr)).cast("int") - 1
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, n_cells: int = 16, n_iters: int = 2
+) -> list[list[float]]:
+    """Coarse k-means for the IVF quantizer: deterministic seeding (the
+    n_cells lowest vec_ids), Lloyd iterations as Spark jobs (assignment
+    is a narrow map; the per-cell mean is one groupBy over
+    posexploded dims). Driver holds only n_cells x dim floats."""
+    seeds = (
+        embeddings.orderBy("vec_id")
+        .limit(n_cells)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r.embedding] for r in seeds]
+    for _ in range(n_iters):
+        assigned = embeddings.select(
+            _nearest_cell(F.col("embedding"), centroids).alias("cell"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {c: list(cent) for c, cent in enumerate(centroids)}
+        for r in rows:
+            new[r.cell][r.pos] = r.m
+        centroids = [new[c] for c in range(n_cells)]
+    return centroids
+
+
+def topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to coarse cells, probe
+    each query's n_probe nearest cells, exact-cosine rerank inside them.
+
+    At 10^12 vectors: the corpus scan touches ~n_probe/n_cells of the
+    data per query batch; cell assignment is computed once and is
+    naturally persisted as a partition column of the vector table.
+    """
+    centroids = kmeans_centroids(embeddings, n_cells, n_iters)
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _nearest_cell(F.col("embedding"), centroids).alias("cell"),
+    )
+    # per-query probe list: distances to all cells, keep n_probe nearest
+    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dists = []
+    for i, centroid in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+        diff = F.zip_with(F.col("q_emb"), lit_c, lambda a, b: a.cast("double") - b)
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d)
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
+    probe = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)
+    q_probed = queries.select(
+        "query_id", "q_emb", F.explode(probe).alias("p")
+    ).select("query_id", "q_emb", F.col("p.cell").alias("cell"))
+    scored = (
+        F.broadcast(q_probed)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid of embeddings — a grouped array aggregation
     (posexplode + groupBy position), demonstrating vector aggregation

@@ -91,6 +91,47 @@ class TestHtmlExtract:
         assert "many spaces and newlines" in result["text"]
 
 
+class TestHtmlFuzz:
+    """Tolerance fuzzing: arbitrary tag soup must never raise, and spans
+    must always slice the joined text exactly."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    TAGS = ["p", "div", "a", "nav", "head", "script", "em", "h1", "li",
+            "table", "br", "foo", "article", "footer"]
+    CHUNK = st.one_of(
+        st.sampled_from(["<%s>" % t for t in TAGS]),
+        st.sampled_from(["</%s>" % t for t in TAGS]),
+        st.sampled_from(["<!-- c -->", "<![CDATA[x]]>", "&amp;", "&bogus;",
+                          "<!DOCTYPE html>", "<?pi ?>", "<", ">", "=", '"']),
+        st.text(
+            alphabet=st.sampled_from(list("abc def ghij klmno pqrst 123 ſü中")),
+            min_size=1, max_size=60,
+        ),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(CHUNK, max_size=40).map("".join))
+    def test_never_raises_offsets_consistent(self, soup):
+        result = extract_html(soup.encode("utf-8"))
+        assert result["error"] is None
+        text, raw = result["text"], result["text"].encode("utf-8")
+        for s in result["spans"]:
+            assert (
+                raw[s["byte_start"] : s["byte_end"]].decode("utf-8")
+                == text[s["char_start"] : s["char_end"]]
+            )
+        if result["spans"]:
+            assert result["spans"][-1]["byte_end"] == len(raw)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_arbitrary_bytes_never_raise(self, data):
+        result = extract_html(data)
+        assert (result["text"] is None) == (result["error"] is not None)
+
+
 class TestRouting:
     def test_page_xml_routes_to_gocrd_kernel(self):
         import os

@@ -145,6 +145,24 @@ class TestSimilarity:
         # 8 tables x 4 planes: candidate pool ~ 8/16 of corpus on random data
         assert sum(recalls) / len(recalls) >= 0.5
 
+    def test_ivf_recall(self, emb):
+        from gocrd_spark.operators.similarity import topk_bruteforce, topk_ivf
+
+        qids = [0, 1, 2, 3, 4]
+        brute = topk_bruteforce(emb, qids, k=10).collect()
+        ivf = topk_ivf(emb, qids, k=10, n_cells=8, n_probe=4).collect()
+        brute_sets, ivf_sets = {}, {}
+        for r in brute:
+            brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in ivf:
+            ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [
+            len(brute_sets[q] & ivf_sets.get(q, set())) / len(brute_sets[q])
+            for q in brute_sets
+        ]
+        # probing half the cells on weakly-clustered random data
+        assert sum(recalls) / len(recalls) >= 0.4
+
     def test_centroids_match_numpy(self, emb):
         import numpy as np
         from gocrd_spark.operators.similarity import label_centroids
