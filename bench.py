@@ -128,7 +128,9 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    # 60k keeps a COLD run (table synthesis + 5 subprocess JVMs + all
+    # queries) under ~6 minutes while each timed sample stays >2s
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
     # N -> 4N pair. Default 2 -> 8: per-process scaling of the XML-parse
     # workload on this box is ~1.0 from 2 to 8 workers but memory-bandwidth
     # bound past ~16 (BENCH.md control data), so 2 -> 8 is the pair where
