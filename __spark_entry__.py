@@ -406,7 +406,28 @@ def oracle_sql() -> dict[str, str]:
             "fr": ["le", "les", "et", "est", "ne"],
         }.items()
     }
+    # Golden-file oracles: parquet produced by the PURE-PYTHON kernel
+    # (tools/gen_goldens.py, no Spark involved), so the comparison pits
+    # the distributed pipeline against an independent implementation.
+    # Valid at sf0.01 (the driver's oracle scale); staleness is gated by
+    # tests/test_entry_contract.py::test_goldens_fresh.
+    golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+    def _golden(name: str, cols: str) -> str:
+        from gocrd_spark.datagen import DATAGEN_VERSION
+
+        path = os.path.join(golden_dir, f"{name}_v{DATAGEN_VERSION}_sf001.parquet")
+        return f"SELECT {cols} FROM read_parquet('{path}')"
+
     return {
+        "extract_text": _golden("extract_text", "url, text, error"),
+        "extract_spans": _golden(
+            "extract_spans",
+            "url, region_id, ro_index, byte_start, byte_end, char_start, char_end",
+        ),
+        "mets_files_alto": _golden(
+            "mets_files_alto", "url, file_id, mimetype, flocat_type, flocat_url"
+        ),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,

@@ -29,6 +29,21 @@ def test_sample_queries_run(spark):
         assert df.count() > 0, name
 
 
+def test_goldens_fresh():
+    """Committed golden parquet must match a fresh pure-Python
+    regeneration — catches stale goldens after datagen/kernel changes."""
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "tools")
+    import gen_goldens
+
+    for name, fresh in gen_goldens.build_tables(gen_goldens.N_DOCS_SF001).items():
+        committed = pq.read_table(gen_goldens.golden_path(name))
+        assert committed.equals(fresh), f"stale golden: {name} — rerun tools/gen_goldens.py"
+
+
 def test_oracle_sql_is_valid_duckdb():
     import duckdb
 
