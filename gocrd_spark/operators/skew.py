@@ -1,0 +1,41 @@
+"""Explicit skew-join salting — for when AQE's runtime skew split isn't
+available (e.g. the skewed side feeds a non-join exchange) or the skew
+is known up front.
+
+Technique: replicate the small side R times (one copy per salt value),
+give each big-side row a deterministic salt in [0, R), join on
+(key, salt). A hot key's rows then spread over R reducer partitions
+instead of one. Replication factor R multiplies the small side only —
+keep it a broadcast-sized table or modest R.
+
+AQE (`spark.sql.adaptive.skewJoin.enabled`, on by default in
+gocrd_spark.session) handles most cases at runtime; this utility is the
+explicit, plan-time fallback the north rule calls out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: big ⋈ small on ``on``.
+
+    Output is row-identical to ``big.join(small, on, how)`` for inner
+    and left joins (each big row matches exactly one replicated salt
+    copy of its key).
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
+    replicated_small = small.select("*", salts)
+    joined = salted_big.join(replicated_small, [on, "_salt"], how)
+    return joined.drop("_salt")
