@@ -148,6 +148,24 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_nfc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import nfc_fingerprint
+
+    return nfc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import vocab_top_terms
+
+    return vocab_top_terms(_docs(spark, sf_dir), k=100)
+
+
+def _q_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import doclen_histogram
+
+    return doclen_histogram(_docs(spark, sf_dir))
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -362,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "nfc_fingerprint": _q_nfc_fingerprint,
+        "vocab_top_terms": _q_vocab,
+        "doclen_histogram": _q_doclen_hist,
         # similarity search (embeddings)
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
@@ -495,6 +516,32 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
                    length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT AS norm_len
             FROM documents
+        """,
+        "nfc_fingerprint": """
+            WITH t AS (
+              SELECT doc_id,
+                     nfc_normalize(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm
+              FROM documents)
+            SELECT doc_id, md5(norm) AS nfc_fingerprint,
+                   length(norm)::BIGINT AS nfc_len
+            FROM t
+        """,
+        "vocab_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS term
+              FROM documents)
+            SELECT term, count(*) AS doc_freq
+            FROM toks GROUP BY term
+            ORDER BY doc_freq DESC, term ASC LIMIT 100
+        """,
+        "doclen_histogram": """
+            SELECT CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
+                   count(*) AS n_docs,
+                   min(length(text))::BIGINT AS min_len,
+                   max(length(text))::BIGINT AS max_len
+            FROM documents GROUP BY 1
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

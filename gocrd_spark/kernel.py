@@ -69,14 +69,26 @@ METS_FILES_SCHEMA = StructType(
 )
 
 
-def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def extract_batch(pdf: pd.DataFrame, max_doc_bytes: Optional[int] = None) -> pd.DataFrame:
     """One Arrow batch of (url, html) -> (url, text, spans, error).
 
     Routes per document kind (PAGE-XML reading-order walk, HTML
-    boilerplate strip, METS -> error row; extract.extract_any_document)."""
+    boilerplate strip, METS -> error row; extract.extract_any_document).
+    ``max_doc_bytes`` guards executor memory at crawl scale: a
+    pathological multi-GB document becomes an error row instead of an
+    OOM-killed worker."""
     out = {"url": [], "text": [], "spans": [], "error": []}
     for url, html in zip(pdf["url"], pdf["html"]):
-        result = extract_any_document(bytes(html) if html is not None else b"")
+        data = bytes(html) if html is not None else b""
+        if max_doc_bytes is not None and len(data) > max_doc_bytes:
+            out["url"].append(url)
+            out["text"].append(None)
+            out["spans"].append(None)
+            out["error"].append(
+                f"document too large: {len(data)} > max_doc_bytes={max_doc_bytes}"
+            )
+            continue
+        result = extract_any_document(data)
         out["url"].append(url)
         out["text"].append(result["text"])
         out["spans"].append(result["spans"])
@@ -87,6 +99,14 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 def extract_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         yield extract_batch(pdf)
+
+
+def extract_kernel_factory(max_doc_bytes: Optional[int] = None):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield extract_batch(pdf, max_doc_bytes=max_doc_bytes)
+
+    return kernel
 
 
 def mets_kernel_factory(use: str = "", file_id: str = "", mimetype: str = ""):

@@ -16,8 +16,11 @@ the plan is Scan -> Project with WholeStageCodegen covering everything.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _tokens(col: Column) -> Column:
@@ -116,6 +119,49 @@ def lang_id(docs: DataFrame) -> DataFrame:
         "doc_id",
         guess.alias("lang_guess"),
         best_score.cast("int").alias("marker_hits"),
+    )
+
+
+def nfc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Unicode-normalized (NFC) fingerprint: combining sequences like
+    'aͤ' and their precomposed forms hash identically — required for
+    dedup over historic-text corpora (the gocrd fixtures carry combining
+    diacritics). Spark has no built-in NFC, so this is a vectorized
+    pandas_udf (unicodedata); the DuckDB twin uses nfc_normalize."""
+    import unicodedata
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    norm = nfc(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "utf-8")).alias("nfc_fingerprint"),
+        F.length(norm).cast("long").alias("nfc_len"),
+    )
+
+
+def vocab_top_terms(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k terms by document frequency (explode ->
+    distinct per doc -> count), ties broken by term. The classic
+    shuffle-on-term aggregation with map-side partial counts."""
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.lower(F.col("text"))))).alias("term")
+    )
+    counts = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return counts.orderBy(F.col("doc_freq").desc(), F.col("term").asc()).limit(k)
+
+
+def doclen_histogram(docs: DataFrame, bucket_chars: int = 100) -> DataFrame:
+    """Document-length histogram: floor(n_chars / bucket) buckets."""
+    bucket = F.floor(F.length("text") / bucket_chars).cast("long")
+    return docs.groupBy(bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
     )
 
 

@@ -75,6 +75,7 @@ def extract_pages(
     salt: int = 42,
     num_partitions: Optional[int] = None,
     oversize_bytes: Optional[int] = None,
+    max_doc_bytes: Optional[int] = None,
 ) -> DataFrame:
     """The declarative extraction plan: project to (url, html) — column
     pruning reaches the scan — then the Arrow batch kernel.
@@ -88,9 +89,15 @@ def extract_pages(
     their own repartition so a handful of giant pages cannot straggle a
     partition full of normal ones. Output is the union of both tiers —
     row-for-row identical to the single-tier plan.
-    """
-    from .kernel import salted_partition_key
 
+    ``max_doc_bytes`` converts pathologically large payloads into error
+    rows before parsing (executor OOM guard).
+    """
+    from .kernel import extract_kernel_factory, salted_partition_key
+
+    kernel = (
+        extract_kernel_factory(max_doc_bytes) if max_doc_bytes else extract_kernel
+    )
     sel = df.select("url", "html")
     if num_partitions and oversize_bytes:
         key = salted_partition_key(salt)
@@ -99,12 +106,12 @@ def extract_pages(
         big = sel.filter(size > oversize_bytes).repartition(
             max(num_partitions // 4, 1), key
         )
-        return small.mapInPandas(extract_kernel, EXTRACTED_SCHEMA).unionByName(
-            big.mapInPandas(extract_kernel, EXTRACTED_SCHEMA)
+        return small.mapInPandas(kernel, EXTRACTED_SCHEMA).unionByName(
+            big.mapInPandas(kernel, EXTRACTED_SCHEMA)
         )
     if num_partitions:
         sel = sel.repartition(num_partitions, salted_partition_key(salt))
-    return sel.mapInPandas(extract_kernel, EXTRACTED_SCHEMA)
+    return sel.mapInPandas(kernel, EXTRACTED_SCHEMA)
 
 
 def mets_files(

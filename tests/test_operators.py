@@ -196,6 +196,40 @@ class TestTextStats:
         assert qs[1].quality == 1.0  # empty: no penalties
         assert qs[5].quality < 1.0  # digits + punct penalized
 
+    def test_nfc_fingerprint_unifies_combining_forms(self, spark):
+        from gocrd_spark.operators.textstats import nfc_fingerprint
+
+        df = spark.createDataFrame(
+            [(1, "caf\u00e9"), (2, "cafe\u0301"), (3, "cafes")],  # precomposed vs combining
+            "doc_id long, text string",
+        )
+        fps = {r.doc_id: r.nfc_fingerprint for r in nfc_fingerprint(df).collect()}
+        assert fps[1] == fps[2] != fps[3]
+
+    def test_doclen_and_vocab(self, spark):
+        from gocrd_spark.operators.textstats import doclen_histogram, vocab_top_terms
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b"), (3, "a " * 120)],
+            "doc_id long, text string",
+        )
+        vocab = {r.term: r.doc_freq for r in vocab_top_terms(df, k=10).collect()}
+        assert vocab == {"a": 3, "b": 2, "c": 1}
+        hist = {r.len_bucket: r.n_docs for r in doclen_histogram(df).collect()}
+        assert hist[0] == 2 and hist[2] == 1  # 240-char doc in bucket 2
+
+    def test_max_doc_bytes_guard(self, spark):
+        from gocrd_spark import datagen
+        from gocrd_spark.pipeline import extract_pages
+
+        pages = spark.createDataFrame(
+            datagen.pages_pdf(10), schema=datagen.PAGES_SCHEMA
+        )
+        rows = {r.url: r for r in extract_pages(pages, max_doc_bytes=50_000).collect()}
+        kant = rows[datagen.KANT_URL]  # 115KB > guard
+        assert kant.text is None and "document too large" in kant.error
+        assert sum(1 for r in rows.values() if r.error is None) > 0
+
     def test_fingerprint_normalization(self, spark):
         from gocrd_spark.operators.textstats import fingerprint
 
