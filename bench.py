@@ -34,6 +34,15 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — lets the bench stamp
+    each run with the hypervisor steal it suffered (BENCH.md noise note)."""
+    with open("/proc/stat") as fh:
+        fields = [int(x) for x in fh.readline().split()[1:]]
+    steal = fields[7] if len(fields) > 7 else 0
+    return steal, sum(fields)
+
+
 def _bench_pages_path(n_docs: int) -> str:
     from gocrd_spark.datagen import DATAGEN_VERSION
 
@@ -140,13 +149,16 @@ def main() -> int:
     scale_high = 4 * scale_low
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    steal0, total0 = _cpu_ticks()
     path = _run_phase(["--phase", "prep", f"n_docs={n_docs}", f"cpus={cpus}"])["path"]
     # Scaling pair: this VM sees hypervisor CPU steal (observed 25% in top),
     # so a single measurement window per width is biased by whichever width
     # catches a contention burst. Interleave the pair (low,high,low,high)
     # and take best-of per width across windows (BENCH.md).
     times: dict[int, float] = {}
-    for cores in (scale_low, scale_high, scale_low, scale_high):
+    # extra high-width window: the 4N side needs more real cores at once,
+    # so it is the more steal-sensitive measurement
+    for cores in (scale_low, scale_high, scale_low, scale_high, scale_high):
         sec = _run_phase(
             ["--phase", "extract", f"master=local[{cores}]", f"path={path}",
              f"cores={cores}", "repeats=2"]
@@ -174,6 +186,12 @@ def main() -> int:
         "scaling_efficiency": round(scaling_eff, 3),
         "full_cores": cpus,
     }
+    steal1, total1 = _cpu_ticks()
+    if total1 > total0:
+        result["cpu_steal_pct"] = round(100 * (steal1 - steal0) / (total1 - total0), 2)
+    # phantom load (runnable threads we didn't create) = co-tenant pressure
+    # that steal ticks do not capture; stamp it for run-context
+    result["loadavg_1m"] = round(os.getloadavg()[0], 2)
     print(json.dumps(result))
     return 0
 
