@@ -155,7 +155,7 @@ def read_commit_stats(output_dir: str) -> list[dict]:
     if not os.path.isdir(cdir):
         return out
     for name in sorted(os.listdir(cdir)):
-        if name.endswith(".json"):
+        if name.startswith("g=") and name.endswith(".json"):
             with open(os.path.join(cdir, name)) as fh:
                 out.append(json.load(fh))
     return out
@@ -190,6 +190,27 @@ def run_extract_job(
     """
     os.makedirs(os.path.join(output_dir, "data"), exist_ok=True)
     os.makedirs(_commit_dir(output_dir), exist_ok=True)
+
+    # The commit log is only meaningful under the partitioning that wrote
+    # it: group id = pmod(xxhash64(url, salt), n_groups). Pin (n_groups,
+    # salt) in a manifest and refuse to resume under different values —
+    # otherwise committed ids would be reinterpreted against a different
+    # layout, silently skipping or duplicating rows.
+    manifest_path = os.path.join(_commit_dir(output_dir), "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+        if manifest["n_groups"] != n_groups or manifest["salt"] != salt:
+            raise ValueError(
+                f"resume mismatch: output was written with n_groups="
+                f"{manifest['n_groups']}, salt={manifest['salt']}; got "
+                f"n_groups={n_groups}, salt={salt}"
+            )
+    else:
+        tmp = manifest_path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"n_groups": n_groups, "salt": salt}, fh)
+        os.replace(tmp, manifest_path)
 
     done = committed_groups(output_dir)
     pages = prune_warc_ts(load_pages(spark, input_path), ts_start, ts_end)

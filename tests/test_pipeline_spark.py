@@ -158,6 +158,17 @@ class TestResume:
         assert second["input_rows"] == 0  # anti-filter pruned everything
         assert len(read_extracted(spark, out).collect()) == N_DOCS
 
+    def test_resume_rejects_different_layout(self, spark, pages, tmp_path):
+        """Committed group ids are meaningless under another
+        (n_groups, salt); resume must refuse, not silently mix layouts."""
+        inp = self._write_input(spark, pages, tmp_path)
+        out = str(tmp_path / "out_layout")
+        run_extract_job(spark, inp, out, n_groups=4, salt=42)
+        with pytest.raises(ValueError, match="resume mismatch"):
+            run_extract_job(spark, inp, out, n_groups=8, salt=42)
+        with pytest.raises(ValueError, match="resume mismatch"):
+            run_extract_job(spark, inp, out, n_groups=4, salt=7)
+
     def test_counters(self, spark, pages, tmp_path):
         inp = self._write_input(spark, pages, tmp_path)
         out = str(tmp_path / "out3")
