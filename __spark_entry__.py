@@ -148,6 +148,43 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import token_stats_bpe
+
+    return token_stats_bpe(_docs(spark, sf_dir))
+
+
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(_docs(spark, sf_dir))
+    return fps.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fingerprints"),
+        F.element_at("fingerprints", 1).alias("min_fingerprint"),
+    )
+
+
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.multimodal import resize_images, synth_media_pdf
+
+    n = max(int(_sf_of(sf_dir) * 10_000), 10)
+    media = spark.createDataFrame(
+        synth_media_pdf(n), schema="id long, kind string, payload binary"
+    )
+    return resize_images(media, width=4, height=4, fake=True)
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.multimodal import sample_frames, synth_media_pdf
+
+    n = max(int(_sf_of(sf_dir) * 10_000), 10)
+    media = spark.createDataFrame(
+        synth_media_pdf(n), schema="id long, kind string, payload binary"
+    )
+    return sample_frames(media.filter("kind = 'video'"), every_n=3, fake=True)
+
+
 def _q_nfc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.textstats import nfc_fingerprint
 
@@ -383,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_fingerprint": _q_nfc_fingerprint,
         "vocab_top_terms": _q_vocab,
         "doclen_histogram": _q_doclen_hist,
+        "token_stats_bpe": _q_token_stats_bpe,
+        "winnowing_fingerprints": _q_winnowing,
         # similarity search (embeddings)
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
@@ -403,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": _q_order_priority,
         # multimodal plumbing (stubbed decode, deterministic fake)
         "multimodal_features": _q_multimodal,
+        "multimodal_resize": _q_multimodal_resize,
+        "video_frame_sample": _q_frame_sample,
     }
 
 
@@ -515,6 +556,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
                    length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT AS norm_len
+            FROM documents
+        """,
+        "token_stats_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+                     AS n_bpe_tokens,
+                   len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT
+                     AS n_unique_bpe_tokens
             FROM documents
         """,
         "nfc_fingerprint": """

@@ -86,6 +86,90 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("id", "kind", "payload").mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy — no image libs needed); the
+    real pipeline would swap in a library-backed resampler behind the
+    same signature."""
+    src_h, src_w = img.shape[:2]
+    ys = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    xs = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    return img[ys][:, xs]
+
+
+RESIZED_SCHEMA = "id long, width int, height int, mean_r long, mean_g long, mean_b long, error string"
+
+
+def resize_batch(pdf: pd.DataFrame, width: int, height: int, fake: bool = True) -> pd.DataFrame:
+    out = {"id": [], "width": [], "height": [], "mean_r": [], "mean_g": [],
+           "mean_b": [], "error": []}
+    for row in pdf.itertuples(index=False):
+        out["id"].append(row.id)
+        try:
+            img = resize_image(decode_image(bytes(row.payload), fake=fake), width, height)
+            means = img.reshape(-1, 3).mean(axis=0)
+            out["width"].append(img.shape[1])
+            out["height"].append(img.shape[0])
+            out["mean_r"].append(int(means[0]))
+            out["mean_g"].append(int(means[1]))
+            out["mean_b"].append(int(means[2]))
+            out["error"].append(None)
+        except Exception as exc:
+            for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                out[k].append(None)
+            out["error"].append(f"{type(exc).__name__}: {exc}")
+    return pd.DataFrame(out)
+
+
+def resize_images(media: DataFrame, width: int = 4, height: int = 4, fake: bool = True) -> DataFrame:
+    """Resize pass over a multimodal table (mapInPandas; payload pruned in)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield resize_batch(pdf, width, height, fake=fake)
+
+    return media.select("id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "id long, frame_idx int, frame_hash string, error string"
+
+
+def sample_frames(media: DataFrame, every_n: int = 3, max_frames: int = 5,
+                  fake: bool = True) -> DataFrame:
+    """Frame sampling for video payloads: every_n-th frame up to
+    max_frames, emitted as (id, frame_idx, frame_hash) rows — UDTF-shaped
+    flat-map. Decode STUBBED: the fake derives a deterministic frame
+    sequence from the payload hash; real decoding swaps in behind the
+    same row contract."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "frame_idx": [], "frame_hash": [], "error": []}
+            for row in pdf.itertuples(index=False):
+                try:
+                    if not fake:
+                        raise NotImplementedError(
+                            "video decoding requires a media library; "
+                            "not available in this environment"
+                        )
+                    payload = bytes(row.payload)
+                    n_frames = 1 + len(payload) % 20  # deterministic fake length
+                    for idx in range(0, n_frames, every_n)[:max_frames]:
+                        out["id"].append(row.id)
+                        out["frame_idx"].append(idx)
+                        out["frame_hash"].append(
+                            hashlib.sha256(payload + idx.to_bytes(4, "big")).hexdigest()[:16]
+                        )
+                        out["error"].append(None)
+                except Exception as exc:
+                    out["id"].append(row.id)
+                    out["frame_idx"].append(None)
+                    out["frame_hash"].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(out)
+
+    return media.select("id", "payload").mapInPandas(kernel, FRAMES_SCHEMA)
+
+
 def synth_media_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic fake media table for tests."""
     rows = []

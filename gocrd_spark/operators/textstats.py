@@ -165,6 +165,65 @@ def doclen_histogram(docs: DataFrame, bucket_chars: int = 100) -> DataFrame:
     )
 
 
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish tokenization (letters-runs | digit-runs | single symbol —
+    the GPT-2 pre-tokenizer's shape without the byte-level merges):
+    pure regexp_extract_all, no UDF. Complements the whitespace
+    tokenizer in token_stats."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_bpe_tokens"),
+    )
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): hash every
+    k-char gram of the normalized text, then keep the minimum hash of
+    each w-window — the classic rolling-hash fingerprint selection for
+    plagiarism/near-dup detection. Pure built-ins: substring grams +
+    xxhash64 + per-window array_min; output is the distinct selected
+    hash set per document."""
+    import numpy as np
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n = F.length(norm)
+    # k-gram hashes JVM-side (substr with dynamic start: Column.substr).
+    # NB: the window-minimum step must NOT be a nested transform over
+    # slice(grams, ...) — lambda bodies are re-evaluated per element with
+    # no common-subexpression elimination, turning it O(n^2). The minima
+    # fold runs vectorized in an Arrow pandas_udf instead (numpy sliding
+    # window), same hybrid as dedup.simhash64.
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array(F.xxhash64(norm)))
+
+    @pandas_udf("array<long>")
+    def window_minima(gram_arrays: pd.Series) -> pd.Series:
+        out = []
+        for gs in gram_arrays:
+            arr = np.asarray(gs, dtype=np.int64)
+            if len(arr) >= w:
+                view = np.lib.stride_tricks.sliding_window_view(arr, w)
+                minima = view.min(axis=1)
+            else:
+                minima = arr.min(keepdims=True)
+            out.append(sorted(set(int(x) for x in minima)))
+        return pd.Series(out)
+
+    return docs.select("doc_id", grams.alias("grams")).select(
+        "doc_id", window_minima("grams").alias("fingerprints")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over lowercased, whitespace-collapsed,
     trimmed text — the canonical pre-dedup normalization."""

@@ -230,6 +230,33 @@ class TestTextStats:
         assert kant.text is None and "document too large" in kant.error
         assert sum(1 for r in rows.values() if r.error is None) > 0
 
+    def test_bpe_tokenizer(self, spark):
+        from gocrd_spark.operators.textstats import token_stats_bpe
+
+        df = spark.createDataFrame(
+            [(1, "Hello, world! v2.0"), (2, ""), (3, "abc abc abc")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.n_bpe_tokens, r.n_unique_bpe_tokens)
+               for r in token_stats_bpe(df).collect()}
+        # Hello , world ! v 2 . 0  -> 8 tokens
+        assert got[1] == (8, 8)
+        assert got[2] == (0, 0)
+        assert got[3] == (3, 1)
+
+    def test_winnowing_containment(self, spark):
+        from gocrd_spark.operators.textstats import winnowing_fingerprints
+
+        base = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame(
+            [(1, base), (2, "xx " + base + " yy"), (3, "completely different stuff")],
+            "doc_id long, text string",
+        )
+        fps = {r.doc_id: set(r.fingerprints)
+               for r in winnowing_fingerprints(df).collect()}
+        assert len(fps[1] & fps[2]) >= len(fps[1]) // 2  # shared substring
+        assert not (fps[1] & fps[3])
+
     def test_fingerprint_normalization(self, spark):
         from gocrd_spark.operators.textstats import fingerprint
 
@@ -263,6 +290,35 @@ class TestMultimodal:
         again = extract_features(media, fake=True).collect()
         assert {r.id: tuple(r.feature) for r in rows} == {
             r.id: tuple(r.feature) for r in again
+        }
+
+    def test_resize_and_frame_sample(self, spark):
+        import numpy as np
+
+        from gocrd_spark.operators.multimodal import (
+            resize_image,
+            resize_images,
+            sample_frames,
+            synth_media_pdf,
+        )
+
+        img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        small = resize_image(img, 4, 4)
+        assert small.shape == (4, 4, 3)
+
+        media = spark.createDataFrame(
+            synth_media_pdf(12), schema="id long, kind string, payload binary"
+        )
+        resized = resize_images(media, width=4, height=4).collect()
+        assert len(resized) == 12 and all(r.error is None for r in resized)
+        assert all(r.width == 4 and r.height == 4 for r in resized)
+
+        frames = sample_frames(media.filter("kind = 'video'"), every_n=3).collect()
+        assert frames and all(f.error is None for f in frames)
+        # deterministic: same payload -> same frame hashes
+        again = sample_frames(media.filter("kind = 'video'"), every_n=3).collect()
+        assert {(f.id, f.frame_idx, f.frame_hash) for f in frames} == {
+            (f.id, f.frame_idx, f.frame_hash) for f in again
         }
 
     def test_error_rows_for_null_payload(self, spark):
