@@ -47,16 +47,29 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_PAGES_CACHE[key])
 
 
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _table(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _table(spark, sf_dir, "embeddings")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return _table(spark, sf_dir, "events")
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.multimodal import synth_media_pdf
+
+    n = max(int(_sf_of(sf_dir) * 10_000), 10)
+    return spark.createDataFrame(
+        synth_media_pdf(n), schema="id long, kind string, payload binary"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -166,22 +179,15 @@ def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gocrd_spark.operators.multimodal import resize_images, synth_media_pdf
+    from gocrd_spark.operators.multimodal import resize_images
 
-    n = max(int(_sf_of(sf_dir) * 10_000), 10)
-    media = spark.createDataFrame(
-        synth_media_pdf(n), schema="id long, kind string, payload binary"
-    )
-    return resize_images(media, width=4, height=4, fake=True)
+    return resize_images(_media(spark, sf_dir), width=4, height=4, fake=True)
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gocrd_spark.operators.multimodal import sample_frames, synth_media_pdf
+    from gocrd_spark.operators.multimodal import sample_frames
 
-    n = max(int(_sf_of(sf_dir) * 10_000), 10)
-    media = spark.createDataFrame(
-        synth_media_pdf(n), schema="id long, kind string, payload binary"
-    )
+    media = _media(spark, sf_dir)
     return sample_frames(media.filter("kind = 'video'"), every_n=3, fake=True)
 
 
@@ -349,7 +355,7 @@ def _q_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregate over lineitem (partial-agg/codegen showcase)."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -364,32 +370,32 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.relational import revenue_by_nation
 
-    t = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
-    return revenue_by_nation(t("lineitem"), t("orders"), t("customer"), t("nation"))
+    return revenue_by_nation(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"), _table(spark, sf_dir, "nation"),
+    )
 
 
 def _q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.relational import segment_order_stats
 
-    t = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
-    return segment_order_stats(t("orders"), t("customer"))
+    return segment_order_stats(
+        _table(spark, sf_dir, "orders"), _table(spark, sf_dir, "customer")
+    )
 
 
 def _q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.relational import priority_lineitem_counts
 
-    t = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
-    return priority_lineitem_counts(t("lineitem"), t("orders"))
+    return priority_lineitem_counts(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "orders")
+    )
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gocrd_spark.operators.multimodal import extract_features, synth_media_pdf
+    from gocrd_spark.operators.multimodal import extract_features
 
-    n = max(int(_sf_of(sf_dir) * 10_000), 10)
-    media = spark.createDataFrame(
-        synth_media_pdf(n), schema="id long, kind string, payload binary"
-    )
-    feats = extract_features(media, fake=True)
+    feats = extract_features(_media(spark, sf_dir), fake=True)
     return feats.select(
         "id",
         "kind",

@@ -29,6 +29,7 @@ import re
 from typing import Any, Optional
 
 from . import xmlwalk as xw
+from .htmlextract import extract_html
 from .mets import Match as MetsMatch
 from .mets import Mets
 from .page import Page, Rect, _text_equiv_unicode_at, parse_polygon
@@ -155,8 +156,6 @@ def extract_any_document(data: bytes) -> dict[str, Any]:
     """
     head = data[:4096] if data else b""
     if _HTML_HEAD_RE.search(head):
-        from .htmlextract import extract_html
-
         return extract_html(data)
     try:
         root = parse_bytes(data)
@@ -172,8 +171,6 @@ def extract_any_document(data: bytes) -> dict[str, Any]:
             "error": "METS manifest (no page text; use mets_files)",
         }
     # other XML (incl. XHTML without doctype): tolerant HTML heuristics
-    from .htmlextract import extract_html
-
     return extract_html(data)
 
 

@@ -66,14 +66,7 @@ def topk_bruteforce(
             F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -99,6 +92,36 @@ def lsh_buckets(
     return embeddings.select("vec_id", "embedding", bucket.alias("bucket"))
 
 
+
+def _union_lsh_tables(
+    embeddings: DataFrame, dim: int, n_planes: int, n_tables: int, seed: int
+) -> DataFrame:
+    """Multi-table LSH bucketing: union of n_tables independent
+    lsh_buckets (distinct plane seeds), tagged with a table id."""
+    tables = [
+        lsh_buckets(embeddings, dim, n_planes, seed + 1000 * t).withColumn(
+            "table", F.lit(t)
+        )
+        for t in range(n_tables)
+    ]
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k with a deterministic neighbor_id tie-break."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def topk_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -116,15 +139,7 @@ def topk_lsh(
     1-(1-p^n_planes)^n_tables; candidate volume ~ n_tables * N / 2^n_planes
     per query. Measured against topk_bruteforce in tests.
     """
-    tables = [
-        lsh_buckets(embeddings, dim, n_planes, seed + 1000 * t).withColumn(
-            "table", F.lit(t)
-        )
-        for t in range(n_tables)
-    ]
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
+    bucketed = _union_lsh_tables(embeddings, dim, n_planes, n_tables, seed)
     queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -151,14 +166,7 @@ def topk_lsh(
         "neighbor_id",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dups_exact(
@@ -191,15 +199,7 @@ def embedding_near_dups_lsh(
     """Embedding-cosine near-dup at scale: multi-table hyperplane LSH
     candidate pairs (same bucket in any table), exact-cosine verified.
     Shuffles only (table, bucket, id, vector) tuples — never N² pairs."""
-    tables = [
-        lsh_buckets(embeddings, dim, n_planes, seed + 1000 * t).withColumn(
-            "table", F.lit(t)
-        )
-        for t in range(n_tables)
-    ]
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
+    bucketed = _union_lsh_tables(embeddings, dim, n_planes, n_tables, seed)
     x = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "table", "bucket"
     )
@@ -306,14 +306,7 @@ def topk_ivf(
             F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:

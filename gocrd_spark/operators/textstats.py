@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+def _norm_ws(col: Column) -> Column:
+    """Lowercase + whitespace-collapse + trim — the shared pre-hash
+    normalization (same form as dedup._norm_text)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
 def _tokens(col: Column) -> Column:
     """Non-empty whitespace-delimited tokens."""
     return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
@@ -136,7 +142,7 @@ def nfc_fingerprint(docs: DataFrame) -> DataFrame:
             lambda t: unicodedata.normalize("NFC", t) if t is not None else None
         )
 
-    norm = nfc(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    norm = nfc(_norm_ws(F.col("text")))
     return docs.select(
         "doc_id",
         F.md5(F.encode(norm, "utf-8")).alias("nfc_fingerprint"),
@@ -190,7 +196,7 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame
     hash set per document."""
     import numpy as np
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = _norm_ws(F.col("text"))
     n = F.length(norm)
     # k-gram hashes JVM-side (substr with dynamic start: Column.substr).
     # NB: the window-minimum step must NOT be a nested transform over
@@ -227,7 +233,7 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over lowercased, whitespace-collapsed,
     trimmed text — the canonical pre-dedup normalization."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = _norm_ws(F.col("text"))
     return docs.select(
         "doc_id",
         F.md5(F.encode(norm, "utf-8")).alias("fingerprint"),
