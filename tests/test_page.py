@@ -218,6 +218,49 @@ def test_malformed_reading_order_entries_skipped():
     ]
 
 
+FULLY_NAMESPACED = b"""<?xml version="1.0"?>
+<pc:PcGts xmlns:pc="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+  <pc:Page>
+    <pc:ReadingOrder><pc:OrderedGroup>
+      <pc:RegionRefIndexed index="0" regionRef="r1"/>
+    </pc:OrderedGroup></pc:ReadingOrder>
+    <pc:TextRegion id="r1">
+      <pc:Coords points="1,1 9,9"/>
+      <pc:TextLine id="l1"><pc:Word id="w1">
+        <pc:TextEquiv><pc:Unicode>word</pc:Unicode></pc:TextEquiv></pc:Word>
+        <pc:TextEquiv><pc:Unicode>line text</pc:Unicode></pc:TextEquiv>
+      </pc:TextLine>
+      <pc:TextEquiv><pc:Unicode>region text</pc:Unicode></pc:TextEquiv>
+    </pc:TextRegion>
+  </pc:Page>
+</pc:PcGts>
+"""
+
+
+def test_fully_namespaced_document():
+    """The kant fixture namespaces only the ReadingOrder; a document with
+    EVERY element prefixed must behave identically (local-name matching
+    is global, SURVEY.md §1.3)."""
+    page = Page.from_bytes(FULLY_NAMESPACED)
+    region = page.find_region_by_id("r1")
+    assert region is not None
+    assert region.text_equiv_unicode_at(0) == ("region text", True)
+    assert region.polygon().rectangle() == Rect(1, 1, 9, 9)
+    line = region.find_line_by_id("l1")
+    assert line.text_equiv_unicode_at(0) == ("line text", True)
+    word = line.find_word_by_id("w1")
+    assert word.text_equiv_unicode_at(0) == ("word", True)
+    assert isinstance(page.find(Match(region_id="r1", word_id="w1")), Word)
+    # extraction + differential agree too
+    from gocrd_spark.extract import extract_document
+    from gocrd_spark.fastextract import extract_document_fast
+
+    assert extract_document(FULLY_NAMESPACED)["text"] == "region text"
+    assert extract_document_fast(FULLY_NAMESPACED) == extract_document(
+        FULLY_NAMESPACED
+    )
+
+
 def test_out_of_range_index_skipped_like_atoi_errrange():
     """strconv.Atoi returns ErrRange beyond int64 -> the reference skips
     the entry (page/page.go:220-222,144-146); we must too."""
