@@ -191,6 +191,12 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media.filter("kind = 'video'"), every_n=3, fake=True)
 
 
+def _q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import training_set_filter
+
+    return training_set_filter(_docs(spark, sf_dir))
+
+
 def _q_nfc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.textstats import nfc_fingerprint
 
@@ -428,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_histogram": _q_doclen_hist,
         "token_stats_bpe": _q_token_stats_bpe,
         "winnowing_fingerprints": _q_winnowing,
+        "training_set_filter": _q_training_set,
         # similarity search (embeddings)
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
@@ -563,6 +570,46 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
                    length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT AS norm_len
             FROM documents
+        """,
+        "training_set_filter": f"""
+            WITH t AS (
+              SELECT doc_id, length(text)::DOUBLE AS n_chars,
+                     ({" + ".join(f"(length(text) - length(replace(text, '{c}', '')))" for c in [".", ",", "!", "?", ";", ":"])})::DOUBLE AS n_punct,
+                     ({" + ".join(f"(length(text) - length(replace(text, '{d}', '')))" for d in range(10))})::DOUBLE AS n_digit,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ltoks,
+                     text
+              FROM documents WHERE length(text) >= 100),
+            q AS (
+              SELECT doc_id, text, ltoks,
+                     CAST(round(round(greatest(0.0, least(1.0,
+                          1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)*2
+                              - (CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END)*2
+                              + least(CASE WHEN len(toks) > 0
+                                      THEN len(list_filter(toks, x -> x IN ('the','a','and','of','to','in')))::DOUBLE / len(toks)
+                                      ELSE 0.0 END, 0.2))), 6) * 1000000) AS BIGINT) AS quality_e6
+              FROM t),
+            s AS (
+              SELECT doc_id, text, quality_e6,
+                     ({" + ".join(f"(CASE WHEN list_contains(ltoks, '{m}') THEN 1 ELSE 0 END)" for m in ["der", "die", "und", "nicht", "ist"])}) AS s_de,
+                     ({" + ".join(f"(CASE WHEN list_contains(ltoks, '{m}') THEN 1 ELSE 0 END)" for m in ["the", "and", "of", "is", "not"])}) AS s_en,
+                     ({" + ".join(f"(CASE WHEN list_contains(ltoks, '{m}') THEN 1 ELSE 0 END)" for m in ["el", "los", "que", "es", "y"])}) AS s_es,
+                     ({" + ".join(f"(CASE WHEN list_contains(ltoks, '{m}') THEN 1 ELSE 0 END)" for m in ["le", "les", "et", "est", "ne"])}) AS s_fr
+              FROM q WHERE quality_e6 >= 800000),
+            kept AS (
+              SELECT doc_id, text, quality_e6,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                          WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                          WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                          WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                          ELSE 'fr' END AS lang_guess
+              FROM s),
+            flt AS (SELECT * FROM kept WHERE lang_guess IN ('en', 'de')),
+            canon AS (
+              SELECT min(doc_id) AS doc_id
+              FROM flt GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+            SELECT f.doc_id, f.lang_guess, f.quality_e6
+            FROM flt f JOIN canon c ON f.doc_id = c.doc_id
         """,
         "token_stats_bpe": """
             SELECT doc_id,

@@ -230,6 +230,37 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame
     )
 
 
+def training_set_filter(
+    docs: DataFrame,
+    min_chars: int = 100,
+    min_quality_e6: int = 800_000,
+    langs: tuple[str, ...] = ("en", "de"),
+) -> DataFrame:
+    """End-to-end training-data selection: the operators composed the way
+    a corpus pipeline uses them — quality gate, language gate, length
+    gate, then exact dedup keeping the lowest doc_id per normalized-text
+    hash. Returns the surviving (doc_id, lang_guess, quality_e6)."""
+    q = quality_score(docs).select(
+        "doc_id", (F.round(F.col("quality") * 1_000_000)).cast("long").alias("quality_e6")
+    )
+    lang = lang_id(docs).select("doc_id", "lang_guess")
+    kept = (
+        docs.select("doc_id", "text")
+        .filter(F.length("text") >= min_chars)
+        .join(q, "doc_id")
+        .filter(F.col("quality_e6") >= min_quality_e6)
+        .join(lang, "doc_id")
+        .filter(F.col("lang_guess").isin(*langs))
+    )
+    canonical = kept.groupBy(
+        F.md5(F.encode(_norm_ws(F.col("text")), "utf-8")).alias("h")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    return (
+        canonical.join(kept, "doc_id")
+        .select("doc_id", "lang_guess", "quality_e6")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over lowercased, whitespace-collapsed,
     trimmed text — the canonical pre-dedup normalization."""

@@ -340,6 +340,17 @@ def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_dir, "data"))
 
 
+def filter_unprocessed(pages: DataFrame, extracted: DataFrame) -> DataFrame:
+    """Incremental-crawl support: keep only pages whose url has no row in
+    a previous extraction output (left-anti join on url). Runs BEFORE the
+    kernel, so re-crawled snapshots only pay for new documents; combined
+    with the commit log this gives snapshot-over-snapshot incrementality.
+    At scale both sides are large -> a shuffle anti-join on url; for a
+    small 'already done' side Catalyst broadcasts it automatically."""
+    done = extracted.select("url")
+    return pages.join(done, "url", "left_anti")
+
+
 def golden_compare(extracted: DataFrame, golden: DataFrame) -> DataFrame:
     """Byte-identity audit of an extraction run against a golden table
     ``(url, text)`` — the harness join from SURVEY.md §2.2: the golden

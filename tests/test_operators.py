@@ -230,6 +230,23 @@ class TestTextStats:
         assert kant.text is None and "document too large" in kant.error
         assert sum(1 for r in rows.values() if r.error is None) > 0
 
+    def test_training_set_filter_composition(self, spark):
+        from gocrd_spark.operators.textstats import training_set_filter
+
+        long_en = "the and of is not " * 20  # quality en text
+        df = spark.createDataFrame(
+            [
+                (1, long_en),
+                (2, long_en),  # exact dup of 1 -> dropped (min doc_id kept)
+                (3, "short"),  # under min_chars
+                (4, "el los que es y " * 20),  # wrong language
+                (5, "1234!? " * 30),  # digits+punct tank quality
+            ],
+            "doc_id long, text string",
+        )
+        kept = {r.doc_id for r in training_set_filter(df).collect()}
+        assert kept == {1}
+
     def test_bpe_tokenizer(self, spark):
         from gocrd_spark.operators.textstats import token_stats_bpe
 

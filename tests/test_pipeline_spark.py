@@ -114,6 +114,18 @@ def test_warc_ts_pruning(spark, pages, tmp_path):
     assert "PushedFilters" in plan and "warc_ts" in plan
 
 
+def test_filter_unprocessed(spark, pages):
+    from gocrd_spark.pipeline import filter_unprocessed
+
+    extracted = extract_pages(pages.limit(0))  # nothing done yet
+    assert filter_unprocessed(pages, extracted).count() == N_DOCS
+    # half done -> only the other half remains
+    done = extract_pages(pages.filter("lang = 'de'"))
+    remaining = filter_unprocessed(pages, done)
+    assert remaining.count() == pages.filter("lang != 'de'").count()
+    assert remaining.filter("lang = 'de'").count() == 0
+
+
 class TestResume:
     def _write_input(self, spark, pages, tmp_path) -> str:
         path = str(tmp_path / "pages_in")
