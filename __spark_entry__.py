@@ -78,7 +78,16 @@ def entry(spark: SparkSession) -> DataFrame:
     from gocrd_spark.pipeline import extract_pages
 
     pages = _pages(spark, "/root/testdata/sf0.001")
-    out = extract_pages(pages, num_partitions=8)
+    # oversize routing + OOM guard are part of the production plan shape
+    # (SURVEY.md §4.3): thresholds chosen so no sf0.001 row is affected —
+    # output is row-identical to the unrouted plan, but the driver
+    # exercises the two-tier union and the max-bytes guard end to end.
+    out = extract_pages(
+        pages,
+        num_partitions=8,
+        oversize_bytes=64 * 1024,
+        max_doc_bytes=64 * 1024 * 1024,
+    )
     return out.select(
         "url", "text", F.size(F.coalesce(F.col("spans"), F.array())).alias("n_spans"),
         "error",
@@ -240,7 +249,9 @@ def _q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs(spark, sf_dir), n=2, max_hamming=6)
+    # max_hamming=3 matches the banding's recall guarantee (pigeonhole
+    # over the block combinations); higher h would silently under-recall.
+    return simhash_near_dups(_docs(spark, sf_dir), n=2, max_hamming=3)
 
 
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,14 +286,18 @@ def _q_emb_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded to one BIGINT row per (label, dimension) — the oracle
+    canonicalizer can't sort/hash array columns (CLAUDE.md parity rule:
+    oracle-checked outputs carry only BIGINT/VARCHAR)."""
     from gocrd_spark.operators.similarity import label_centroids
 
     c = label_centroids(_emb(spark, sf_dir))
     return c.select(
+        "label", F.posexplode("centroid").alias("pos", "v"), "n"
+    ).select(
         "label",
-        F.transform(
-            F.col("centroid"), lambda v: F.round(v * 1_000_000).cast("long")
-        ).alias("centroid_e6"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("v") * 1_000_000).cast("long").alias("centroid_e6"),
         "n",
     )
 
@@ -292,7 +307,9 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation expressed as batch — the same plan a Structured Streaming
     job would produce for this window)."""
     ev = _events(spark, sf_dir)
-    win = (F.unix_timestamp("ts") / 300).cast("long") * 300
+    # floor (not cast-truncation) so negative-epoch timestamps window the
+    # same as the oracle's floor()
+    win = F.floor(F.unix_timestamp("ts") / 300) * 300
     return (
         ev.groupBy(win.alias("window_start"), "event_type")
         .agg(
@@ -705,11 +722,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT label, pos, avg(val::DOUBLE) AS avg_val, count(*) AS n
               FROM ex GROUP BY label, pos)
             SELECT label,
-                   list_transform(list_sort(list(struct_pack(pos := pos, avg_val := avg_val)),
-                                  'ASC'), s -> CAST(round(round(s.avg_val, 6) * 1000000) AS BIGINT))
-                     AS centroid_e6,
-                   any_value(n) AS n
-            FROM per_dim GROUP BY label
+                   CAST(pos - 1 AS BIGINT) AS pos,
+                   CAST(round(round(avg_val, 6) * 1000000) AS BIGINT) AS centroid_e6,
+                   n::BIGINT AS n
+            FROM per_dim
         """,
         "events_window": """
             SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,

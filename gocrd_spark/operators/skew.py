@@ -15,6 +15,8 @@ explicit, plan-time fallback the north rule calls out.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,15 +27,26 @@ def salted_join(
     on: str,
     salt_buckets: int = 8,
     how: str = "inner",
+    salt_cols: Optional[list[str]] = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: big ⋈ small on ``on``.
 
     Output is row-identical to ``big.join(small, on, how)`` for inner
     and left joins (each big row matches exactly one replicated salt
     copy of its key).
+
+    The salt is a DETERMINISTIC function of the big side's columns
+    (``salt_cols`` if given, else every column): a nondeterministic salt
+    (e.g. from monotonically_increasing_id) feeding a shuffle key can
+    re-salt rows differently between task attempts after a fetch
+    failure, duplicating or dropping rows across the retry boundary.
+    Hot keys still spread because their non-key columns vary per row;
+    pass ``salt_cols`` naming a high-cardinality stable column (a row
+    id, url, ...) when the default hash-everything is too wide.
     """
+    cols = [F.col(c) for c in (salt_cols or big.columns)]
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*cols), F.lit(salt_buckets)).cast("int")
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
     replicated_small = small.select("*", salts)
