@@ -64,12 +64,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gocrd_spark.operators.multimodal import synth_media_pdf
+    """Deterministic media table, materialized as parquet so the DuckDB
+    oracles can recompute expected outputs from the same payload bytes."""
+    from gocrd_spark.operators.multimodal import ensure_media_parquet
 
     n = max(int(_sf_of(sf_dir) * 10_000), 10)
-    return spark.createDataFrame(
-        synth_media_pdf(n), schema="id long, kind string, payload binary"
-    )
+    return spark.read.parquet(ensure_media_parquet(n))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -190,14 +190,24 @@ def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.multimodal import resize_images
 
-    return resize_images(_media(spark, sf_dir), width=4, height=4, fake=True)
+    out = resize_images(_media(spark, sf_dir), width=4, height=4, fake=True)
+    return out.select(
+        "id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_r", "mean_g", "mean_b", "error",
+    )
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.multimodal import sample_frames
 
     media = _media(spark, sf_dir)
-    return sample_frames(media.filter("kind = 'video'"), every_n=3, fake=True)
+    out = sample_frames(media.filter("kind = 'video'"), every_n=3, fake=True)
+    return out.select(
+        "id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_hash", "error",
+    )
 
 
 def _q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,12 +429,16 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.multimodal import extract_features
 
     feats = extract_features(_media(spark, sf_dir), fake=True)
+    # cast the float32 element to double BEFORE the *1e6 scale so the
+    # arithmetic is double on both engines (float32*int stays float32 in
+    # Spark, which would diverge from the oracle's double product)
     return feats.select(
         "id",
         "kind",
-        "width",
-        "height",
-        F.round(F.element_at("feature", 1) * 1_000_000).cast("long").alias("f0_e6"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.element_at("feature", 1).cast("double") * 1_000_000)
+        .cast("long").alias("f0_e6"),
         "error",
     )
 
@@ -807,5 +821,69 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        **_multimodal_oracles(),
+    }
+
+
+def _multimodal_oracles() -> dict[str, str]:
+    """DuckDB twins for the multimodal queries, recomputed from the RAW
+    payload bytes (not by calling the fake decoders): the fake decode
+    contract is pixels = sha256(payload) tiled to 8x8x3, so the expected
+    features/means/frame hashes are sha256 + hex-pair arithmetic over
+    the shared media parquet. Valid at sf0.01 (driver oracle scale)."""
+    from gocrd_spark.operators.multimodal import ensure_media_parquet
+
+    path = ensure_media_parquet(100)  # n at the driver's sf0.01
+
+    def byte_at(pos_expr: str) -> str:
+        # 0-based byte of the sha256 hex digest h
+        return (
+            f"((strpos('0123456789abcdef', substr(h, ({pos_expr})*2+1, 1))-1)*16"
+            f" + (strpos('0123456789abcdef', substr(h, ({pos_expr})*2+2, 1))-1))"
+        )
+
+    # full-image per-channel-0 mean over 64 pixels: tiled[3p] = digest[(3p)%32]
+    f0_sum = (
+        "list_sum(list_transform(range(0, 64), p -> " + byte_at("(3*p)%32") + "))"
+    )
+    # nearest-neighbor 8x8 -> 4x4 keeps pixels (y,x) in {0,2,4,6}^2
+    resize_positions = [y * 8 + x for y in (0, 2, 4, 6) for x in (0, 2, 4, 6)]
+    pos_list = "[" + ", ".join(str(p) for p in resize_positions) + "]"
+    chan_means = []
+    for c, name in ((0, "mean_r"), (1, "mean_g"), (2, "mean_b")):
+        s = f"list_sum(list_transform({pos_list}, p -> {byte_at(f'(3*p+{c})%32')}))"
+        chan_means.append(
+            f"CAST(floor(CAST({s} AS DOUBLE)/16.0) AS BIGINT) AS {name}"
+        )
+    return {
+        "multimodal_features": f"""
+            WITH m AS (SELECT id, kind, sha256(CAST(payload AS VARCHAR)) AS h
+                       FROM read_parquet('{path}'))
+            SELECT id, kind, 8::BIGINT AS width, 8::BIGINT AS height,
+                   CAST(round(CAST(CAST({f0_sum} AS DOUBLE)/64.0/255.0 AS FLOAT)::DOUBLE
+                        * 1000000) AS BIGINT) AS f0_e6,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM m
+        """,
+        "multimodal_resize": f"""
+            WITH m AS (SELECT id, sha256(CAST(payload AS VARCHAR)) AS h
+                       FROM read_parquet('{path}'))
+            SELECT id, 4::BIGINT AS width, 4::BIGINT AS height,
+                   {", ".join(chan_means)},
+                   CAST(NULL AS VARCHAR) AS error
+            FROM m
+        """,
+        "video_frame_sample": f"""
+            WITH v AS (SELECT id, CAST(payload AS VARCHAR) AS p,
+                              octet_length(payload)::INT AS len
+                       FROM read_parquet('{path}') WHERE kind = 'video'),
+            f AS (SELECT id, p,
+                         unnest(list_slice(range(0, 1 + len % 20, 3), 1, 5)) AS frame_idx
+                  FROM v)
+            SELECT id, frame_idx::BIGINT AS frame_idx,
+                   substr(sha256(p || ':' || frame_idx::VARCHAR), 1, 16) AS frame_hash,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM f
         """,
     }

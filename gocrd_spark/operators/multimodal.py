@@ -38,8 +38,11 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 array.
 
     STUB: real decoding needs an image library not present in this
-    container. ``fake=True`` yields a deterministic 8x8x3 array derived
-    from the payload's sha256 — stable across runs and processes.
+    container. ``fake=True`` yields a deterministic 8x8x3 array whose
+    pixel bytes are the payload's sha256 digest tiled to 192 bytes —
+    stable across runs/processes AND recomputable by the DuckDB oracle
+    from the raw payload (sha256 + hex-pair arithmetic), so the
+    multimodal driver queries get a genuinely independent check.
     """
     if not fake:
         raise NotImplementedError(
@@ -47,8 +50,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             "not available in this environment — use fake=True for plumbing tests"
         )
     digest = hashlib.sha256(payload).digest()
-    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    return np.frombuffer(digest * 6, dtype=np.uint8)[: 8 * 8 * 3].reshape(8, 8, 3)
 
 
 def extract_features_batch(pdf: pd.DataFrame, fake: bool = True) -> pd.DataFrame:
@@ -156,8 +158,10 @@ def sample_frames(media: DataFrame, every_n: int = 3, max_frames: int = 5,
                     for idx in range(0, n_frames, every_n)[:max_frames]:
                         out["id"].append(row.id)
                         out["frame_idx"].append(idx)
+                        # ASCII ':idx' suffix (not packed bytes) so the
+                        # DuckDB oracle can recompute the hash over VARCHAR
                         out["frame_hash"].append(
-                            hashlib.sha256(payload + idx.to_bytes(4, "big")).hexdigest()[:16]
+                            hashlib.sha256(payload + f":{idx}".encode()).hexdigest()[:16]
                         )
                         out["error"].append(None)
                 except Exception as exc:
@@ -174,7 +178,11 @@ def synth_media_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic fake media table for tests."""
     rows = []
     for i in range(n):
-        digest = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        # printable-ASCII payload bytes (hexdigest text): still an opaque
+        # binary column to the engine, but the DuckDB oracle can CAST the
+        # BLOB to VARCHAR and recompute sha256 over the identical bytes
+        # (DuckDB 1.0 has no BLOB digest functions)
+        digest = hashlib.sha256(f"{seed}:{i}".encode()).hexdigest().encode()
         rows.append(
             {
                 "id": i,
@@ -183,3 +191,46 @@ def synth_media_pdf(n: int, seed: int = 42) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+# bump when synth_media_pdf or the fake decode contract changes — cached
+# media parquet embeds this so stale tables are never reused
+MEDIA_VERSION = 3
+
+
+def media_parquet_path(n: int, seed: int = 42) -> str:
+    import os
+
+    return os.path.join(
+        "/tmp", "gocrd_media_cache", f"v{MEDIA_VERSION}_s{seed}_n{n}.parquet"
+    )
+
+
+def ensure_media_parquet(n: int, seed: int = 42) -> str:
+    """Materialize the deterministic media table as one parquet file so
+    BOTH sides of the driver check read the same input: Spark runs the
+    mapInPandas kernels over it, the DuckDB oracle recomputes the
+    expected outputs from the raw payload bytes (sha256 + hex-pair
+    arithmetic). Written atomically (tmp + rename) — safe under
+    concurrent callers."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = media_parquet_path(n, seed)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pdf = synth_media_pdf(n, seed)
+        table = pa.table(
+            {
+                "id": pa.array(pdf["id"], pa.int64()),
+                "kind": pa.array(pdf["kind"], pa.string()),
+                "payload": pa.array([bytes(p) for p in pdf["payload"]], pa.binary()),
+            }
+        )
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, path)
+    return path
