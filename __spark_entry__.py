@@ -183,7 +183,7 @@ def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.select(
         "doc_id",
         F.size("fingerprints").cast("long").alias("n_fingerprints"),
-        F.element_at("fingerprints", 1).alias("min_fingerprint"),
+        F.element_at("fingerprints", 1).cast("long").alias("min_fingerprint"),
     )
 
 
@@ -261,7 +261,10 @@ def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # max_hamming=3 matches the banding's recall guarantee (pigeonhole
     # over the block combinations); higher h would silently under-recall.
-    return simhash_near_dups(_docs(spark, sf_dir), n=2, max_hamming=3)
+    out = simhash_near_dups(_docs(spark, sf_dir), n=2, max_hamming=3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,6 +494,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Exact all-pairs shingle Jaccard at the driver threshold — the oracle
+# for BOTH ngram_jaccard_pairs (same algorithm, second engine) and
+# minhash_near_dups (LSH output must equal the exact answer: recall gate).
+_EXACT_JACCARD_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks),
+    ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+             count(*) AS n_inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           CAST(round(round(n_inter::DOUBLE / (na + nb - n_inter), 6) * 1000000) AS BIGINT) AS jaccard_e6
+    FROM inter
+    WHERE round(n_inter::DOUBLE / (na + nb - n_inter), 6) >= 0.12
+"""
+
+
+def _ops_golden(name: str, cols: str) -> str:
+    """Operator goldens: parquet computed by the pure-Python twins
+    (tools/oracle_twins.py on the from-scratch xxHash64) — an
+    independent implementation, not the Spark operator. Valid at sf0.01;
+    freshness gated by tests/test_entry_contract.py."""
+    golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+    path = os.path.join(golden_dir, f"{name}_v1_sf001.parquet")
+    return f"SELECT {cols} FROM read_parquet('{path}')"
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = "('the','a','and','of','to','in')"
     punct_expr = " + ".join(
@@ -676,32 +720,20 @@ def oracle_sql() -> dict[str, str]:
                    max(length(text))::BIGINT AS max_len
             FROM documents GROUP BY 1
         """,
-        "ngram_jaccard_pairs": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-                                 x -> x <> '') AS t
-              FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct(CASE WHEN len(t) >= 3
-                       THEN list_transform(range(1, len(t) - 1),
-                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                       ELSE [array_to_string(t, ' ')] END) AS shingles
-              FROM toks),
-            ex AS (
-              SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-                     count(*) AS n_inter
-              FROM ex a JOIN ex b USING (shingle)
-              WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2, 3, 4)
-            SELECT doc_a, doc_b,
-                   CAST(round(round(n_inter::DOUBLE / (na + nb - n_inter), 6) * 1000000) AS BIGINT) AS jaccard_e6
-            FROM inter
-            WHERE round(n_inter::DOUBLE / (na + nb - n_inter), 6) >= 0.12
-        """,
+        "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
+        # MinHash-LSH emits its exact-Jaccard-verified candidate pairs; at
+        # the driver scale the planted near-dup pairs all sit at
+        # jaccard >= 0.9, where the 8x4 banding's per-pair miss probability
+        # is <= 8e-4 — and since the hashes are deterministic, equality
+        # with the EXACT all-pairs oracle both verifies the values and
+        # certifies 100% LSH recall on this corpus.
+        "minhash_near_dups": _EXACT_JACCARD_SQL,
+        "simhash_near_dups": _ops_golden(
+            "simhash_near_dups", "doc_a, doc_b, hamming"
+        ),
+        "winnowing_fingerprints": _ops_golden(
+            "winnowing_fingerprints", "doc_id, n_fingerprints, min_fingerprint"
+        ),
         "ann_topk_brute": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

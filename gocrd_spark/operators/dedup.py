@@ -233,10 +233,62 @@ def simhash64(docs: DataFrame, n: int = 2) -> DataFrame:
     return hashed.select("doc_id", bitvote("hs").alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, n: int = 2, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band join on 16-bit chunks (pigeonhole:
-    hamming<=3 over 4 chunks -> at least one identical chunk), then exact
-    hamming filter via bit_count(xor)."""
+def simhash_bands(max_hamming: int) -> tuple[list[int], list[int], list[tuple[int, ...]]]:
+    """Banding plan for a given hamming radius h: split the 64 bits into
+    m near-equal blocks and band on every ``combo_size``-subset of
+    blocks, concatenated into one integer key.
+
+    - h errors corrupt at most h blocks, so >= m-h blocks are clean; a
+      band whose blocks are all clean matches exactly (pigeonhole) —
+      recall is guaranteed when combo_size <= m-h.
+    - defaults pick m=2h, combo=h: band keys carry ~32 bits, so bucket
+      cardinality is ~2^32 (not the 2^16 of single 16-bit chunks, which
+      degenerates toward all-pairs on 10^9+ docs), at C(2h,h) bands.
+    - if C(2h,h) explodes (large h), fall back to m=h+1 single-block
+      bands — the guarantee holds, with narrower keys (documented
+      scale cost of asking for a big radius).
+
+    Returns (block widths, block bit offsets, band combos).
+    """
+    import math
+    from itertools import combinations
+
+    h = max(int(max_hamming), 1)
+    m, k = 2 * h, h
+    if math.comb(m, k) > 64:
+        m, k = h + 1, 1
+    widths = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
+    offsets = [sum(widths[:i]) for i in range(m)]
+    return widths, offsets, list(combinations(range(m), k))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    n: int = 2,
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band join on block-combination keys
+    (simhash_bands — guaranteed recall for hamming <= max_hamming, ~2^32
+    key cardinality at the default radius), then exact hamming filter
+    via bit_count(xor).
+
+    ``max_bucket`` drops band buckets holding more members than the cap
+    before the self-join — the skew valve at crawl scale, where a
+    degenerate key (empty docs, boilerplate) would otherwise fan out
+    quadratically. None disables. Default leaves every tested corpus
+    untouched."""
+    widths, offsets, combos = simhash_bands(max_hamming)
+
+    def band_key(combo: tuple[int, ...]) -> Column:
+        key = F.lit(0).cast("long")
+        for b in combo:
+            block = F.shiftright(F.col("simhash"), offsets[b]).bitwiseAND(
+                F.lit((1 << widths[b]) - 1)
+            )
+            key = F.shiftleft(key, widths[b]).bitwiseOR(block)
+        return key
+
     sig = simhash64(docs, n)
     chunks = sig.select(
         "doc_id",
@@ -244,20 +296,23 @@ def simhash_near_dups(docs: DataFrame, n: int = 2, max_hamming: int = 3) -> Data
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
-                    )
-                    for c in range(4)
+                    F.struct(F.lit(i).alias("band"), band_key(c).alias("key"))
+                    for i, c in enumerate(combos)
                 ]
             )
-        ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk_id", "cc.chunk")
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    if max_bucket is not None:
+        ok = (
+            chunks.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket)
+            .select("band", "key")
+        )
+        chunks = chunks.join(ok, ["band", "key"], "left_semi")
     pairs = (
         chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk_id", "chunk"])
+        .join(chunks.alias("y"), ["band", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),

@@ -42,6 +42,9 @@ def test_goldens_fresh():
     for name, fresh in gen_goldens.build_tables(gen_goldens.N_DOCS_SF001).items():
         committed = pq.read_table(gen_goldens.golden_path(name))
         assert committed.equals(fresh), f"stale golden: {name} — rerun tools/gen_goldens.py"
+    for name, fresh in gen_goldens.build_operator_tables().items():
+        committed = pq.read_table(gen_goldens.ops_golden_path(name))
+        assert committed.equals(fresh), f"stale golden: {name} — rerun tools/gen_goldens.py"
 
 
 def test_oracle_sql_is_valid_duckdb():

@@ -1,11 +1,15 @@
-"""Generate golden parquet files for the extraction queries' DuckDB
-oracles — produced by the PURE-PYTHON kernel (no Spark), so the driver's
-oracle comparison pits the distributed pipeline against an independent
-single-process implementation of the same semantics.
+"""Generate golden parquet files for the driver's DuckDB oracles —
+produced by INDEPENDENT pure-Python implementations (no Spark), so the
+driver's oracle comparison pits the distributed pipeline against a
+second implementation of the same semantics:
 
-Keyed by DATAGEN_VERSION; tests/test_entry_contract.py asserts the
-committed files match a fresh in-memory regeneration, so a datagen or
-kernel change cannot silently ship stale goldens.
+- extraction goldens: the pure-Python kernel over the synthetic pages;
+- operator goldens (simhash / winnowing): the oracle_twins module,
+  built on the from-scratch xxHash64 in gocrd_spark.pyxxh.
+
+Keyed by DATAGEN_VERSION / OPS_GOLDEN_VERSION; tests/test_entry_contract.py
+asserts the committed files match a fresh regeneration, so a datagen or
+operator change cannot silently ship stale goldens.
 
 Usage: python tools/gen_goldens.py
 """
@@ -20,11 +24,14 @@ import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from gocrd_spark import datagen  # noqa: E402
 from gocrd_spark.extract import extract_any_document, mets_records  # noqa: E402
 
 N_DOCS_SF001 = 1000  # matches __spark_entry__._pages at sf0.01
+TESTDATA_SF001 = "/root/testdata/sf0.01"
+OPS_GOLDEN_VERSION = 1  # bump when an operator twin's params/semantics change
 
 
 def build_tables(n_docs: int) -> dict[str, pa.Table]:
@@ -61,9 +68,53 @@ def build_tables(n_docs: int) -> dict[str, pa.Table]:
     }
 
 
+def _load_documents(sf_dir: str = TESTDATA_SF001) -> list[tuple[int, str]]:
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def build_operator_tables(
+    docs: list[tuple[int, str]] | None = None,
+) -> dict[str, pa.Table]:
+    """Operator goldens from the pure-Python twins (oracle_twins) over
+    the driver's sf0.01 documents table — shaped exactly like the
+    corresponding __spark_entry__ query outputs."""
+    import oracle_twins as tw
+
+    docs = docs if docs is not None else _load_documents()
+    sh = tw.simhash_near_dups(docs, n=2, max_hamming=3)
+    winnow = []
+    for doc_id, text in docs:
+        fps = tw.winnowing_fingerprints(text)
+        winnow.append((doc_id, len(fps), fps[0]))
+    i64 = pa.int64()
+    return {
+        "simhash_near_dups": pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in sh], i64),
+                "doc_b": pa.array([r[1] for r in sh], i64),
+                "hamming": pa.array([r[2] for r in sh], i64),
+            }
+        ),
+        "winnowing_fingerprints": pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in winnow], i64),
+                "n_fingerprints": pa.array([r[1] for r in winnow], i64),
+                "min_fingerprint": pa.array([r[2] for r in winnow], i64),
+            }
+        ),
+    }
+
+
 def golden_path(name: str) -> str:
     return os.path.join(
         REPO, "goldens", f"{name}_v{datagen.DATAGEN_VERSION}_sf001.parquet"
+    )
+
+
+def ops_golden_path(name: str) -> str:
+    return os.path.join(
+        REPO, "goldens", f"{name}_v{OPS_GOLDEN_VERSION}_sf001.parquet"
     )
 
 
@@ -71,6 +122,10 @@ def main() -> int:
     os.makedirs(os.path.join(REPO, "goldens"), exist_ok=True)
     for name, table in build_tables(N_DOCS_SF001).items():
         path = golden_path(name)
+        pq.write_table(table, path, compression="zstd")
+        print(f"{path}: {table.num_rows} rows")
+    for name, table in build_operator_tables().items():
+        path = ops_golden_path(name)
         pq.write_table(table, path, compression="zstd")
         print(f"{path}: {table.num_rows} rows")
     return 0
