@@ -280,13 +280,18 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_cells=64: realistic cell count, possible because the quantizer is
+    # a broadcast DataFrame (plan size independent of n_cells)
     from gocrd_spark.operators.similarity import topk_ivf
 
     return topk_ivf(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=10,
-                    n_cells=8, n_probe=4)
+                    n_cells=64, n_probe=16)
 
 
 def _q_emb_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(N²) crossJoin — the VERIFICATION BASELINE, kept driver-visible
+    under the *_exact_baseline name; the flagship near-dup entry is the
+    LSH path (embedding_near_dups)."""
     from gocrd_spark.operators.similarity import embedding_near_dups_exact
 
     return embedding_near_dups_exact(_emb(spark, sf_dir), threshold=0.42)
@@ -469,12 +474,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_bpe": _q_token_stats_bpe,
         "winnowing_fingerprints": _q_winnowing,
         "training_set_filter": _q_training_set,
-        # similarity search (embeddings)
+        # similarity search (embeddings) — the flagship near-dup entry is
+        # the bucketed LSH path; the crossJoin survives only as the
+        # clearly-named exact baseline
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
-        "embedding_near_dups": _q_emb_dups_exact,
-        "embedding_near_dups_lsh": _q_emb_dups_lsh,
+        "embedding_near_dups": _q_emb_dups_lsh,
+        "embedding_near_dups_exact_baseline": _q_emb_dups_exact,
         "label_centroids": _q_centroids,
         # events analytics (streaming-shaped batch)
         "events_window": _q_events_window,
@@ -749,7 +756,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
         """,
-        "embedding_near_dups": """
+        "embedding_near_dups_exact_baseline": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(round(round(list_dot_product(a.v, b.v)
@@ -760,6 +767,14 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
                      * 1000000) AS BIGINT) >= 420000
         """,
+        # LSH/IVF goldens: pure-Python twins replicating Spark's sequential
+        # vector folds bit-for-bit (tools/oracle_twins.py); recall vs the
+        # exact baseline is separately pytest-gated
+        "embedding_near_dups": _ops_golden(
+            "embedding_near_dups", "id_a, id_b, cos_e6"
+        ),
+        "ann_topk_lsh": _ops_golden("ann_topk_lsh", "query_id, neighbor_id, rank"),
+        "ann_topk_ivf": _ops_golden("ann_topk_ivf", "query_id, neighbor_id, rank"),
         "label_centroids": """
             WITH ex AS (
               SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val

@@ -217,48 +217,83 @@ def embedding_near_dups_lsh(
     ).filter(F.col("cos_e6") >= int(threshold * 1_000_000))
 
 
-def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """Index of the nearest centroid (L2) as a column expression — the
-    centroid table is tiny, so it ships as literals inside the plan and
-    assignment is a narrow map (no join, no shuffle)."""
-    dists = []
-    for centroid in centroids:
-        lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-        diff = F.zip_with(vec_col, lit_c, lambda a, b: a.cast("double") - b)
-        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d))
-    arr = F.array(*dists)
-    return F.array_position(arr, F.array_min(arr)).cast("int") - 1
+def _dist2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two vector columns (double fold)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
-def kmeans_centroids(
+def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via a broadcast join: every vector
+    meets the (tiny) centroid table, min_by picks the closest cell with
+    a deterministic (distance, cell) tie-break. Plan size is independent
+    of n_cells — no centroid literals are compiled into the plan, so
+    this scales to the 4k-64k cells a real IVF uses.
+    Returns (vec_id, cell)."""
+    d = (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "cell",
+            _dist2(F.col("embedding"), F.col("centroid")).alias("d2"),
+        )
+    )
+    return d.groupBy("vec_id").agg(
+        F.min_by("cell", F.struct("d2", "cell")).alias("cell")
+    )
+
+
+def kmeans_centroids_df(
     embeddings: DataFrame, n_cells: int = 16, n_iters: int = 2
-) -> list[list[float]]:
-    """Coarse k-means for the IVF quantizer: deterministic seeding (the
-    n_cells lowest vec_ids), Lloyd iterations as Spark jobs (assignment
-    is a narrow map; the per-cell mean is one groupBy over
-    posexploded dims). Driver holds only n_cells x dim floats."""
-    seeds = (
+) -> DataFrame:
+    """Coarse k-means quantizer for IVF, entirely as DataFrame ops:
+    seeds are the n_cells lowest vec_ids; each Lloyd iteration assigns
+    via the broadcast join and recomputes per-cell means with one
+    groupBy over posexploded dims. The driver never materializes the
+    centroids and the plan carries no per-cell literals (contrast the
+    collect-per-iteration + literal-array quantizer this replaces).
+
+    Centroid dims are rounded to 6 decimals each iteration so the
+    assignment is stable across engines/aggregation orders (the oracle
+    twin recomputes the same rounded values).
+    Returns (cell int, centroid array<double>).
+    """
+    w = Window.orderBy("vec_id")
+    cent = (
         embeddings.orderBy("vec_id")
         .limit(n_cells)
-        .select("embedding")
-        .collect()
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            F.transform(
+                "embedding", lambda v: F.round(v.cast("double"), 6)
+            ).alias("centroid"),
+        )
     )
-    centroids = [[float(x) for x in r.embedding] for r in seeds]
     for _ in range(n_iters):
-        assigned = embeddings.select(
-            _nearest_cell(F.col("embedding"), centroids).alias("cell"),
-            F.posexplode("embedding").alias("pos", "val"),
+        assigned = assign_cells(embeddings, cent)
+        exploded = assigned.join(embeddings, "vec_id").select(
+            "cell", F.posexplode("embedding").alias("pos", "val")
         )
-        rows = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .collect()
+        per_dim = exploded.groupBy("cell", "pos").agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
         )
-        new = {c: list(cent) for c, cent in enumerate(centroids)}
-        for r in rows:
-            new[r.cell][r.pos] = r.m
-        centroids = [new[c] for c in range(n_cells)]
-    return centroids
+        cent = (
+            per_dim.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+            .select(
+                "cell", F.transform("pairs", lambda p: p["m"]).alias("centroid")
+            )
+        )
+    return cent
 
 
 def topk_ivf(
@@ -274,28 +309,39 @@ def topk_ivf(
 
     At 10^12 vectors: the corpus scan touches ~n_probe/n_cells of the
     data per query batch; cell assignment is computed once and is
-    naturally persisted as a partition column of the vector table.
+    naturally persisted as a partition column of the vector table. The
+    quantizer is kmeans_centroids_df — centroids live in a broadcast
+    DataFrame, so n_cells can grow to real IVF sizes without inflating
+    the plan or the driver.
     """
-    centroids = kmeans_centroids(embeddings, n_cells, n_iters)
-    corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        _nearest_cell(F.col("embedding"), centroids).alias("cell"),
+    cent = kmeans_centroids_df(embeddings, n_cells, n_iters)
+    corpus = (
+        assign_cells(embeddings, cent)
+        .join(embeddings, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            "cell",
+        )
     )
-    # per-query probe list: distances to all cells, keep n_probe nearest
     queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    dists = []
-    for i, centroid in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-        diff = F.zip_with(F.col("q_emb"), lit_c, lambda a, b: a.cast("double") - b)
-        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d)
-        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
-    probe = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)
-    q_probed = queries.select(
-        "query_id", "q_emb", F.explode(probe).alias("p")
-    ).select("query_id", "q_emb", F.col("p.cell").alias("cell"))
+    # per-query probe list: broadcast-join the centroid table, keep the
+    # n_probe nearest cells (deterministic (d2, cell) tie-break)
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    q_probed = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_emb",
+            "cell",
+            _dist2(F.col("q_emb"), F.col("centroid")).alias("d2"),
+        )
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
     scored = (
         F.broadcast(q_probed)
         .join(corpus, "cell")

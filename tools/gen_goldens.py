@@ -87,22 +87,28 @@ def build_operator_tables(
     for doc_id, text in docs:
         fps = tw.winnowing_fingerprints(text)
         winnow.append((doc_id, len(fps), fps[0]))
+
+    emb = tw.load_embeddings(os.path.join(TESTDATA_SF001, "embeddings.parquet"))
+    qids = [0, 1, 2, 3, 4]
+    nd = tw.embedding_near_dups_lsh(emb, threshold=0.42)
+    lsh = tw.topk_lsh(emb, qids, k=10)
+    ivf = tw.topk_ivf(emb, qids, k=10, n_cells=64, n_probe=16)
+
     i64 = pa.int64()
+
+    def _t(rows: list[tuple], names: list[str]) -> pa.Table:
+        return pa.table(
+            {n: pa.array([r[i] for r in rows], i64) for i, n in enumerate(names)}
+        )
+
     return {
-        "simhash_near_dups": pa.table(
-            {
-                "doc_a": pa.array([r[0] for r in sh], i64),
-                "doc_b": pa.array([r[1] for r in sh], i64),
-                "hamming": pa.array([r[2] for r in sh], i64),
-            }
+        "simhash_near_dups": _t(sh, ["doc_a", "doc_b", "hamming"]),
+        "winnowing_fingerprints": _t(
+            winnow, ["doc_id", "n_fingerprints", "min_fingerprint"]
         ),
-        "winnowing_fingerprints": pa.table(
-            {
-                "doc_id": pa.array([r[0] for r in winnow], i64),
-                "n_fingerprints": pa.array([r[1] for r in winnow], i64),
-                "min_fingerprint": pa.array([r[2] for r in winnow], i64),
-            }
-        ),
+        "embedding_near_dups": _t(nd, ["id_a", "id_b", "cos_e6"]),
+        "ann_topk_lsh": _t(lsh, ["query_id", "neighbor_id", "rank"]),
+        "ann_topk_ivf": _t(ivf, ["query_id", "neighbor_id", "rank"]),
     }
 
 

@@ -119,6 +119,209 @@ def minhash_signature(text: str, n: int = 3, num_hashes: int = 32) -> list[int]:
     return [min(spark_xxhash64(s, i) for s in sh) for i in range(num_hashes)]
 
 
+# ---------------------------------------------------------------------------
+# embedding similarity twins
+#
+# Bit-exactness contract: Spark evaluates the vector folds (dot, norm,
+# squared distance) as SEQUENTIAL left folds over the array (aggregate /
+# zip_with), in IEEE double. The twins reproduce the identical operation
+# order, so candidate buckets, cosines and rankings match bit for bit.
+# Spark's round(x, s) is shortest-decimal-repr + HALF_UP (BigDecimal
+# .valueOf semantics) — mirrored with Decimal(repr(x)).
+# ---------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+
+def spark_round(x: float, scale: int) -> float:
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _norm(a) -> float:
+    acc = 0.0
+    for x in a:
+        acc += x * x
+    return acc ** 0.5
+
+
+def cosine(a, b) -> float:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _dist2(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return [[float(v) for v in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def _bucket(vec, planes) -> int:
+    b = 0
+    for i, plane in enumerate(planes):
+        if _dot(vec, plane) > 0:
+            b += 1 << i
+    return b
+
+
+def _lsh_tables(
+    emb: dict[int, list[float]], dim: int, n_planes: int, n_tables: int, seed: int
+) -> list[dict[int, list[int]]]:
+    """Per table: bucket -> sorted member vec_ids."""
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        buckets: dict[int, list[int]] = {}
+        for vid in sorted(emb):
+            buckets.setdefault(_bucket(emb[vid], planes), []).append(vid)
+        tables.append(buckets)
+    return tables
+
+
+def embedding_near_dups_lsh(
+    emb: dict[int, list[float]],
+    threshold: float = 0.42,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> list[tuple[int, int, int]]:
+    """Twin of similarity.embedding_near_dups_lsh. Returns sorted
+    (id_a, id_b, cos_e6)."""
+    cand: set[tuple[int, int]] = set()
+    for buckets in _lsh_tables(emb, dim, n_planes, n_tables, seed):
+        for members in buckets.values():
+            for i, a in enumerate(members):
+                for b in members[i + 1 :]:
+                    cand.add((a, b))
+    out = []
+    thr = int(threshold * 1_000_000)
+    for a, b in cand:
+        cos6 = spark_round(cosine(emb[a], emb[b]), 6)
+        cos_e6 = int(spark_round(cos6 * 1_000_000, 0))
+        if cos_e6 >= thr:
+            out.append((a, b, cos_e6))
+    return sorted(out)
+
+
+def _rank_topk(
+    scored: dict[int, dict[int, float]], k: int
+) -> list[tuple[int, int, int]]:
+    """(query -> neighbor -> cos9) -> (query_id, neighbor_id, rank) rows
+    with the (cos desc, neighbor asc) tie-break."""
+    out = []
+    for q in sorted(scored):
+        ranked = sorted(scored[q].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (nid, _) in enumerate(ranked, start=1):
+            out.append((q, nid, r))
+    return out
+
+
+def topk_lsh(
+    emb: dict[int, list[float]],
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> list[tuple[int, int, int]]:
+    """Twin of similarity.topk_lsh."""
+    tables = _lsh_tables(emb, dim, n_planes, n_tables, seed)
+    scored: dict[int, dict[int, float]] = {}
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        for q in query_ids:
+            for nid in tables[t].get(_bucket(emb[q], planes), []):
+                if nid != q:
+                    scored.setdefault(q, {}).setdefault(
+                        nid, spark_round(cosine(emb[q], emb[nid]), 9)
+                    )
+    return _rank_topk(scored, k)
+
+
+def _kmeans_centroids(
+    emb: dict[int, list[float]], n_cells: int, n_iters: int
+) -> dict[int, list[float]]:
+    """Twin of similarity.kmeans_centroids_df (rounded-mean Lloyd).
+    Returned as cell -> centroid: a cell that loses all members vanishes
+    WITHOUT renumbering the others (matching the groupBy semantics)."""
+    seeds = sorted(emb)[:n_cells]
+    cent = {i: [spark_round(x, 6) for x in emb[v]] for i, v in enumerate(seeds)}
+
+    def nearest(vec, cent) -> int:
+        return min(cent, key=lambda c: (_dist2(vec, cent[c]), c))
+
+    for _ in range(n_iters):
+        members: dict[int, list[int]] = {}
+        for vid in sorted(emb):
+            members.setdefault(nearest(emb[vid], cent), []).append(vid)
+        new = {}
+        for c, vids in members.items():
+            vecs = [emb[v] for v in vids]
+            dim = len(vecs[0])
+            new[c] = [
+                spark_round(sum(v[d] for v in vecs) / len(vecs), 6)
+                for d in range(dim)
+            ]
+        cent = new
+    return cent
+
+
+def topk_ivf(
+    emb: dict[int, list[float]],
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+) -> list[tuple[int, int, int]]:
+    """Twin of similarity.topk_ivf (over the rounded-mean quantizer)."""
+    cent = _kmeans_centroids(emb, n_cells, n_iters)
+    assign: dict[int, int] = {
+        vid: min(cent, key=lambda c: (_dist2(v, cent[c]), c))
+        for vid, v in emb.items()
+    }
+    cells: dict[int, list[int]] = {}
+    for vid, c in sorted(assign.items()):
+        cells.setdefault(c, []).append(vid)
+    scored: dict[int, dict[int, float]] = {}
+    for q in query_ids:
+        probes = sorted(cent, key=lambda c: (_dist2(emb[q], cent[c]), c))[:n_probe]
+        for c in probes:
+            for nid in cells.get(c, []):
+                if nid != q:
+                    scored.setdefault(q, {})[nid] = spark_round(
+                        cosine(emb[q], emb[nid]), 9
+                    )
+    return _rank_topk(scored, k)
+
+
+def load_embeddings(path: str) -> dict[int, list[float]]:
+    """vec_id -> vector as exact doubles (float32 -> double is exact)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    return {
+        int(v): [float(x) for x in e]
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+
+
 def minhash_lsh(
     docs: list[tuple[int, str]],
     n: int = 3,
