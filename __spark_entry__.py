@@ -563,10 +563,12 @@ def oracle_sql() -> dict[str, str]:
             "fr": ["le", "les", "et", "est", "ne"],
         }.items()
     }
-    # Golden-file oracles: parquet produced by the PURE-PYTHON kernel
-    # (tools/gen_goldens.py, no Spark involved), so the comparison pits
-    # the distributed pipeline against an independent implementation.
-    # Valid at sf0.01 (the driver's oracle scale); staleness is gated by
+    # Golden-file oracles: parquet produced WITHOUT running the kernel
+    # under test (tools/gen_goldens.py): synthetic rows' expectations are
+    # computed from the datagen template SPEC by offset arithmetic; the
+    # reference-fixture rows come from the independent expat walkers and
+    # are asserted against the FIXTURES.md §3-§4 pins. Valid at sf0.01
+    # (the driver's oracle scale); staleness gated by
     # tests/test_entry_contract.py::test_goldens_fresh.
     golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
 

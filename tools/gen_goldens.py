@@ -27,37 +27,151 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from gocrd_spark import datagen  # noqa: E402
-from gocrd_spark.extract import extract_any_document, mets_records  # noqa: E402
+from gocrd_spark.fastextract import extract_document_fast  # noqa: E402
 
 N_DOCS_SF001 = 1000  # matches __spark_entry__._pages at sf0.01
 TESTDATA_SF001 = "/root/testdata/sf0.01"
 OPS_GOLDEN_VERSION = 1  # bump when an operator twin's params/semantics change
 
+# Pinned contract values (FIXTURES.md §3-§4, derived from the reference's
+# own tests) — the fixture rows' goldens are checked against these, so a
+# regression in BOTH walkers cannot slip through silently.
+KANT_SHA256 = "7bac7349cf86baac9834073fbfd7e589efa9d716e28578d6940362a02c7ec065"
+KANT_SPANS = [  # (region_id, index, byte_start, byte_end, char_start, char_end)
+    ("r_1_1", 0, 0, 7, 0, 7),
+    ("r_2_1", 1, 8, 626, 8, 600),
+    ("r_2_2", 2, 627, 1585, 601, 1512),
+    ("r_2_3", 3, 1586, 1591, 1513, 1518),
+]
+METS_FIXTURE_ALTO_IDS = ["PAGE_0020_ALTO", "PAGE_0021_ALTO"]
+METS_FIXTURE_0020_URL = (
+    "https://github.com/OCR-D/assets/raw/master/data/kant_aufklaerung_1784/"
+    "alto/kant_aufklaerung_1784_0020.xml"
+)
+# the extraction contract's error row for manifests (extract.py routing)
+METS_ERROR = "METS manifest (no page text; use mets_files)"
+
+
+def _spans_from_blocks(blocks: list[tuple[str, int, str]]):
+    """Spec-level offset arithmetic: blocks joined by '\\n', spans carry
+    byte (UTF-8) and char offsets — written from the output contract
+    (FIXTURES.md §2), independent of gocrd_spark.spans."""
+    text_parts, spans = [], []
+    byte_off = char_off = 0
+    for region_id, index, text in blocks:
+        if text_parts:
+            byte_off += 1
+            char_off += 1
+        nb, nc = len(text.encode("utf-8")), len(text)
+        spans.append((region_id, index, byte_off, byte_off + nb, char_off, char_off + nc))
+        text_parts.append(text)
+        byte_off += nb
+        char_off += nc
+    return "\n".join(text_parts), spans
+
+
+def _expected_fixture_page(html: bytes):
+    """Kant fixture: extracted by the INDEPENDENT expat walker
+    (fastextract), then asserted against the FIXTURES.md §3 pins."""
+    import hashlib
+
+    res = extract_document_fast(html)
+    assert res["error"] is None
+    got_sha = hashlib.sha256(res["text"].encode("utf-8")).hexdigest()
+    assert got_sha == KANT_SHA256, f"kant text sha drifted: {got_sha}"
+    got_spans = [
+        (s["region_id"], s["index"], s["byte_start"], s["byte_end"],
+         s["char_start"], s["char_end"])
+        for s in res["spans"]
+    ]
+    assert got_spans == KANT_SPANS, f"kant spans drifted: {got_spans}"
+    return res["text"], got_spans
+
 
 def build_tables(n_docs: int) -> dict[str, pa.Table]:
+    """Extraction goldens, independent of the kernel under test:
+
+    - synthetic PAGE/HTML/METS rows: expected text/spans/file rows are
+      computed from the TEMPLATE SPEC (datagen.make_row_with_spec) by
+      spec-level arithmetic — no extractor runs at all;
+    - the two reference-fixture rows: extracted by the independent expat
+      walkers (fastextract / oracle_twins.mets_files_expat) and asserted
+      against the FIXTURES.md §3-§4 pinned values;
+    - garbage rows: the expat parse error (identical parser family and
+      message contract as the kernel's tolerance path).
+    """
+    import oracle_twins as tw
+
     text_rows = {"url": [], "text": [], "error": []}
     span_rows = {k: [] for k in (
         "url", "region_id", "ro_index", "byte_start", "byte_end",
         "char_start", "char_end")}
     mets_rows = {k: [] for k in (
         "url", "file_id", "mimetype", "flocat_type", "flocat_url")}
-    for i in range(n_docs):
-        row = datagen.make_row(i)
-        url, html = row["url"], row["html"]
-        result = extract_any_document(html)
+
+    def emit(url: str, text, spans, error) -> None:
         text_rows["url"].append(url)
-        text_rows["text"].append(result["text"])
-        text_rows["error"].append(result["error"])
-        for s in result["spans"] or []:
+        text_rows["text"].append(text)
+        text_rows["error"].append(error)
+        for s in spans or []:
             span_rows["url"].append(url)
-            span_rows["region_id"].append(s["region_id"])
-            span_rows["ro_index"].append(s["index"])
-            for k in ("byte_start", "byte_end", "char_start", "char_end"):
-                span_rows[k].append(s[k])
-        for rec in mets_records(html, mimetype="application/alto+xml"):
-            mets_rows["url"].append(url)
-            for k in ("file_id", "mimetype", "flocat_type", "flocat_url"):
-                mets_rows[k].append(rec[k])
+            for k, v in zip(
+                ("region_id", "ro_index", "byte_start", "byte_end",
+                 "char_start", "char_end"), s,
+            ):
+                span_rows[k].append(v)
+
+    for i in range(n_docs):
+        row, kind, spec = datagen.make_row_with_spec(i)
+        url, html = row["url"], row["html"]
+        if kind == "kant":
+            text, spans = _expected_fixture_page(html)
+            emit(url, text, spans, None)
+        elif kind == "mets_fixture":
+            emit(url, None, None, METS_ERROR)
+            recs = tw.mets_files_expat(html, mimetype="application/alto+xml")
+            assert [r["file_id"] for r in recs] == METS_FIXTURE_ALTO_IDS
+            assert recs[0]["flocat_url"] == METS_FIXTURE_0020_URL
+            for rec in recs:
+                mets_rows["url"].append(url)
+                for k in ("file_id", "mimetype", "flocat_type", "flocat_url"):
+                    mets_rows[k].append(rec[k])
+        elif kind == "garbage":
+            res = extract_document_fast(html)
+            assert res["error"] is not None
+            emit(url, None, None, res["error"])
+        elif kind == "mets":
+            emit(url, None, None, METS_ERROR)
+            for use, n_files in spec["group_files"]:
+                for j in range(n_files):
+                    mets_rows["url"].append(url)
+                    mets_rows["file_id"].append(f"{use}_{j:04d}")
+                    mets_rows["mimetype"].append("application/alto+xml")
+                    mets_rows["flocat_type"].append("URL")
+                    mets_rows["flocat_url"].append(
+                        f"https://files.test/{use}/{j:04d}.xml"
+                    )
+        elif kind == "html":
+            # boilerplate-strip contract: kept blocks are the <h1> and the
+            # <p>s; block ordinals follow the parser's block stream for
+            # this template (stray '\n' between </head> and <body> = 0,
+            # body=1, article=2, h1=3, inter-paragraph '\n' divs at even
+            # ordinals) -> h1 is b3, paragraph j is b{5+2j}
+            blocks = [("b3", 3, spec["title"])] + [
+                (f"b{5 + 2 * j}", 5 + 2 * j, p) for j, p in enumerate(spec["paras"])
+            ]
+            text, spans = _spans_from_blocks(blocks)
+            emit(url, text, spans, None)
+        else:  # page
+            entries = sorted(spec["ref_entries"], key=lambda e: e[0])
+            blocks = [
+                (rid, idx, spec["region_texts"][rid])
+                for idx, rid in entries
+                if rid in spec["region_texts"]  # dangling regionRef skipped
+            ]
+            text, spans = _spans_from_blocks(blocks)
+            emit(url, text, spans, None)
+
     return {
         "extract_text": pa.table(text_rows),
         "extract_spans": pa.table(

@@ -120,6 +120,80 @@ def minhash_signature(text: str, n: int = 3, num_hashes: int = 32) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
+# independent METS walker (expat) — golden generator for the reference
+# mets.xml fixture row, distinct from gocrd_spark.mets (ElementTree walk)
+# ---------------------------------------------------------------------------
+
+
+def mets_files_expat(data: bytes, mimetype: str = "") -> list[dict[str, str]]:
+    """Twin of extract.mets_records for the driver's mimetype query:
+    /mets/fileSec/fileGrp/file with local-name matching, first direct
+    FLocat child, attributes matched by local name in document order.
+    Returns [] for unparseable or non-METS payloads."""
+    from xml.parsers import expat
+
+    def local(name: str) -> str:
+        return name.rsplit(":", 1)[-1]
+
+    def attr(attrs: dict, want: str):
+        for key, value in attrs.items():
+            if key.rsplit(":", 1)[-1] == want:
+                return value
+        return None
+
+    stack: list[str] = []
+    rows: list[dict[str, str]] = []
+    state = {"cur": None, "root_ok": False}
+
+    def start(name, attrs):
+        ln = local(name)
+        if not stack:
+            state["root_ok"] = ln == "mets"
+        if state["root_ok"]:
+            if (
+                len(stack) == 3
+                and ln == "file"
+                and stack == ["mets", "fileSec", "fileGrp"]
+            ):
+                state["cur"] = {
+                    "file_id": attr(attrs, "ID") or "",
+                    "mimetype": attr(attrs, "MIMETYPE") or "",
+                    "flocat_type": "",
+                    "flocat_url": "",
+                    "_flocat_seen": False,
+                }
+            elif (
+                len(stack) == 4
+                and state["cur"] is not None
+                and ln == "FLocat"
+                and not state["cur"]["_flocat_seen"]
+            ):
+                state["cur"]["_flocat_seen"] = True
+                state["cur"]["flocat_type"] = attr(attrs, "LOCTYPE") or ""
+                state["cur"]["flocat_url"] = attr(attrs, "href") or ""
+        stack.append(ln)
+
+    def end(name):
+        stack.pop()
+        if len(stack) == 3 and local(name) == "file" and state["cur"] is not None:
+            cur = state["cur"]
+            state["cur"] = None
+            if not mimetype or cur["mimetype"] == mimetype:
+                rows.append(
+                    {k: cur[k] for k in ("file_id", "mimetype", "flocat_type", "flocat_url")}
+                )
+
+    parser = expat.ParserCreate(namespace_separator=None)
+    parser.StartElementHandler = start
+    parser.EndElementHandler = end
+    try:
+        parser.Parse(data, True)
+    except expat.ExpatError:
+        return []
+    return rows if state["root_ok"] else []
+
+
+# ---------------------------------------------------------------------------
 # embedding similarity twins
 #
 # Bit-exactness contract: Spark evaluates the vector folds (dot, norm,
