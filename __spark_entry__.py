@@ -235,9 +235,16 @@ def _q_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gocrd_spark.operators.dedup import ngram_jaccard_pairs
+    """Exact Jaccard over MinHash-LSH candidates — the crawl-scale wiring
+    (candidate verification is O(|candidates|), not per-shingle df²).
+    The oracle is the FULL exact all-pairs answer, so the green row also
+    certifies the candidate generation recalled every qualifying pair."""
+    from gocrd_spark.operators.dedup import minhash_candidates, ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.12)
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.12, candidates=minhash_candidates(docs, n=3)
+    )
     return pairs.select(
         "doc_a",
         "doc_b",

@@ -66,18 +66,61 @@ def shingle_docs(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", _shingles(F.col("text"), n).alias("shingles"))
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+def verify_jaccard_pairs(
+    docs: DataFrame, candidates: DataFrame, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram shingle *sets* via co-occurrence:
-    explode shingles, self-join per shingle, count intersections, then
-    |A∪B| = |A|+|B|-|A∩B|. Returns (doc_a, doc_b, jaccard) with
-    doc_a < doc_b and jaccard >= threshold.
+    """Exact shingle-set Jaccard over an explicit candidate-pair set
+    (doc_a, doc_b): joins each side's shingle array and intersects —
+    cost is O(|candidates|), never O(N²). The verification stage both
+    minhash_lsh and candidate-mode ngram_jaccard_pairs share."""
+    sh = shingle_docs(docs, n)
+    return (
+        candidates.select("doc_a", "doc_b")
+        .distinct()
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
-    Cost note: per-shingle fanout is df² — at crawl scale run it only on
-    LSH candidate buckets (minhash_lsh does exactly that); as a direct
-    operator it is exact and suits ≤10^6-doc partitions/samples.
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle *sets*. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+
+    ``candidates=None`` (exact mode): co-occurrence self-join — explode
+    shingles, join per shingle, count intersections, |A∪B|=|A|+|B|-|A∩B|.
+    Per-shingle fanout is df², so exact mode suits ≤10^6-doc
+    partitions/samples/audits.
+
+    ``candidates`` given (the crawl-scale path): verify ONLY those pairs
+    with exact Jaccard (array_intersect) — O(|candidates|). Feed it
+    minhash_candidates(...) and the result equals exact mode whenever the
+    LSH bands recall every qualifying pair (the driver oracle pins
+    exactly that equality on the test corpus).
     """
+    if candidates is not None:
+        return verify_jaccard_pairs(docs, candidates, n, threshold)
     sh = shingle_docs(docs, n).withColumn("n_sh", F.size("shingles"))
     exploded = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
     a = exploded.select(
@@ -121,23 +164,16 @@ def minhash_signature(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> Data
     return sh.select("doc_id", sig.alias("signature"))
 
 
-def minhash_lsh(
+def minhash_candidates(
     docs: DataFrame,
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """Banded-LSH candidate generation + exact Jaccard verification.
-
-    - signature split into ``bands`` bands of ``num_hashes/bands`` rows;
-    - bucket key = xxhash64 of the band slice -> groupBy (band, key);
-    - candidate pairs from same-bucket docs (self-join within bucket);
-    - verified with exact shingle-set Jaccard (array_intersect sizes) —
-      only candidates pay the verification, not all O(N²) pairs.
-
-    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
-    """
+    """Banded-LSH candidate pairs: signature split into ``bands`` bands
+    of ``num_hashes/bands`` rows; bucket key = xxhash64 of the band
+    slice; candidates = distinct same-bucket (doc_a < doc_b) pairs.
+    Shuffles only (band, bucket, doc_id) — never the text."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(docs, n, num_hashes)
     bands_df = sig.select(
@@ -162,7 +198,7 @@ def minhash_lsh(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    cand = (
+    return (
         bands_df.alias("x")
         .join(bands_df.alias("y"), ["band", "bucket"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -171,29 +207,23 @@ def minhash_lsh(
         )
         .distinct()
     )
-    sh = shingle_docs(docs, n)
-    verified = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
-            "doc_b",
-        )
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return verified
+
+
+def minhash_lsh(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation (minhash_candidates) + exact
+    Jaccard verification (verify_jaccard_pairs) — only candidates pay
+    the verification, not all O(N²) pairs.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    cand = minhash_candidates(docs, n, num_hashes, bands)
+    return verify_jaccard_pairs(docs, cand, n, threshold)
 
 
 def simhash64(docs: DataFrame, n: int = 2) -> DataFrame:
