@@ -222,6 +222,42 @@ def _q_nfc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import corpus_split
+
+    return corpus_split(_docs(spark, sf_dir))
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
+def _q_extracted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composition: the XML/HTML extraction kernel feeding the
+    JVM-side quality scorer — the oracle recomputes the same score over
+    the INDEPENDENTLY-generated golden extraction text, so a green row
+    checks the whole chain (kernel output -> analytics input)."""
+    from gocrd_spark.operators.textstats import quality_score
+    from gocrd_spark.pipeline import extract_pages
+
+    extracted = extract_pages(_pages(spark, sf_dir)).filter(
+        F.col("error").isNull() & F.col("text").isNotNull()
+    )
+    q = quality_score(extracted.select(F.col("url").alias("doc_id"), "text"))
+    return q.select(
+        F.col("doc_id").alias("url"),
+        F.round(F.col("quality") * 1_000_000).cast("long").alias("quality_e6"),
+    )
+
+
 def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.textstats import vocab_top_terms
 
@@ -478,6 +514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_fingerprint": _q_nfc_fingerprint,
         "vocab_top_terms": _q_vocab,
         "doclen_histogram": _q_doclen_hist,
+        "source_stats": _q_source_stats,
+        "corpus_split": _q_corpus_split,
+        "length_quantiles": _q_length_quantiles,
+        "extracted_quality": _q_extracted_quality,
         "token_stats_bpe": _q_token_stats_bpe,
         "winnowing_fingerprints": _q_winnowing,
         "training_set_filter": _q_training_set,
@@ -537,6 +577,44 @@ _EXACT_JACCARD_SQL = """
     FROM inter
     WHERE round(n_inter::DOUBLE / (na + nb - n_inter), 6) >= 0.12
 """
+
+
+def _extracted_quality_oracle() -> str:
+    """Quality formula recomputed over the INDEPENDENT golden extraction
+    text (spec-derived parquet) — checks the kernel->analytics chain."""
+    from gocrd_spark.datagen import DATAGEN_VERSION
+
+    golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+    path = os.path.join(golden_dir, f"extract_text_v{DATAGEN_VERSION}_sf001.parquet")
+    punct = " + ".join(
+        f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in [".", ",", "!", "?", ";", ":"]
+    )
+    digit = " + ".join(
+        f"(length(text) - length(replace(text, '{d}', '')))" for d in range(10)
+    )
+    return f"""
+        WITH t AS (
+          SELECT url, length(text)::DOUBLE AS n_chars,
+                 ({punct})::DOUBLE AS n_punct,
+                 ({digit})::DOUBLE AS n_digit,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+          FROM read_parquet('{path}')
+          WHERE error IS NULL AND text IS NOT NULL),
+        r AS (
+          SELECT url,
+                 CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> x IN ('the','a','and','of','to','in')))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS stop_ratio
+          FROM t)
+        SELECT url,
+               CAST(round(round(greatest(0.0, least(1.0,
+                    1.0 - punct_ratio*2 - digit_ratio*2 + least(stop_ratio, 0.2))), 6)
+                    * 1000000) AS BIGINT) AS quality_e6
+        FROM r
+    """
 
 
 def _ops_golden(name: str, cols: str) -> str:
@@ -736,6 +814,41 @@ def oracle_sql() -> dict[str, str]:
                    max(length(text))::BIGINT AS max_len
             FROM documents GROUP BY 1
         """,
+        "source_stats": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   sum(length(text))::BIGINT AS total_chars,
+                   CAST(round(avg(length(text)) * 1000000) AS BIGINT) AS avg_chars_e6,
+                   count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                     AS n_unique_texts
+            FROM documents GROUP BY source
+        """,
+        # bands must match corpus_split defaults: test < 25, valid < 50 (256*10%)
+        "corpus_split": """
+            WITH t AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef', substr(h, 1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(h, 2, 1))-1) AS bucket
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN bucket < 25 THEN 'test'
+                        WHEN bucket < 50 THEN 'valid'
+                        ELSE 'train' END AS split
+            FROM b
+        """,
+        "length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(round(quantile_cont(length(text)::DOUBLE, 0.5) * 1000000) AS BIGINT) AS p50_chars_e6,
+                   CAST(round(quantile_cont(length(text)::DOUBLE, 0.9) * 1000000) AS BIGINT) AS p90_chars_e6,
+                   CAST(round(quantile_cont(length(text)::DOUBLE, 0.99) * 1000000) AS BIGINT) AS p99_chars_e6
+            FROM documents GROUP BY lang
+        """,
+        "extracted_quality": _extracted_quality_oracle(),
         "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
         # MinHash-LSH emits its exact-Jaccard-verified candidate pairs; at
         # the driver scale the planted near-dup pairs all sit at

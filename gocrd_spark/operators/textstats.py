@@ -261,6 +261,61 @@ def training_set_filter(
     )
 
 
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus accounting — the first query any training-data
+    pipeline runs after ingestion: volume, language spread, size, and
+    exact-dup rate per source. One shuffle on the (low-cardinality)
+    source key with map-side partial aggregation; the md5 for the
+    distinct-text count is computed in the map stage so the exchange
+    carries 16-byte hashes, not text."""
+    h = F.md5(F.encode(_norm_ws(F.col("text")), "utf-8"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.round(F.avg(F.length("text")) * 1_000_000).cast("long").alias("avg_chars_e6"),
+        F.countDistinct(h).alias("n_unique_texts"),
+    )
+
+
+def corpus_split(
+    docs: DataFrame,
+    valid_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Deterministic content-stable train/valid/test assignment: bucket =
+    first byte of md5(normalized text) -> split by percentage bands.
+    Content-keyed (not row-keyed) so exact duplicates always land in the
+    same split — the leakage guard a training pipeline actually needs.
+    Narrow map + no shuffle; returns (doc_id, split)."""
+    bucket = F.conv(F.substring(F.md5(F.encode(_norm_ws(F.col("text")), "utf-8")), 1, 2), 16, 10).cast("int")
+    # bucket in [0, 255]; bands: test | valid | train
+    test_hi = int(256 * test_pct / 100)
+    valid_hi = test_hi + int(256 * valid_pct / 100)
+    split = (
+        F.when(bucket < test_hi, F.lit("test"))
+        .when(bucket < valid_hi, F.lit("valid"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Exact per-language length quantiles (p50/p90/p99, linear
+    interpolation) — corpus shape diagnostics; one shuffle on lang with
+    the classic sort-based exact percentile."""
+    ln = F.length("text").cast("double")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.percentile(ln, F.lit(p)) * 1_000_000)
+            .cast("long")
+            .alias(f"p{int(p * 100)}_chars_e6")
+            for p in (0.5, 0.9, 0.99)
+        ],
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over lowercased, whitespace-collapsed,
     trimmed text — the canonical pre-dedup normalization."""

@@ -1,0 +1,195 @@
+"""Scale-path guarantees for the round-2 hardened operators: physical
+plans stay bucketed/broadcast (no accidental cartesian), the SimHash
+band combinatorics keep their pigeonhole recall guarantee, bucket caps
+actually cap, and candidate-mode Jaccard equals exact mode."""
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPhysicalPlans:
+    def test_embedding_lsh_never_cartesian(self, emb):
+        """The flagship near-dup plan must be a bucketed equi-join — the
+        O(N²) shapes (CartesianProduct / nested-loop of corpus vs corpus)
+        belong only to the exact baseline."""
+        from gocrd_spark.operators.similarity import (
+            embedding_near_dups_exact,
+            embedding_near_dups_lsh,
+        )
+
+        lsh_plan = _plan(embedding_near_dups_lsh(emb, threshold=0.42))
+        assert "CartesianProduct" not in lsh_plan
+        assert "BroadcastNestedLoopJoin" not in lsh_plan
+        # contrast: the baseline IS the all-pairs shape
+        exact_plan = _plan(embedding_near_dups_exact(emb, threshold=0.42))
+        assert (
+            "CartesianProduct" in exact_plan
+            or "BroadcastNestedLoopJoin" in exact_plan
+        )
+
+    def test_ivf_probe_join_is_broadcast_hash(self, emb):
+        """Candidate scoring must broadcast the (tiny) probed-query side
+        and hash-join on cell; the only nested-loop joins allowed are the
+        centroid-table broadcasts (n_cells rows). No plain cartesian."""
+        from gocrd_spark.operators.similarity import topk_ivf
+
+        plan = _plan(topk_ivf(emb, query_ids=[0, 1, 2], k=5, n_cells=8, n_probe=4))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_simhash_band_join_is_equi(self, docs):
+        from gocrd_spark.operators.dedup import simhash_near_dups
+
+        plan = _plan(simhash_near_dups(docs, n=2, max_hamming=3))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSimhashBanding:
+    def test_pigeonhole_recall_guarantee(self):
+        """Any two 64-bit signatures within hamming h must share at least
+        one band key — exercised over random signatures and flip sets for
+        every radius the default plan supports."""
+        from gocrd_spark.operators.dedup import simhash_bands
+
+        rng = random.Random(7)
+        for h in (1, 2, 3, 4):
+            widths, offsets, combos = simhash_bands(h)
+
+            def keys(sig):
+                out = []
+                for combo in combos:
+                    key = 0
+                    for b in combo:
+                        key = (key << widths[b]) | (
+                            (sig >> offsets[b]) & ((1 << widths[b]) - 1)
+                        )
+                    out.append(key)
+                return out
+
+            for _ in range(200):
+                sig = rng.getrandbits(64)
+                flipped = sig
+                for bit in rng.sample(range(64), h):
+                    flipped ^= 1 << bit
+                shared = any(
+                    a == b for a, b in zip(keys(sig), keys(flipped))
+                )
+                assert shared, f"h={h}: no shared band for flips"
+
+    def test_band_key_width(self):
+        """Default radius keeps ~32-bit keys (the r01 16-bit chunks
+        degenerated toward all-pairs at crawl cardinality). 64 bits over
+        6 blocks makes the narrowest 3-block combo 10+10+11 = 31 bits —
+        ~2^31 bucket cardinality vs 2^16 before."""
+        from gocrd_spark.operators.dedup import simhash_bands
+
+        widths, _, combos = simhash_bands(3)
+        key_bits = min(sum(widths[b] for b in c) for c in combos)
+        assert key_bits >= 31
+
+    def test_bucket_cap_drops_degenerate_buckets(self, spark):
+        from gocrd_spark.operators.dedup import simhash_near_dups
+
+        same = "identical degenerate boilerplate text repeated" * 3
+        df = spark.createDataFrame(
+            [(i, same) for i in range(4)], "doc_id long, text string"
+        )
+        uncapped = simhash_near_dups(df, n=2, max_hamming=1, max_bucket=None)
+        assert uncapped.count() == 6  # all 4-choose-2 pairs
+        capped = simhash_near_dups(df, n=2, max_hamming=1, max_bucket=3)
+        assert capped.count() == 0  # every bucket holds all 4 docs -> dropped
+
+
+class TestCandidateJaccard:
+    def test_candidate_mode_equals_exact_on_full_pairs(self, docs):
+        """Verification over the complete pair set must reproduce exact
+        mode row-for-row."""
+        from gocrd_spark.operators.dedup import ngram_jaccard_pairs
+
+        ids = docs.select("doc_id")
+        all_pairs = (
+            ids.withColumnRenamed("doc_id", "doc_a")
+            .crossJoin(ids.withColumnRenamed("doc_id", "doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+        )
+        exact = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.12).collect()
+        }
+        via_candidates = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=0.12, candidates=all_pairs
+            ).collect()
+        }
+        assert exact == via_candidates and len(exact) > 0
+
+    def test_minhash_candidates_recall_on_planted_dups(self, docs):
+        """The driver wiring: exact Jaccard over minhash candidates must
+        find every planted near-dup pair at the driver threshold."""
+        from gocrd_spark.operators.dedup import (
+            minhash_candidates,
+            ngram_jaccard_pairs,
+        )
+
+        exact = {
+            (r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.12).collect()
+        }
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=0.12, candidates=minhash_candidates(docs, n=3)
+            ).collect()
+        }
+        assert got == exact
+
+
+class TestEmbeddingLshQuality:
+    def test_precision_one_and_recall_floor(self, emb):
+        """Every LSH-emitted pair must appear in the exact answer with the
+        identical cos_e6 (precision 1.0 — pairs are exact-verified); the
+        multi-table recall floor is probabilistic but stable here because
+        the hashes are deterministic."""
+        from gocrd_spark.operators.similarity import (
+            embedding_near_dups_exact,
+            embedding_near_dups_lsh,
+        )
+
+        exact = {
+            (r.id_a, r.id_b): r.cos_e6
+            for r in embedding_near_dups_exact(emb, threshold=0.42).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b): r.cos_e6
+            for r in embedding_near_dups_lsh(emb, threshold=0.42).collect()
+        }
+        assert set(lsh) <= set(exact)
+        for pair, cos in lsh.items():
+            assert exact[pair] == cos
+        if exact:
+            assert len(lsh) / len(exact) >= 0.5
