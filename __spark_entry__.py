@@ -621,10 +621,17 @@ def _ops_golden(name: str, cols: str) -> str:
     """Operator goldens: parquet computed by the pure-Python twins
     (tools/oracle_twins.py on the from-scratch xxHash64) — an
     independent implementation, not the Spark operator. Valid at sf0.01;
-    freshness gated by tests/test_entry_contract.py."""
-    golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
-    path = os.path.join(golden_dir, f"{name}_v1_sf001.parquet")
-    return f"SELECT {cols} FROM read_parquet('{path}')"
+    freshness gated by tests/test_entry_contract.py. Path and version
+    come from tools/gen_goldens (single authority — no drift between the
+    writer's version and the reader's)."""
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    from gen_goldens import ops_golden_path
+
+    return f"SELECT {cols} FROM read_parquet('{ops_golden_path(name)}')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1001,9 +1008,17 @@ def _multimodal_oracles() -> dict[str, str]:
     contract is pixels = sha256(payload) tiled to 8x8x3, so the expected
     features/means/frame hashes are sha256 + hex-pair arithmetic over
     the shared media parquet. Valid at sf0.01 (driver oracle scale)."""
-    from gocrd_spark.operators.multimodal import ensure_media_parquet
+    from gocrd_spark.operators.multimodal import (
+        ensure_media_parquet,
+        media_parquet_path,
+    )
 
-    path = ensure_media_parquet(100)  # n at the driver's sf0.01
+    try:
+        path = ensure_media_parquet(100)  # n at the driver's sf0.01
+    except OSError:
+        # keep oracle_sql() constructible on a read-only /tmp — the
+        # multimodal queries themselves will surface the real error
+        path = media_parquet_path(100)
 
     def byte_at(pos_expr: str) -> str:
         # 0-based byte of the sha256 hex digest h

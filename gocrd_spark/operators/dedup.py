@@ -13,9 +13,10 @@ Four tiers, trading recall for cost:
                           array_min per permutation); candidates verified
                           with exact Jaccard. Near-dup detection at scale:
                           shuffle only on (band, bucket-hash) keys.
-- ``simhash64``         — 64-bit SimHash per document via built-in bit
-                          arithmetic (no UDF); hamming-distance pairs via
-                          band join on 16-bit chunks.
+- ``simhash64``         — 64-bit SimHash per document; hamming-distance
+                          pairs via a band join on block-combination keys
+                          (simhash_bands: ~31-bit keys at the default
+                          radius, pigeonhole recall guarantee).
 
 Shuffle accounting at 10^12 docs: exact/minhash shuffle compact keys +
 doc ids only (never the text column — projection drops it before the
@@ -237,8 +238,8 @@ def simhash64(docs: DataFrame, n: int = 2) -> DataFrame:
     equivalent 64-aggregate expression tree, bit-identical output.
 
     Returns (doc_id, simhash long). Near-dup candidates come from equal
-    16-bit chunks (simhash_near_dups) -- hamming<=3 guarantees a shared
-    chunk by pigeonhole.
+    block-combination band keys (simhash_near_dups / simhash_bands):
+    hamming <= max_hamming guarantees a shared band by pigeonhole.
     """
     @pandas_udf("long")
     def bitvote(hash_arrays: pd.Series) -> pd.Series:
@@ -271,12 +272,14 @@ def simhash_bands(max_hamming: int) -> tuple[list[int], list[int], list[tuple[in
     - h errors corrupt at most h blocks, so >= m-h blocks are clean; a
       band whose blocks are all clean matches exactly (pigeonhole) —
       recall is guaranteed when combo_size <= m-h.
-    - defaults pick m=2h, combo=h: band keys carry ~32 bits, so bucket
-      cardinality is ~2^32 (not the 2^16 of single 16-bit chunks, which
-      degenerates toward all-pairs on 10^9+ docs), at C(2h,h) bands.
-    - if C(2h,h) explodes (large h), fall back to m=h+1 single-block
-      bands — the guarantee holds, with narrower keys (documented
-      scale cost of asking for a big radius).
+    - m is the LARGEST block count (scanning down from 2h) whose
+      C(m, m-h) band count stays <= 64: more blocks = wider concatenated
+      keys = higher bucket cardinality. h=3 -> m=6, 20 bands of ~31-bit
+      keys (vs the 2^16 of single 16-bit chunks, which degenerates
+      toward all-pairs on 10^9+ docs); h=4 -> m=7, 35 bands of ~27-bit
+      keys; large h degrades gracefully (h=8 -> m=10, 45 bands of
+      ~12-bit keys) — asking for a big radius costs key width, never the
+      recall guarantee.
 
     Returns (block widths, block bit offsets, band combos).
     """
@@ -284,9 +287,11 @@ def simhash_bands(max_hamming: int) -> tuple[list[int], list[int], list[tuple[in
     from itertools import combinations
 
     h = max(int(max_hamming), 1)
-    m, k = 2 * h, h
-    if math.comb(m, k) > 64:
-        m, k = h + 1, 1
+    m, k = h + 1, 1
+    for cand_m in range(2 * h, h + 1, -1):
+        if math.comb(cand_m, cand_m - h) <= 64:
+            m, k = cand_m, cand_m - h
+            break
     widths = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
     offsets = [sum(widths[:i]) for i in range(m)]
     return widths, offsets, list(combinations(range(m), k))

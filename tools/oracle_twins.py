@@ -111,12 +111,9 @@ def winnowing_fingerprints(
     return sorted(minima)
 
 
-def minhash_signature(text: str, n: int = 3, num_hashes: int = 32) -> list[int]:
-    """Twin of dedup.minhash_signature: per permutation i, the min of
-    xxhash64(shingle, i) over the shingle set (signed values, matching
-    Spark's array_min over signed longs)."""
-    sh = shingles(text, n)
-    return [min(spark_xxhash64(s, i) for s in sh) for i in range(num_hashes)]
+# NOTE: no MinHash twin lives here on purpose — minhash_near_dups is
+# oracle-checked against the exact all-pairs Jaccard SQL instead (a
+# stronger, semantically independent check that also certifies recall).
 
 
 # ---------------------------------------------------------------------------
@@ -394,37 +391,3 @@ def load_embeddings(path: str) -> dict[int, list[float]]:
         int(v): [float(x) for x in e]
         for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
     }
-
-
-def minhash_lsh(
-    docs: list[tuple[int, str]],
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-) -> list[tuple[int, int, float]]:
-    """Twin of dedup.minhash_lsh: banded-LSH candidates + exact Jaccard
-    verification. Returns sorted (doc_a, doc_b, round(jaccard, 6))."""
-    rows_per_band = num_hashes // bands
-    sigs = {d: minhash_signature(t, n, num_hashes) for d, t in docs}
-    sets = {d: set(shingles(t, n)) for d, t in docs}
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for d, sig in sigs.items():
-        for b in range(bands):
-            body = ",".join(
-                str(sig[b * rows_per_band + r]) for r in range(rows_per_band)
-            )
-            buckets.setdefault((b, spark_xxhash64(body)), []).append(d)
-    cand: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        members.sort()
-        for i, a in enumerate(members):
-            for b in members[i + 1 :]:
-                cand.add((a, b))
-    out = []
-    for a, b in cand:
-        inter = len(sets[a] & sets[b])
-        jac = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
-        if jac >= threshold:
-            out.append((a, b, jac))
-    return sorted(out)
