@@ -51,12 +51,23 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _reshape(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The driver testdata ships as ONE row group per table, so every
+    scan yields a single input partition and compute-heavy operators
+    (hash folds, bit votes, cosine folds) run one-threaded. Reshape to
+    cluster width — the one cheap shuffle (sub-MB) that restores
+    parallelism. At real scale the scan's own splits make this a no-op
+    decision; results are partitioning-independent (per-row computations
+    and exact/int-sum aggregations only)."""
+    return df.repartition(spark.sparkContext.defaultParallelism * 2)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _table(spark, sf_dir, "documents")
+    return _reshape(spark, _table(spark, sf_dir, "documents"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _table(spark, sf_dir, "embeddings")
+    return _reshape(spark, _table(spark, sf_dir, "embeddings"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

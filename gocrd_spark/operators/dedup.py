@@ -312,7 +312,15 @@ def simhash_near_dups(
     before the self-join — the skew valve at crawl scale, where a
     degenerate key (empty docs, boilerplate) would otherwise fan out
     quadratically. None disables. Default leaves every tested corpus
-    untouched."""
+    untouched.
+
+    The banded signature table is persisted (MEMORY_AND_DISK) for the
+    duration of the query: it feeds three consumers (both self-join
+    sides and the bucket-size cap), and without materialization Spark
+    recomputes the shingle+bit-vote pipeline — the expensive part — once
+    per consumer (measured 3x the signature cost at sf0.1). At real
+    scale the equivalent move is writing the signature table out once
+    and joining against it."""
     widths, offsets, combos = simhash_bands(max_hamming)
 
     def band_key(combo: tuple[int, ...]) -> Column:
@@ -337,6 +345,7 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
+    chunks = chunks.persist()
     if max_bucket is not None:
         ok = (
             chunks.groupBy("band", "key")
