@@ -1,0 +1,95 @@
+"""Streaming deduplication — the ingest-time guard of a crawl pipeline:
+drop exact re-fetches of a document as the stream arrives, with state
+bounded by an event-time watermark.
+
+Two operators:
+
+- ``dedup_stream`` — ``dropDuplicatesWithinWatermark`` on the
+  normalized-text hash: a duplicate arriving within the watermark
+  horizon of its first occurrence is dropped; state (one row per hash)
+  is evicted once the watermark passes, so memory is bounded by the
+  horizon's unique-hash volume, not the stream's history. This is the
+  crawl-scale contract: re-fetches cluster in time (snapshots, retries),
+  so a horizon covers them; a year-later re-crawl is handled by the
+  batch ``filter_unprocessed`` anti-join instead.
+- ``dedup_stream_exact`` — plain ``dropDuplicates`` on the hash:
+  exact global dedup with UNBOUNDED state; kept for bounded backfills
+  (availableNow over a finite directory) where exactness beats the
+  memory bound.
+
+Both emit (doc_id, ts, text_hash) for the kept (first-seen) rows.
+Parity with batch ``exact_dedup``'s keep-set is pinned by
+tests/test_partitioned_and_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCS_STREAM_SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def _hashed(stream: DataFrame) -> DataFrame:
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return stream.select(
+        "doc_id", "ts", F.md5(F.encode(norm, "utf-8")).alias("text_hash")
+    )
+
+
+def docs_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+
+
+def dedup_stream(
+    spark: SparkSession, input_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """First-seen documents per text hash within the watermark horizon
+    (bounded state — the production shape)."""
+    hashed = _hashed(docs_stream(spark, input_dir)).withWatermark("ts", watermark)
+    return hashed.dropDuplicatesWithinWatermark(["text_hash"])
+
+
+def dedup_stream_exact(spark: SparkSession, input_dir: str) -> DataFrame:
+    """First-seen documents per text hash over the whole stream
+    (unbounded state — bounded-backfill use only)."""
+    return _hashed(docs_stream(spark, input_dir)).dropDuplicates(["text_hash"])
+
+
+def run_available_now(
+    df: DataFrame, checkpoint_dir: str, query_name: str = "dedup_stream"
+):
+    """Drain all currently-available input into an in-memory sink
+    (single-drain use — the memory sink cannot RESUME from a checkpoint)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return query_name
+
+
+def run_available_now_to_dir(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> str:
+    """Drain all currently-available input into a parquet sink — the
+    recoverable sink shape: repeated drains against the same checkpoint
+    resume state (watermark, dedup keys) and append only new output."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
