@@ -1,0 +1,146 @@
+"""Dedup-suite volume probe: run the dedup/fingerprint operators over a
+synthetic 100k-document corpus (20x the sf0.1 bench table) and report
+wall times plus a 2-core/8-core scaling sample for the MinHash path.
+
+The corpus mirrors the driver documents-table shape (doc_id, text,
+lang, source, n_chars) with planted near-duplicates (~6% of docs are a
+lightly-mutated copy of their predecessor), generated deterministically
+in Spark (narrow map over spark.range — no driver materialization).
+This is a BENCH exercise only; driver queries/oracles always run over
+the read-only /root/testdata tables.
+
+Usage: python tools/volume_probe.py [n_docs]   (default 100_000)
+Prints one JSON line; results recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+from typing import Iterator
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+def synth_docs(spark, n_docs: int, num_partitions: int = 128):
+    # everything the executors need lives INSIDE this closure so
+    # cloudpickle ships it by value (tools/ is not on executor paths)
+    words = (
+        "key agg row scan slow fast table value part hash merge batch spark "
+        "the line sort window join filter shuffle codegen broadcast salt "
+        "skew plan column prune limit order group count distinct union map "
+        "reduce stage"
+    ).split()
+
+    def doc_text(doc_id: int) -> str:
+        rng = random.Random(0x5EED ^ doc_id)
+        if doc_id % 17 == 16 and doc_id > 0:
+            # planted near-dup: predecessor's text with one word appended
+            return doc_text(doc_id - 1) + " " + rng.choice(words)
+        n = rng.randint(60, 220)
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for i in batch["id"]:
+                text = doc_text(int(i))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "text": text,
+                        "lang": ("en", "de", "la")[int(i) % 3],
+                        "source": f"src_{int(i) % 20:02d}",
+                        "n_chars": len(text),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_docs, 1, num_partitions).mapInPandas(
+        gen, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _probe(master: str, path: str, ops: list[str]) -> dict[str, float]:
+    from gocrd_spark.operators.dedup import (
+        exact_dedup,
+        minhash_candidates,
+        ngram_jaccard_pairs,
+        simhash_near_dups,
+    )
+    from gocrd_spark.operators.textstats import winnowing_fingerprints
+    from gocrd_spark.session import get_spark
+
+    spark = get_spark(master=master, app_name="volume-probe")
+    docs = spark.read.parquet(path)
+    out: dict[str, float] = {}
+
+    def timed(name: str, make):
+        if name not in ops:
+            return
+        t0 = time.time()
+        _noop(make())
+        out[name] = round(time.time() - t0, 2)
+
+    timed("exact_dedup", lambda: exact_dedup(docs))
+    timed(
+        "minhash_verified_pairs",
+        lambda: ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, candidates=minhash_candidates(docs, n=3)
+        ),
+    )
+    timed("simhash_near_dups", lambda: simhash_near_dups(docs, n=2, max_hamming=3))
+    timed("winnowing", lambda: winnowing_fingerprints(docs))
+    spark.stop()
+    return out
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    path = f"/tmp/gocrd_volume_docs_{n_docs}"
+    from gocrd_spark.session import get_spark
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark = get_spark(master="local[32]", app_name="volume-prep")
+        synth_docs(spark, n_docs).write.mode("overwrite").parquet(path)
+        spark.stop()
+
+    full = _probe("local[32]", path, [
+        "exact_dedup", "minhash_verified_pairs", "simhash_near_dups", "winnowing",
+    ])
+    # scale pair on a 1/5 corpus so the 2-core sample stays in minutes
+    n_pair = max(n_docs // 5, 1000)
+    pair_path = f"/tmp/gocrd_volume_docs_{n_pair}"
+    if not os.path.exists(os.path.join(pair_path, "_SUCCESS")):
+        spark = get_spark(master="local[32]", app_name="volume-prep-pair")
+        synth_docs(spark, n_pair).write.mode("overwrite").parquet(pair_path)
+        spark.stop()
+    lo = _probe("local[2]", pair_path, ["minhash_verified_pairs"])
+    hi = _probe("local[8]", pair_path, ["minhash_verified_pairs"])
+    eff = (
+        (lo["minhash_verified_pairs"] / hi["minhash_verified_pairs"]) / 4
+        if hi.get("minhash_verified_pairs")
+        else None
+    )
+    print(json.dumps({
+        "n_docs": n_docs,
+        "wall_sec_local32": full,
+        "scale_pair_n_docs": n_pair,
+        "minhash_sec_local2": lo.get("minhash_verified_pairs"),
+        "minhash_sec_local8": hi.get("minhash_verified_pairs"),
+        "minhash_scaling_efficiency_2to8": round(eff, 3) if eff else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
