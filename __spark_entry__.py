@@ -239,6 +239,18 @@ def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_stats(_docs(spark, sf_dir))
 
 
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PDF text extraction (from-scratch parser, gocrd_spark.pdfparse)
+    over a deterministic synthetic PDF corpus; the oracle is golden
+    parquet derived from the GENERATOR's template spec."""
+    from gocrd_spark.pdfextract import extract_pdfs
+    from gocrd_spark.pdfgen import ensure_pdf_parquet
+
+    n = max(int(_sf_of(sf_dir) * 10_000), 10)
+    pdfs = spark.read.parquet(ensure_pdf_parquet(n))
+    return extract_pdfs(_reshape(spark, pdfs))
+
+
 def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.textstats import corpus_split
 
@@ -512,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": _q_extract_text,
         "extract_spans": _q_extract_spans,
         "mets_files_alto": _q_mets_files,
+        "pdf_extract_text": _q_pdf_extract,
         # dedup suite (documents)
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -877,6 +890,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _EXACT_JACCARD_SQL,
         "simhash_near_dups": _ops_golden(
             "simhash_near_dups", "doc_a, doc_b, hamming"
+        ),
+        "pdf_extract_text": _ops_golden(
+            "pdf_extract_text", "doc_id, text, n_blocks, error"
         ),
         "winnowing_fingerprints": _ops_golden(
             "winnowing_fingerprints", "doc_id, n_fingerprints, min_fingerprint"

@@ -1,0 +1,108 @@
+"""The from-scratch PDF parser: generator-spec roundtrip over every
+content variant, targeted token/edge cases, error tolerance, and the
+Spark extraction surface."""
+
+import random
+import zlib
+
+import pytest
+
+from gocrd_spark.pdfgen import make_pdf_row, synth_pdf
+from gocrd_spark.pdfparse import parse_value, pdf_text_blocks, Ref
+
+
+class TestValueParser:
+    def test_scalars_and_containers(self):
+        data = b" << /A 12 /B -3.5 /C (hi) /D <414243> /E [1 2 0 R /N] /F true >>"
+        d, _ = parse_value(data, 0)
+        assert d["A"] == 12 and d["B"] == -3.5
+        assert d["C"] == b"hi" and d["D"] == b"ABC"
+        assert d["E"][0] == 1 and isinstance(d["E"][1], Ref) and d["E"][1].num == 2
+        assert d["E"][2] == "N" and d["F"] is True
+
+    def test_string_escapes(self):
+        cases = [
+            (rb"(a\(b\)c)", b"a(b)c"),
+            (rb"(back\\slash)", b"back\\slash"),
+            (rb"(\101\102)", b"AB"),
+            (rb"(nest(ed)ok)", b"nest(ed)ok"),
+            (b"(line\\\ncont)", b"linecont"),
+            (rb"(\n\t)", b"\n\t"),
+        ]
+        for raw, want in cases:
+            got, _ = parse_value(raw, 0)
+            assert got == want, raw
+
+    def test_odd_hex_padded(self):
+        got, _ = parse_value(b"<4142 4>", 0)
+        assert got == b"AB@"
+
+
+class TestRoundtrip:
+    def test_generator_spec_roundtrip(self):
+        """Every synthetic PDF parses back to exactly the blocks its
+        template emitted (all five content variants, raw + Flate)."""
+        for i in range(120):
+            row, expected = make_pdf_row(i)
+            if i % 19 == 18:
+                with pytest.raises(ValueError):
+                    pdf_text_blocks(row["pdf"])
+                continue
+            got = [
+                (b["page"], b["x"], b["y"], b["text"])
+                for b in pdf_text_blocks(row["pdf"])
+            ]
+            want = [(b["page"], b["x"], b["y"], b["text"]) for b in expected]
+            assert got == want, f"doc {i}"
+
+    def test_multipage_order(self):
+        rng = random.Random(5)
+        for _ in range(20):
+            data, expected = synth_pdf(rng)
+            pages = [b["page"] for b in pdf_text_blocks(data)]
+            assert pages == sorted(pages)
+
+    def test_not_a_pdf(self):
+        with pytest.raises(ValueError):
+            pdf_text_blocks(b"<html>nope</html>")
+
+    def test_stream_payload_cannot_fake_objects(self):
+        """Compressed bytes that happen to contain 'N 0 obj' must not be
+        scanned as objects (streams are skipped via /Length)."""
+        rng = random.Random(11)
+        data, expected = synth_pdf(rng)
+        # craft a PDF whose content text literally contains an obj header
+        evil = data.replace(b"spark", b"7 0 obj")  # only safe on raw streams
+        # regardless of replacement success, parse must not crash and
+        # the original must still roundtrip
+        blocks = pdf_text_blocks(data)
+        assert len(blocks) == len(expected)
+        try:
+            pdf_text_blocks(evil)
+        except ValueError:
+            pass  # corrupting a compressed stream is allowed to error
+
+
+class TestSparkSurface:
+    def test_extract_pdfs_matches_spec(self, spark):
+        from gocrd_spark.pdfextract import extract_pdfs
+        from gocrd_spark.pdfgen import ensure_pdf_parquet
+
+        pdfs = spark.read.parquet(ensure_pdf_parquet(60))
+        rows = {r.doc_id: r for r in extract_pdfs(pdfs).collect()}
+        assert len(rows) == 60
+        for i in range(60):
+            _, expected = make_pdf_row(i)
+            if i % 19 == 18:
+                assert rows[i].error is not None and rows[i].text is None
+            else:
+                assert rows[i].error is None
+                assert rows[i].text == "\n".join(b["text"] for b in expected)
+                assert rows[i].n_blocks == len(expected)
+
+    def test_fake_layout_still_deterministic(self):
+        from gocrd_spark.pdfextract import extract_pdf
+
+        a = extract_pdf(b"payload-bytes", fake=True)
+        b = extract_pdf(b"payload-bytes", fake=True)
+        assert a == b and a["error"] is None and a["text"]

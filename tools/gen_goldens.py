@@ -202,6 +202,22 @@ def build_operator_tables(
         fps = tw.winnowing_fingerprints(text)
         winnow.append((doc_id, len(fps), fps[0]))
 
+    # PDF extraction golden: expected text/blocks come from the PDF
+    # GENERATOR's template spec (pdfgen.make_pdf_row), not the parser;
+    # the corrupt-row error string is the parser's pinned contract.
+    from gocrd_spark import pdfgen
+
+    PDF_CORRUPT_ERROR = "ValueError: no PDF objects found"
+    pdf_rows = []
+    for i in range(100):  # n at the driver's sf0.01
+        _, expected = pdfgen.make_pdf_row(i)
+        if i % 19 == 18:
+            pdf_rows.append((i, None, None, PDF_CORRUPT_ERROR))
+        else:
+            pdf_rows.append(
+                (i, "\n".join(b["text"] for b in expected), len(expected), None)
+            )
+
     emb = tw.load_embeddings(os.path.join(TESTDATA_SF001, "embeddings.parquet"))
     qids = [0, 1, 2, 3, 4]
     nd = tw.embedding_near_dups_lsh(emb, threshold=0.42)
@@ -216,6 +232,14 @@ def build_operator_tables(
         )
 
     return {
+        "pdf_extract_text": pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in pdf_rows], i64),
+                "text": pa.array([r[1] for r in pdf_rows], pa.string()),
+                "n_blocks": pa.array([r[2] for r in pdf_rows], i64),
+                "error": pa.array([r[3] for r in pdf_rows], pa.string()),
+            }
+        ),
         "simhash_near_dups": _t(sh, ["doc_a", "doc_b", "hamming"]),
         "winnowing_fingerprints": _t(
             winnow, ["doc_id", "n_fingerprints", "min_fingerprint"]
