@@ -170,10 +170,12 @@ class TestRouting:
 
 
 class TestPdfStub:
-    def test_raises_without_fake(self):
+    def test_real_parse_rejects_garbage(self):
+        """The default path is the REAL parser now (pdfparse); a payload
+        with a PDF header but no objects is an out-of-scope error."""
         import pytest
 
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             parse_pdf_layout(b"%PDF-1.4 ...")
 
     def test_fake_layout_deterministic(self):
@@ -188,9 +190,9 @@ class TestPdfStub:
                 s["char_start"] : s["char_end"]
             ]
 
-    def test_stub_error_row_without_fake(self):
+    def test_error_row_on_unparseable(self):
         result = extract_pdf(b"%PDF", fake=False)
-        assert result["text"] is None and "NotImplementedError" in result["error"]
+        assert result["text"] is None and "ValueError" in result["error"]
 
 
 class TestDatagenHtmlRows:
