@@ -146,6 +146,7 @@ def extract_any_document(data: bytes) -> dict[str, Any]:
     - PAGE-XML (PcGts root)  -> reading-order extraction (gocrd semantics)
     - HTML (doctype/<html>, or any non-PcGts XML) -> boilerplate-strip
       main-content extraction (htmlextract, DOM heuristics)
+    - PDF (%PDF header)       -> from-scratch PDF text parser (pdfparse)
     - METS manifests          -> error row (manifests carry no page text;
       query them via pipeline.mets_files)
     - unparseable bytes       -> error row
@@ -155,6 +156,10 @@ def extract_any_document(data: bytes) -> dict[str, Any]:
     the majority path).
     """
     head = data[:4096] if data else b""
+    if head.startswith(b"%PDF"):
+        from .pdfextract import extract_pdf
+
+        return extract_pdf(data)
     if _HTML_HEAD_RE.search(head):
         return extract_html(data)
     try:

@@ -106,3 +106,15 @@ class TestSparkSurface:
         a = extract_pdf(b"payload-bytes", fake=True)
         b = extract_pdf(b"payload-bytes", fake=True)
         assert a == b and a["error"] is None and a["text"]
+
+
+class TestRouting:
+    def test_any_document_routes_pdf(self):
+        from gocrd_spark.extract import extract_any_document
+        from gocrd_spark.pdfgen import make_pdf_row
+
+        row, expected = make_pdf_row(0)
+        res = extract_any_document(row["pdf"])
+        assert res["error"] is None
+        assert res["text"] == "\n".join(b["text"] for b in expected)
+        assert res["spans"][0]["region_id"] == "p0_b0"
