@@ -90,7 +90,11 @@ def extract_pdfs(df) -> "Any":
         for pdf in batches:
             out = {"doc_id": [], "text": [], "n_blocks": [], "error": []}
             for row in pdf.itertuples(index=False):
-                res = extract_pdf(bytes(row.pdf))
+                if row.pdf is None:  # NULL payload -> error row, never a crash
+                    res = {"text": None, "spans": None,
+                           "error": "ValueError: null pdf payload"}
+                else:
+                    res = extract_pdf(bytes(row.pdf))
                 out["doc_id"].append(row.doc_id)
                 out["text"].append(res["text"])
                 out["n_blocks"].append(

@@ -18,6 +18,11 @@ from __future__ import annotations
 import random
 import zlib
 
+# bump when synth_pdf/_block_content/make_pdf_row change: the /tmp corpus
+# cache AND the spec-derived golden must move together (a stale cached
+# corpus against a fresh golden shows up as spurious oracle failures)
+PDFGEN_VERSION = 1
+
 WORDS = (
     "spark parquet shuffle codegen arrow batch kernel page region text "
     "broadcast salt skew plan column prune stream state watermark commit"
@@ -145,7 +150,7 @@ def ensure_pdf_parquet(n: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join("/tmp", "gocrd_pdf_cache", f"v1_n{n}.parquet")
+    path = os.path.join("/tmp", "gocrd_pdf_cache", f"v{PDFGEN_VERSION}_n{n}.parquet")
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         rows = [make_pdf_row(i)[0] for i in range(n)]

@@ -72,12 +72,19 @@ def _parse_name(data: bytes, p: int) -> tuple[Name, int]:
     while p < n and data[p : p + 1] not in _WS and data[p : p + 1] not in _DELIM:
         p += 1
     raw = data[start:p]
-    # #xx hex escapes in names
+    # #xx hex escapes in names: require exactly two hex digits, else the
+    # '#' is taken literally (a cosmetic glitch must not abort the object)
     if b"#" in raw:
+        hexdigits = b"0123456789abcdefABCDEF"
         out = bytearray()
         i = 0
         while i < len(raw):
-            if raw[i : i + 1] == b"#" and i + 2 < len(raw) + 1:
+            if (
+                raw[i : i + 1] == b"#"
+                and i + 2 < len(raw)
+                and raw[i + 1] in hexdigits
+                and raw[i + 2] in hexdigits
+            ):
                 out.append(int(raw[i + 1 : i + 3], 16))
                 i += 3
             else:
@@ -149,6 +156,7 @@ def _parse_hex_string(data: bytes, p: int) -> tuple[bytes, int]:
 
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_TAIL_RE = re.compile(rb"\s+(\d+)\s+R\b")
 
 
 def parse_value(data: bytes, p: int) -> tuple[Any, int]:
@@ -190,10 +198,12 @@ def parse_value(data: bytes, p: int) -> tuple[Any, int]:
     if m:
         tok = m.group(0)
         p2 = m.end()
-        # indirect reference lookahead: "N G R"
-        m2 = re.match(rb"\s+(\d+)\s+R\b", data[p2:])
+        # indirect reference lookahead: "N G R" — matched in place
+        # (pattern.match(data, p2)), never via a slice of the remaining
+        # buffer, which would make parsing quadratic in document size
+        m2 = _REF_TAIL_RE.match(data, p2)
         if m2 and b"." not in tok:
-            return Ref(int(tok)), p2 + m2.end()
+            return Ref(int(tok)), m2.end()
         return (float(tok) if b"." in tok else int(tok)), p2
     raise ValueError(f"unparseable PDF value at byte {p}: {data[p:p+16]!r}")
 
@@ -230,10 +240,19 @@ def _scan_objects(data: bytes) -> dict[int, tuple[Any, Optional[bytes]]]:
                 end = data.find(b"endstream", p)
             else:  # indirect /Length: fall back to delimiter search
                 end = data.find(b"endstream", p)
-                stream = data[p:end].rstrip(b"\r\n") if end != -1 else data[p:]
+                stream = data[p:end] if end != -1 else data[p:]
+                # the spec allows ONE EOL before 'endstream' — strip at
+                # most that; stripping every trailing CR/LF would corrupt
+                # Flate payloads that legitimately end in 0x0A/0x0D
+                if stream.endswith(b"\r\n"):
+                    stream = stream[:-2]
+                elif stream.endswith(b"\n") or stream.endswith(b"\r"):
+                    stream = stream[:-1]
             p = (end + len(b"endstream")) if end != -1 else n
-        if num not in objects:  # first definition wins (no incremental updates)
-            objects[num] = (value, stream)
+        # last definition wins: an incrementally-updated PDF appends the
+        # replacement object after %%EOF, and the append-order scan must
+        # surface the NEW content, not silently return stale text
+        objects[num] = (value, stream)
         e = data.find(b"endobj", p)
         pos = (e + 6) if e != -1 else p
     return objects
@@ -359,6 +378,7 @@ def _content_text_blocks(content: bytes) -> list[dict[str, Any]]:
             in_text = True
             lines, cur = [], []
             tx = ty = 0.0
+            bx = by = 0.0  # a block with no Td/Tm owns origin (0,0)
             first_pos = True
         elif op == b"ET":
             if in_text:
@@ -381,16 +401,23 @@ def _content_text_blocks(content: bytes) -> list[dict[str, Any]]:
             if stack and isinstance(stack[-1], bytes):
                 show(stack[-1])
         elif in_text and op in (b"Td", b"TD"):
-            if len(stack) >= 2 and isinstance(stack[-1], (int, float)):
-                dx, dy = float(stack[-2]), float(stack[-1])
-                tx += dx
-                ty += dy
+            if (
+                len(stack) >= 2
+                and isinstance(stack[-1], (int, float))
+                and isinstance(stack[-2], (int, float))
+            ):
+                tx += float(stack[-2])
+                ty += float(stack[-1])
                 if first_pos:
                     bx, by = tx, ty
                     first_pos = False
             newline()
         elif in_text and op == b"Tm":
-            if len(stack) >= 6:
+            if (
+                len(stack) >= 6
+                and isinstance(stack[-1], (int, float))
+                and isinstance(stack[-2], (int, float))
+            ):
                 tx, ty = float(stack[-2]), float(stack[-1])
                 if first_pos:
                     bx, by = tx, ty

@@ -118,3 +118,81 @@ class TestRouting:
         assert res["error"] is None
         assert res["text"] == "\n".join(b["text"] for b in expected)
         assert res["spans"][0]["region_id"] == "p0_b0"
+
+
+class TestReviewRegressions:
+    """Pins for the round-2 review findings."""
+
+    def test_indirect_length_stream_ending_in_newline_byte(self):
+        """Indirect /Length falls back to delimiter search; at most ONE
+        EOL before 'endstream' may be stripped — a Flate payload whose
+        compressed bytes end in 0x0A must survive."""
+        payload = None
+        rng = random.Random(3)
+        for _ in range(5000):
+            filler = "".join(rng.choice("abcdefgh ") for _ in range(rng.randint(4, 60)))
+            cand = zlib.compress(f"BT 10 20 Td (hello {filler}) Tj ET".encode())
+            if cand.endswith(b"\n"):
+                payload = cand
+                break
+        assert payload is not None, "no newline-ending zlib payload found"
+        doc = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            b"4 0 obj << /Length 5 0 R /Filter /FlateDecode >>\nstream\n"
+            + payload
+            + b"\nendstream endobj\n"
+            + f"5 0 obj {len(payload)} endobj\n".encode()
+            + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+        )
+        blocks = pdf_text_blocks(doc)
+        assert "hello" in blocks[0]["text"]
+
+    def test_bt_without_td_has_zero_origin(self):
+        content = b"BT 100 700 Td (first) Tj ET BT (second) Tj ET"
+        doc = _raw_doc(content)
+        blocks = pdf_text_blocks(doc)
+        assert (blocks[0]["x"], blocks[0]["y"]) == (100.0, 700.0)
+        assert (blocks[1]["x"], blocks[1]["y"]) == (0.0, 0.0)
+
+    def test_malformed_td_operand_is_skipped(self):
+        blocks = pdf_text_blocks(_raw_doc(b"BT (x) 5 Td (y) Tj ET"))
+        assert blocks and "y" in blocks[0]["text"]
+
+    def test_name_hex_escape_tolerance(self):
+        d, _ = parse_value(b"<< /A#42 1 /B#4 2 /C#zz 3 >>", 0)
+        assert d == {"AB": 1, "B#4": 2, "C#zz": 3}
+
+    def test_incremental_update_last_definition_wins(self):
+        doc = _raw_doc(b"BT 1 1 Td (old text) Tj ET")
+        updated = doc + _content_obj(4, b"BT 1 1 Td (new text) Tj ET")
+        blocks = pdf_text_blocks(updated)
+        assert blocks[0]["text"] == "new text"
+
+    def test_null_pdf_is_error_row(self, spark):
+        from gocrd_spark.pdfextract import extract_pdfs
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, pdf binary")
+        row = extract_pdfs(df).collect()[0]
+        assert row.error is not None and row.text is None
+
+
+def _content_obj(num: int, content: bytes) -> bytes:
+    return (
+        f"{num} 0 obj << /Length {len(content)} >>\nstream\n".encode()
+        + content
+        + b"\nendstream endobj\n"
+    )
+
+
+def _raw_doc(content: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        + _content_obj(4, content)
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
