@@ -287,6 +287,12 @@ def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_top_terms(_docs(spark, sf_dir), k=100)
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=100)
+
+
 def _q_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.textstats import doclen_histogram
 
@@ -537,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "nfc_fingerprint": _q_nfc_fingerprint,
         "vocab_top_terms": _q_vocab,
+        "tfidf_top_terms": _q_tfidf,
         "doclen_histogram": _q_doclen_hist,
         "source_stats": _q_source_stats,
         "corpus_split": _q_corpus_split,
@@ -837,6 +844,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS doc_freq
             FROM toks GROUP BY term
             ORDER BY doc_freq DESC, term ASC LIMIT 100
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+              FROM documents),
+            stats AS (
+              SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY term),
+            total AS (SELECT count(*) AS n FROM documents)
+            SELECT term, tf, df,
+                   CAST(round(tf * ln(n::DOUBLE / df) * 1000000) AS BIGINT) AS tfidf_e6
+            FROM stats, total
+            ORDER BY tfidf_e6 DESC, term ASC LIMIT 100
         """,
         "doclen_histogram": """
             SELECT CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,

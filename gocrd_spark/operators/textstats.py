@@ -161,6 +161,32 @@ def vocab_top_terms(docs: DataFrame, k: int = 100) -> DataFrame:
     return counts.orderBy(F.col("doc_freq").desc(), F.col("term").asc()).limit(k)
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus-level TF-IDF: per term, total frequency × ln(N/df) — the
+    classic two-aggregation shape (explode -> term stats with map-side
+    partials) with the corpus size joined in as a broadcast singleton
+    (no driver-side count, no literal compiled into the plan).
+    Returns top-k (term, tf, df, tfidf_e6), ties broken by term."""
+    tokens = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    stats = tokens.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = stats.crossJoin(F.broadcast(total)).select(
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            * 1_000_000
+        ).cast("long").alias("tfidf_e6"),
+    )
+    return scored.orderBy(F.col("tfidf_e6").desc(), F.col("term").asc()).limit(k)
+
+
 def doclen_histogram(docs: DataFrame, bucket_chars: int = 100) -> DataFrame:
     """Document-length histogram: floor(n_chars / bucket) buckets."""
     bucket = F.floor(F.length("text") / bucket_chars).cast("long")
