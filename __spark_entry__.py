@@ -856,7 +856,7 @@ def oracle_sql() -> dict[str, str]:
               FROM toks GROUP BY term),
             total AS (SELECT count(*) AS n FROM documents)
             SELECT term, tf, df,
-                   CAST(round(tf * ln(n::DOUBLE / df) * 1000000) AS BIGINT) AS tfidf_e6
+                   CAST(round(tf * round(ln(n::DOUBLE / df), 6) * 1000000) AS BIGINT) AS tfidf_e6
             FROM stats, total
             ORDER BY tfidf_e6 DESC, term ASC LIMIT 100
         """,

@@ -314,13 +314,17 @@ def simhash_near_dups(
     quadratically. None disables. Default leaves every tested corpus
     untouched.
 
-    The banded signature table is persisted (MEMORY_AND_DISK) for the
-    duration of the query: it feeds three consumers (both self-join
-    sides and the bucket-size cap), and without materialization Spark
-    recomputes the shingle+bit-vote pipeline — the expensive part — once
-    per consumer (measured 3x the signature cost at sf0.1). At real
-    scale the equivalent move is writing the signature table out once
-    and joining against it."""
+    The banded signature table is materialized once via localCheckpoint:
+    it feeds three consumers (both self-join sides and the bucket-size
+    cap), and without materialization Spark recomputes the shingle+
+    bit-vote pipeline — the expensive part — once per consumer (measured
+    3x the signature cost at sf0.1). localCheckpoint (not persist) so
+    the blocks are released by the ContextCleaner when the query's
+    DataFrames go out of scope — a persist() here leaked one pinned
+    cache entry per invocation for the session lifetime. Caveat: local
+    checkpoints don't survive executor loss; at real scale the
+    equivalent durable move is writing the signature table out once and
+    joining against it."""
     widths, offsets, combos = simhash_bands(max_hamming)
 
     def band_key(combo: tuple[int, ...]) -> Column:
@@ -345,7 +349,7 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
-    chunks = chunks.persist()
+    chunks = chunks.localCheckpoint(eager=False)
     if max_bucket is not None:
         ok = (
             chunks.groupBy("band", "key")

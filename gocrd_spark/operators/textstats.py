@@ -175,14 +175,16 @@ def tfidf_top_terms(docs: DataFrame, k: int = 100) -> DataFrame:
         F.countDistinct("doc_id").alias("df"),
     )
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # ln() is the one transcendental feeding an oracle-compared value:
+    # round it to 6dp FIRST so a last-ULP libm divergence between engines
+    # cannot flip the final BIGINT at a .5 boundary (both sides then
+    # multiply identical doubles)
+    idf6 = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
     scored = stats.crossJoin(F.broadcast(total)).select(
         "term",
         "tf",
         "df",
-        F.round(
-            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
-            * 1_000_000
-        ).cast("long").alias("tfidf_e6"),
+        F.round(F.col("tf") * idf6 * 1_000_000).cast("long").alias("tfidf_e6"),
     )
     return scored.orderBy(F.col("tfidf_e6").desc(), F.col("term").asc()).limit(k)
 

@@ -18,8 +18,9 @@ Two operators:
   memory bound.
 
 Both emit (doc_id, ts, text_hash) for the kept (first-seen) rows.
-Parity with batch ``exact_dedup``'s keep-set is pinned by
-tests/test_partitioned_and_streaming.py.
+Parity with batch ``exact_dedup``'s keep-set, the drop-then-evict
+lifecycle, and exactly-once re-drain are pinned by
+tests/test_stream_dedup.py.
 """
 
 from __future__ import annotations
@@ -63,33 +64,14 @@ def dedup_stream_exact(spark: SparkSession, input_dir: str) -> DataFrame:
 def run_available_now(
     df: DataFrame, checkpoint_dir: str, query_name: str = "dedup_stream"
 ):
-    """Drain all currently-available input into an in-memory sink
-    (single-drain use — the memory sink cannot RESUME from a checkpoint)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return query_name
+    """Memory-sink drain (single-drain use); see streaming.runners."""
+    from .runners import drain_available_now
+
+    return drain_available_now(df, checkpoint_dir, query_name, "append")
 
 
-def run_available_now_to_dir(
-    df: DataFrame, out_dir: str, checkpoint_dir: str
-) -> str:
-    """Drain all currently-available input into a parquet sink — the
-    recoverable sink shape: repeated drains against the same checkpoint
-    resume state (watermark, dedup keys) and append only new output."""
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return out_dir
+def run_available_now_to_dir(df: DataFrame, out_dir: str, checkpoint_dir: str) -> str:
+    """Recoverable parquet-sink drain; see streaming.runners."""
+    from .runners import drain_available_now_to_dir
+
+    return drain_available_now_to_dir(df, out_dir, checkpoint_dir)

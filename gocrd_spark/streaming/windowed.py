@@ -55,15 +55,7 @@ def windowed_counts_stream(
 def run_available_now(
     df: DataFrame, checkpoint_dir: str, query_name: str = "events_window"
 ):
-    """Drain all currently-available input into an in-memory sink and
-    block until done. Returns the owning SparkSession's sink table name."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return query_name
+    """Complete-mode memory-sink drain; see streaming.runners."""
+    from .runners import drain_available_now
+
+    return drain_available_now(df, checkpoint_dir, query_name, "complete")
