@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+# previous simhash invocation's persisted signature table — unpersisted
+# by the next invocation so a long session holds at most one cache entry
+_SIG_CACHE: list = []
+
+
 def _norm_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
@@ -314,17 +319,17 @@ def simhash_near_dups(
     quadratically. None disables. Default leaves every tested corpus
     untouched.
 
-    The banded signature table is materialized once via localCheckpoint:
-    it feeds three consumers (both self-join sides and the bucket-size
-    cap), and without materialization Spark recomputes the shingle+
-    bit-vote pipeline — the expensive part — once per consumer (measured
-    3x the signature cost at sf0.1). localCheckpoint (not persist) so
-    the blocks are released by the ContextCleaner when the query's
-    DataFrames go out of scope — a persist() here leaked one pinned
-    cache entry per invocation for the session lifetime. Caveat: local
-    checkpoints don't survive executor loss; at real scale the
-    equivalent durable move is writing the signature table out once and
-    joining against it."""
+    The banded signature table is persisted for the duration of the
+    query: it feeds three consumers (both self-join sides and the
+    bucket-size cap), and without materialization Spark recomputes the
+    shingle+bit-vote pipeline — the expensive part — once per consumer
+    (measured 3x the signature cost at sf0.1; localCheckpoint was tried
+    and is 3-6x slower end-to-end, the LogicalRDD blocks downstream
+    codegen). Cache lifecycle is bounded: each invocation unpersists the
+    PREVIOUS invocation's signature table (module registry), so a
+    session running many dedup queries holds at most one pinned entry —
+    not one per call. At real scale the equivalent durable move is
+    writing the signature table out once and joining against it."""
     widths, offsets, combos = simhash_bands(max_hamming)
 
     def band_key(combo: tuple[int, ...]) -> Column:
@@ -349,7 +354,13 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
-    chunks = chunks.localCheckpoint(eager=False)
+    chunks = chunks.persist()
+    while _SIG_CACHE:
+        try:
+            _SIG_CACHE.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session gone / already unpersisted
+    _SIG_CACHE.append(chunks)
     if max_bucket is not None:
         ok = (
             chunks.groupBy("band", "key")
