@@ -196,3 +196,37 @@ def _raw_doc(content: bytes) -> bytes:
         + _content_obj(4, content)
         + b"trailer << /Root 1 0 R >>\n%%EOF\n"
     )
+
+
+class TestMixedCorpusKernel:
+    def test_pdf_rows_flow_through_the_flagship_kernel(self, spark):
+        """A crawl table mixing PAGE-XML/HTML/METS pages with PDF payloads
+        extracts through the SAME salted mapInPandas kernel — one plan,
+        one output contract for every document kind."""
+        from gocrd_spark import datagen
+        from gocrd_spark.pipeline import extract_pages
+
+        pages = [datagen.make_row(i) for i in range(20)]
+        pdf_rows = []
+        for i in range(3):
+            row, expected = make_pdf_row(i)
+            pdf_rows.append(
+                {
+                    "url": f"https://crawl.test/pdf-{i:04d}",
+                    "warc_ts": pages[0]["warc_ts"],
+                    "html": row["pdf"],  # binary payload column
+                    "text": "",
+                    "lang": "en",
+                }
+            )
+        df = spark.createDataFrame(pages + pdf_rows, datagen.PAGES_SCHEMA)
+        out = {r.url: r for r in extract_pages(df, num_partitions=4).collect()}
+        for i in range(3):
+            _, expected = make_pdf_row(i)
+            row = out[f"https://crawl.test/pdf-{i:04d}"]
+            assert row.error is None
+            assert row.text == "\n".join(b["text"] for b in expected)
+            assert row.spans[0].region_id == "p0_b0"
+        # the XML/HTML rows are untouched by the PDF routing
+        kant = out[datagen.KANT_URL]
+        assert kant.error is None and len(kant.spans) == 4
