@@ -317,6 +317,23 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every doc_id % 50 == 0 document plays
+    the role of an eval/benchmark doc; the corpus is scrubbed against
+    them with the 13-gram containment rule (benchmark side broadcast)."""
+    from gocrd_spark.operators.dedup import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    benchmarks = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_flags(docs, benchmarks, n=13)
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.dedup import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=3)
+
+
 def _q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.dedup import minhash_lsh
 
@@ -536,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_near_dups": _q_minhash_dups,
         "simhash_near_dups": _q_simhash_dups,
+        "contamination_flags": _q_contamination,
+        "repetition_stats": _q_repetition,
         # text analysis (documents)
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -645,6 +664,31 @@ def _extracted_quality_oracle() -> str:
                     1.0 - punct_ratio*2 - digit_ratio*2 + least(stop_ratio, 0.2))), 6)
                     * 1000000) AS BIGINT) AS quality_e6
         FROM r
+    """
+
+
+def _contamination_oracle() -> str:
+    """13-gram containment twin: benchmark set = doc_id % 50 == 0 (must
+    match _q_contamination)."""
+    gram13 = " || ' ' || ".join(f"t[i+{j}]" for j in range(13))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                             x -> x <> '') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(t) >= 13
+                   THEN list_transform(range(1, len(t) - 11), i -> {gram13})
+                   ELSE [array_to_string(t, ' ')] END) AS shingles
+          FROM toks),
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        bench AS (SELECT doc_id AS benchmark_id, shingle FROM ex WHERE doc_id % 50 = 0)
+        SELECT e.doc_id, b.benchmark_id, count(*) AS n_shared_grams
+        FROM ex e JOIN bench b USING (shingle)
+        WHERE e.doc_id <> b.benchmark_id
+        GROUP BY 1, 2
     """
 
 
@@ -876,6 +920,28 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
                      AS n_unique_texts
             FROM documents GROUP BY source
+        """,
+        "contamination_flags": _contamination_oracle(),
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                       THEN list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE [array_to_string(t, ' ')] END AS grams
+              FROM toks)
+            SELECT doc_id,
+                   len(grams)::BIGINT AS n_grams,
+                   len(list_distinct(grams))::BIGINT AS n_unique_grams,
+                   CAST(round(round(CASE WHEN len(grams) > 0
+                        THEN (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+                        ELSE 0.0 END, 6) * 1000000) AS BIGINT) AS dup_ratio_e6
+            FROM g
         """,
         # bands must match corpus_split defaults: test < 25, valid < 50 (256*10%)
         "corpus_split": """

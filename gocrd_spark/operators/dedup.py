@@ -232,6 +232,62 @@ def minhash_lsh(
     return verify_jaccard_pairs(docs, cand, n, threshold)
 
 
+def contamination_flags(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag every document sharing at least
+    one word ``n``-gram with an evaluation/benchmark document (the
+    classic 13-gram containment rule used to scrub training corpora).
+
+    Plan shape for 100 TB: the benchmark side is SMALL (eval suites are
+    thousands of docs) — its exploded shingles broadcast, so the corpus
+    scan joins map-side with no corpus shuffle; output is one row per
+    contaminated (doc_id, benchmark_id) pair with the shared-gram count.
+    """
+    doc_sh = shingle_docs(docs, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    bench_sh = shingle_docs(benchmarks, n).select(
+        F.col("doc_id").alias("benchmark_id"), F.explode("shingles").alias("shingle")
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .filter(F.col("doc_id") != F.col("benchmark_id"))
+        .groupBy("doc_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): the
+    fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document. Narrow map, no shuffle: total grams vs distinct
+    grams per row. Returns (doc_id, n_grams, n_unique_grams,
+    dup_ratio_e6)."""
+    tokens = F.filter(F.split(_norm_text(F.col("text")), " "), lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    g = docs.select("doc_id", grams.alias("g"))
+    n_grams = F.size("g")
+    n_unique = F.size(F.array_distinct("g"))
+    dup_ratio = F.when(
+        n_grams > 0, (n_grams - n_unique).cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "doc_id",
+        n_grams.cast("long").alias("n_grams"),
+        n_unique.cast("long").alias("n_unique_grams"),
+        F.round(F.round(dup_ratio, 6) * 1_000_000).cast("long").alias("dup_ratio_e6"),
+    )
+
+
 def simhash64(docs: DataFrame, n: int = 2) -> DataFrame:
     """64-bit SimHash per document from word n-gram shingle hashes:
     bit b of the simhash is 1 iff the count of shingle-hashes with bit b

@@ -193,3 +193,34 @@ class TestEmbeddingLshQuality:
             assert exact[pair] == cos
         if exact:
             assert len(lsh) / len(exact) >= 0.5
+
+
+class TestDecontamination:
+    def test_contamination_flags_and_broadcast(self, spark):
+        from gocrd_spark.operators.dedup import contamination_flags
+
+        base = "one two three four five six seven eight nine ten eleven twelve thirteen extra words here"
+        docs = spark.createDataFrame(
+            [(1, base + " tail a"), (2, "totally different words " * 5), (3, base)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(100, base + " other end")], "doc_id long, text string")
+        flagged = contamination_flags(docs, bench, n=13)
+        rows = {(r.doc_id, r.benchmark_id) for r in flagged.collect()}
+        assert (1, 100) in rows and (3, 100) in rows
+        assert all(d != 2 for d, _ in rows)
+        plan = flagged._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # benchmark side broadcast
+
+    def test_repetition_stats_values(self, spark):
+        from gocrd_spark.operators.dedup import repetition_stats
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a b c a b c"), (2, "w x y z")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in repetition_stats(docs, n=3).collect()}
+        # doc 1: 7 trigrams, 3 unique -> dup ratio 4/7
+        assert rows[1].n_grams == 7 and rows[1].n_unique_grams == 3
+        assert rows[1].dup_ratio_e6 == 571429
+        assert rows[2].dup_ratio_e6 == 0
