@@ -54,22 +54,34 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "text_hash", "n_dups")
 
 
-def _shingles(col: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    tokens = F.filter(F.split(_norm_text(col), " "), lambda x: x != F.lit(""))
+def _tokens_col(col: Column) -> Column:
+    """Non-empty tokens of the normalized text."""
+    return F.filter(F.split(_norm_text(col), " "), lambda x: x != F.lit(""))
+
+
+def _shingles_of_tokens(t: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of an ALREADY-PROJECTED token
+    column. The token array must be a bound column, not an inline
+    expression: a lambda body referencing an outer expression re-derives
+    it PER ELEMENT (no common-subexpression elimination inside HOF
+    lambdas — the same trap documented at winnowing_fingerprints;
+    measured 7x slower with split/filter inlined here)."""
     return F.array_distinct(
         F.when(
-            F.size(tokens) >= n,
+            F.size(t) >= n,
             F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - n),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
             ),
-        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+        ).otherwise(F.array(F.concat_ws(" ", t)))
     )
 
 
 def shingle_docs(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select("doc_id", _shingles(F.col("text"), n).alias("shingles"))
+    toks = docs.select("doc_id", _tokens_col(F.col("text")).alias("_toks"))
+    return toks.select(
+        "doc_id", _shingles_of_tokens(F.col("_toks"), n).alias("shingles")
+    )
 
 
 def verify_jaccard_pairs(
@@ -266,15 +278,16 @@ def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     the same document. Narrow map, no shuffle: total grams vs distinct
     grams per row. Returns (doc_id, n_grams, n_unique_grams,
     dup_ratio_e6)."""
-    tokens = F.filter(F.split(_norm_text(F.col("text")), " "), lambda x: x != F.lit(""))
+    toks = docs.select("doc_id", _tokens_col(F.col("text")).alias("_toks"))
+    t = F.col("_toks")  # bound column: see _shingles_of_tokens note
     grams = F.when(
-        F.size(tokens) >= n,
+        F.size(t) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", tokens)))
-    g = docs.select("doc_id", grams.alias("g"))
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    g = toks.select("doc_id", grams.alias("g"))
     n_grams = F.size("g")
     n_unique = F.size(F.array_distinct("g"))
     dup_ratio = F.when(
