@@ -37,7 +37,7 @@ def norm_text(text: str) -> str:
 
 
 def shingles(text: str, n: int) -> list[str]:
-    """Twin of dedup._shingles: distinct word n-grams (first-occurrence
+    """Twin of dedup.shingle_docs: distinct word n-grams (first-occurrence
     order, matching array_distinct)."""
     toks = [t for t in norm_text(text).split(" ") if t]
     if len(toks) >= n:
