@@ -348,8 +348,11 @@ def _q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.dedup import simhash_near_dups
 
-    # max_hamming=3 matches the banding's recall guarantee (pigeonhole
-    # over the block combinations); higher h would silently under-recall.
+    # h=3 picked for key width / bucket cardinality (simhash_bands gives
+    # ~31-bit keys at h=3) and to keep the r01->r02 semantics change
+    # explicit — the banding plan guarantees recall for ANY h (pigeonhole,
+    # pinned by test_scale_plans for h=1..4), so larger radii cost key
+    # width, never recall.
     out = simhash_near_dups(_docs(spark, sf_dir), n=2, max_hamming=3)
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")

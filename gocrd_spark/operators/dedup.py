@@ -25,6 +25,8 @@ exchange); Jaccard verification joins only candidate pairs.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 
@@ -33,9 +35,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-# previous simhash invocation's persisted signature table — unpersisted
-# by the next invocation so a long session holds at most one cache entry
+# Previous simhash invocation's persisted signature table — unpersisted
+# by the next invocation so a long session holds at most one cache entry.
+# Lock-guarded (concurrent driver threads must not pop each other's entry
+# mid-swap). Assumption, documented: a caller EXECUTES each
+# simhash_near_dups result before building the next one — building two
+# lazily and executing the first afterwards recomputes (correctly but
+# slowly), because the second call has already unpersisted the first's
+# signature table. Job-scale pipelines should use the durable
+# simhash_signatures() table instead, which has no such coupling.
 _SIG_CACHE: list = []
+_SIG_LOCK = threading.Lock()
 
 
 def _norm_text(col: Column) -> Column:
@@ -424,12 +434,13 @@ def simhash_near_dups(
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
     chunks = chunks.persist()
-    while _SIG_CACHE:
-        try:
-            _SIG_CACHE.pop().unpersist(blocking=False)
-        except Exception:
-            pass  # session gone / already unpersisted
-    _SIG_CACHE.append(chunks)
+    with _SIG_LOCK:
+        while _SIG_CACHE:
+            try:
+                _SIG_CACHE.pop().unpersist(blocking=False)
+            except Exception:
+                pass  # session gone / already unpersisted
+        _SIG_CACHE.append(chunks)
     if max_bucket is not None:
         ok = (
             chunks.groupBy("band", "key")

@@ -18,7 +18,12 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from gocrd_spark.operators.dedup import simhash_bands  # noqa: E402  (banding *plan* is shared config)
+# The banding *plan* (block widths/combos) is deliberately shared config,
+# not re-derived: a plan bug would reproduce in both twin and operator, so
+# the plan's recall property is INDEPENDENTLY gated by
+# tests/test_scale_plans.py::test_pigeonhole_recall_guarantee (pure
+# itertools check that every <=h-bit corruption leaves >=1 clean band).
+from gocrd_spark.operators.dedup import simhash_bands  # noqa: E402
 from gocrd_spark.pyxxh import spark_xxhash64  # noqa: E402
 
 _WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (ASCII), not Python unicode \s
