@@ -100,8 +100,22 @@ def verify_jaccard_pairs(
     """Exact shingle-set Jaccard over an explicit candidate-pair set
     (doc_a, doc_b): joins each side's shingle array and intersects —
     cost is O(|candidates|), never O(N²). The verification stage both
-    minhash_lsh and candidate-mode ngram_jaccard_pairs share."""
-    sh = shingle_docs(docs, n)
+    minhash_lsh and candidate-mode ngram_jaccard_pairs share.
+
+    The verify join carries ``xxhash64(shingle)`` int64 arrays, not the
+    n-gram strings — ~16x fewer shuffle bytes per 3-gram at crawl scale.
+    Set sizes/intersections are 64-bit-exact (a cross-doc collision that
+    changes a Jaccard value needs two distinct shingles hashing equal
+    within one pair's union — ~|union|²/2^65 per pair), matching the
+    suite-wide convention (MinHash, SimHash, winnowing are already
+    xxhash64-keyed); the e2e values still equal the string-exact DuckDB
+    oracle at the driver scale."""
+    sh = shingle_docs(docs, n).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("shingles"),
+    )
     return (
         candidates.select("doc_a", "doc_b")
         .distinct()

@@ -5,10 +5,15 @@
   ``aggregate`` in double precision (JVM-side, no Python); top-k via a
   per-query window. The correctness baseline.
 - ``lsh_buckets`` / ``topk_lsh`` — random-hyperplane LSH: H deterministic
-  hyperplanes (seeded numpy, shipped as literal arrays), bucket = sign
-  bits; candidates share a bucket in >=1 of B tables. The scale path:
-  at 10^12 vectors the bucket join shuffles only (bucket, id) pairs and
-  the exact rerank touches ~N/2^bits of the corpus per query.
+  hyperplanes (seeded numpy) shipped as a BROADCAST DataFrame — one row
+  per hash table carrying its planes as ``array<array<double>>`` — and
+  folded into sign-bit buckets with nested higher-order functions, so
+  the PLAN carries zero per-plane literals and its size is independent
+  of dim × n_planes × n_tables (the same cure applied to the IVF
+  quantizer; at production dims of 1k-4k a literal-array plan was the
+  driver bottleneck). Candidates share a bucket in >=1 table; at 10^12
+  vectors the bucket join shuffles only (bucket, id) pairs and the exact
+  rerank touches ~N/2^bits of the corpus per query.
 
 100 TB notes: queries are broadcast (small side), corpus is scanned once
 per table; no N×Q cross shuffle ever materializes for the LSH path.
@@ -74,40 +79,76 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _planes_table_df(
+    spark, dim: int, n_planes: int, n_tables: int, seed: int
+) -> DataFrame:
+    """One row per hash table: (table, planes array<array<double>>).
+    Tiny (n_tables rows) — always the broadcast side. Shipping the
+    planes as DATA instead of plan literals keeps the physical plan
+    O(1) in dim × n_planes × n_tables (mirror of the IVF quantizer's
+    broadcast-centroid fix at kmeans_centroids_df)."""
+    rows = [
+        (
+            t,
+            [
+                [float(x) for x in row]
+                for row in _hyperplanes(dim, n_planes, seed + 1000 * t)
+            ],
+        )
+        for t in range(n_tables)
+    ]
+    return spark.createDataFrame(rows, "table int, planes array<array<double>>")
+
+
+def _bucket_expr() -> Column:
+    """bucket = sum over i of (dot(embedding, planes[i]) > 0) * 2^i,
+    folded over the broadcast ``planes`` ARRAY column. The inner dot is
+    the same sequential left fold in IEEE double as everywhere else in
+    this module, so buckets are bit-identical to the literal-plane plan
+    this replaces (and to the pure-Python oracle twin). 2^i via pow is
+    exact in double for i < 53; n_planes beyond ~60 would overflow the
+    64-bit bucket anyway."""
+    bits = F.transform(
+        F.col("planes"),
+        lambda p, i: F.when(
+            _dot(F.col("embedding"), p) > 0, F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
 def lsh_buckets(
     embeddings: DataFrame, dim: int = 64, n_planes: int = 8, seed: int = 42
 ) -> DataFrame:
     """Random-hyperplane signature: bucket = sum over planes of
-    (dot(v, plane_i) > 0) << i. Planes are deterministic literals —
-    every executor computes identical buckets with zero coordination."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucket = None
-    for i in range(n_planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(_dot(F.col("embedding"), plane_lit) > 0, F.lit(1)).otherwise(
-            F.lit(0)
-        )
-        term = F.shiftleft(bit.cast("long"), i)
-        bucket = term if bucket is None else bucket + term
-    return embeddings.select("vec_id", "embedding", bucket.alias("bucket"))
-
+    (dot(v, plane_i) > 0) << i. Planes arrive via a one-row broadcast
+    DataFrame (no plan literals); buckets are deterministic, so every
+    executor computes identical values with zero coordination."""
+    planes = _planes_table_df(
+        embeddings.sparkSession, dim, n_planes, 1, seed
+    ).select("planes")
+    return (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(planes))
+        .select("vec_id", "embedding", _bucket_expr().alias("bucket"))
+    )
 
 
 def _union_lsh_tables(
     embeddings: DataFrame, dim: int, n_planes: int, n_tables: int, seed: int
 ) -> DataFrame:
-    """Multi-table LSH bucketing: union of n_tables independent
-    lsh_buckets (distinct plane seeds), tagged with a table id."""
-    tables = [
-        lsh_buckets(embeddings, dim, n_planes, seed + 1000 * t).withColumn(
-            "table", F.lit(t)
-        )
-        for t in range(n_tables)
-    ]
-    out = tables[0]
-    for t in tables[1:]:
-        out = out.unionByName(t)
-    return out
+    """Multi-table LSH bucketing: one broadcast join against the
+    n_tables-row planes table (distinct plane seeds per table) replaces
+    the former union of n_tables per-table plans — same output rows
+    (vec_id, embedding, table, bucket), identical bucket values."""
+    tables = _planes_table_df(
+        embeddings.sparkSession, dim, n_planes, n_tables, seed
+    )
+    return (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(tables))
+        .select("vec_id", "embedding", "table", _bucket_expr().alias("bucket"))
+    )
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:

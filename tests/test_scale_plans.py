@@ -33,8 +33,11 @@ def _plan(df) -> str:
 class TestPhysicalPlans:
     def test_embedding_lsh_never_cartesian(self, emb):
         """The flagship near-dup plan must be a bucketed equi-join — the
-        O(N²) shapes (CartesianProduct / nested-loop of corpus vs corpus)
-        belong only to the exact baseline."""
+        O(N²) shapes (CartesianProduct / corpus-vs-corpus nested loop)
+        belong only to the exact baseline. The corpus-vs-PLANES broadcast
+        nested loop (n_tables rows, the same broadcast-dim shape as the
+        IVF centroid join) is the accepted way the hyperplanes reach the
+        fold without becoming plan literals."""
         from gocrd_spark.operators.similarity import (
             embedding_near_dups_exact,
             embedding_near_dups_lsh,
@@ -42,13 +45,30 @@ class TestPhysicalPlans:
 
         lsh_plan = _plan(embedding_near_dups_lsh(emb, threshold=0.42))
         assert "CartesianProduct" not in lsh_plan
-        assert "BroadcastNestedLoopJoin" not in lsh_plan
+        # the candidate PAIR join must be an equi-join on (table, bucket)
+        assert any(
+            j in lsh_plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )
         # contrast: the baseline IS the all-pairs shape
         exact_plan = _plan(embedding_near_dups_exact(emb, threshold=0.42))
         assert (
             "CartesianProduct" in exact_plan
             or "BroadcastNestedLoopJoin" in exact_plan
         )
+
+    def test_lsh_plan_size_independent_of_planes(self, emb):
+        """The hyperplanes ship as broadcast DATA, not plan literals: an
+        8x more-planes/tables config must not inflate the plan text the
+        way literal float arrays did (dim x n_planes x n_tables values).
+        Guards the round-3 fix mirroring the IVF broadcast quantizer."""
+        from gocrd_spark.operators.similarity import topk_lsh
+
+        small = len(_plan(topk_lsh(emb, query_ids=[0], k=5, n_planes=2, n_tables=2)))
+        big = len(_plan(topk_lsh(emb, query_ids=[0], k=5, n_planes=8, n_tables=8)))
+        # literal planes would grow the plan by ~dim*(64-4)=3840 doubles;
+        # broadcast planes leave it within noise (column naming etc.)
+        assert big < small * 1.2
 
     def test_ivf_probe_join_is_broadcast_hash(self, emb):
         """Candidate scoring must broadcast the (tiny) probed-query side
