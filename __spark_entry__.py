@@ -359,6 +359,20 @@ def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> keep/drop decisions: MinHash-LSH near-dup pairs resolved
+    to connected components, one canonical doc per cluster, every corpus
+    doc labeled. The oracle recomputes the components with a DuckDB
+    recursive CTE over the EXACT all-pairs Jaccard answer — independent
+    both in pair generation (exact vs LSH) and in closure algorithm
+    (recursive transitive closure vs iterative min-propagation)."""
+    from gocrd_spark.operators.dedup import dedup_clusters, minhash_lsh
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh(docs, n=3, threshold=0.12)
+    return dedup_clusters(docs, pairs)
+
+
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.similarity import topk_bruteforce
 
@@ -556,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_near_dups": _q_minhash_dups,
         "simhash_near_dups": _q_simhash_dups,
+        "dedup_clusters": _q_dedup_clusters,
         "contamination_flags": _q_contamination,
         "repetition_stats": _q_repetition,
         # text analysis (documents)
@@ -982,6 +997,28 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _ops_golden(
             "simhash_near_dups", "doc_a, doc_b, hamming"
         ),
+        # connected components via recursive transitive closure over the
+        # EXACT pair answer (LSH recall to that answer is certified by the
+        # minhash_near_dups row) — independent pairs AND independent
+        # closure algorithm vs the Spark min-propagation loop
+        "dedup_clusters": f"""
+            WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM ({_EXACT_JACCARD_SQL})),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pr
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pr),
+            walk(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+            canon AS (
+              SELECT u AS doc_id, least(min(v), u) AS canonical_id
+              FROM walk GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+                   CAST(coalesce(c.canonical_id, d.doc_id) = d.doc_id AS BIGINT) AS keep
+            FROM documents d LEFT JOIN canon c USING (doc_id)
+        """,
         "pdf_extract_text": _ops_golden(
             "pdf_extract_text", "doc_id, text, n_blocks, error"
         ),

@@ -80,6 +80,60 @@ class TestMinHash:
         assert len(set(sig)) > 4  # distinct permutations -> distinct minima
 
 
+class TestDedupClusters:
+    def test_planted_components(self, spark):
+        """Chain 1-2-3-4, star 10<-{11,12,13}, isolated pair (20,21):
+        every member resolves to its component's min doc_id, even where
+        no direct pair links it to the canonical (transitivity)."""
+        from gocrd_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+            "doc_a long, doc_b long",
+        )
+        got = {
+            r.doc_id: r.canonical_id for r in connected_components(pairs).collect()
+        }
+        assert got == {
+            1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20,
+        }
+
+    def test_keep_decisions_cover_whole_corpus(self, spark):
+        from gocrd_spark.operators.dedup import dedup_clusters
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 3), (3, 5), (1, 2)], "doc_a long, doc_b long"
+        )
+        rows = {r.doc_id: (r.canonical_id, r.keep)
+                for r in dedup_clusters(docs, pairs).collect()}
+        assert rows == {
+            0: (0, 1), 3: (0, 0), 5: (0, 0),          # component {0,3,5}
+            1: (1, 1), 2: (1, 0),                     # component {1,2}
+            4: (4, 1), 6: (6, 1), 7: (7, 1),          # singletons keep
+        }
+
+    def test_long_chain_converges(self, spark):
+        """A 12-hop chain needs ~12 propagation rounds — inside the
+        max_iters guard; a >max_iters diameter raises instead of
+        silently returning partial labels."""
+        from gocrd_spark.operators.dedup import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(100, 112)], "doc_a long, doc_b long"
+        )
+        got = {r.doc_id: r.canonical_id for r in connected_components(chain).collect()}
+        assert set(got.values()) == {100} and len(got) == 13
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iters=3)
+
+
 class TestSimHash:
     def test_identical_docs_same_hash(self, spark):
         from gocrd_spark.operators.dedup import simhash64
@@ -105,6 +159,47 @@ class TestSimHash:
         pairs = {(r.doc_a, r.doc_b) for r in simhash_near_dups(df, n=2, max_hamming=8).collect()}
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+class TestSimhashSignatureTable:
+    def test_write_once_resume_and_parity(self, spark, docs, tmp_path):
+        """The durable signature table: (1) a second invocation reuses
+        the finished table (no rewrite — _SUCCESS mtime unchanged), like
+        the extraction commit log; (2) pairs computed FROM the table
+        equal the session-path operator; (3) a radius mismatch refuses
+        instead of joining wrong bands."""
+        import os
+        import pytest as _pytest
+
+        from gocrd_spark.operators.dedup import (
+            simhash_near_dups,
+            simhash_near_dups_from,
+            simhash_signatures,
+        )
+
+        path = str(tmp_path / "sig_table")
+        simhash_signatures(docs, path, n=2, max_hamming=3)
+        marker = os.path.join(path, "_SUCCESS")
+        mtime = os.path.getmtime(marker)
+
+        # resume: second run skips the write entirely
+        simhash_signatures(docs, path, n=2, max_hamming=3)
+        assert os.path.getmtime(marker) == mtime
+
+        direct = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups(docs, n=2, max_hamming=3).collect()
+        }
+        from_table = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups_from(spark, path, max_hamming=3).collect()
+        }
+        assert from_table == direct
+
+        with _pytest.raises(ValueError, match="banded for max_hamming"):
+            simhash_near_dups_from(spark, path, max_hamming=2)
+        with _pytest.raises(ValueError, match="was built with"):
+            simhash_signatures(docs, path, n=3, max_hamming=3)
 
 
 class TestSimilarity:
