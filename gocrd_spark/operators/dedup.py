@@ -251,6 +251,29 @@ def minhash_candidates(
     )
 
 
+def choose_bands(
+    num_hashes: int, threshold: float, target_recall: float = 0.99
+) -> int:
+    """Cheapest banding that still meets a recall floor AT the decision
+    threshold: banded-LSH recall for a pair at Jaccard j is
+    1 - (1 - j^r)^b with r = num_hashes/b rows per band. Returns the
+    SMALLEST divisor b of num_hashes with recall(threshold) >=
+    target_recall (fewer bands = fewer bucket rows shuffled), or
+    num_hashes (1-row bands, the max-recall banding) if none reaches
+    the floor — callers should then raise num_hashes.
+
+    This is the guard the borderline-recall pytest enforces: a banding
+    tuned for near-identical dups (j >= 0.9 — the driver corpus) e.g.
+    8 bands x 4 rows recalls j = 0.2 pairs with probability ~1e-2, so a
+    threshold of 0.12 silently returns almost none of its qualifying
+    pairs unless the banding comes from this calculation."""
+    for b in sorted(d for d in range(1, num_hashes + 1) if num_hashes % d == 0):
+        r = num_hashes // b
+        if 1.0 - (1.0 - threshold**r) ** b >= target_recall:
+            return b
+    return num_hashes
+
+
 def minhash_lsh(
     docs: DataFrame,
     n: int = 3,

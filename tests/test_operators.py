@@ -80,6 +80,81 @@ class TestMinHash:
         assert len(set(sig)) > 4  # distinct permutations -> distinct minima
 
 
+class TestMinhashBorderlineRecall:
+    """The sf0.01 corpus plants only j >= 0.9 near-dups, where ANY sane
+    banding recalls — so banding regressions were invisible. This corpus
+    plants BORDERLINE pairs (j ~= 0.206, just above the 0.12 driver
+    threshold) where recall is decided entirely by the banding."""
+
+    @pytest.fixture(scope="class")
+    def borderline(self, spark):
+        # pair p: two 40-token docs sharing their first 15 tokens ->
+        # 13 shared 3-gram shingles of 38 each: j = 13/63 ~= 0.206
+        rows = []
+        for p in range(30):
+            base = [f"w{p}t{i}" for i in range(40)]
+            alt = base[:15] + [f"x{p}t{i}" for i in range(25)]
+            rows.append((2 * p, " ".join(base)))
+            rows.append((2 * p + 1, " ".join(alt)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.cache().count()
+        return df
+
+    def test_tuned_banding_recalls_borderline_pairs(self, borderline):
+        """With banding chosen FOR the threshold (choose_bands), LSH
+        output equals the exact answer on borderline pairs. Swapping in
+        a coarse banding (e.g. bands=4 or the j>=0.9-tuned 8x4) makes
+        this equality FAIL — the guard the round-2 verdict asked for."""
+        from gocrd_spark.operators.dedup import (
+            choose_bands,
+            minhash_lsh,
+            ngram_jaccard_pairs,
+        )
+
+        threshold = 0.12
+        num_hashes = 64
+        bands = choose_bands(num_hashes, threshold)
+        # at j=0.206 the per-pair miss probability is (1-j)^64 ~= 4e-7
+        assert bands == 64  # 1-row bands: the only divisor reaching 0.99
+
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(borderline, n=3, threshold=threshold).collect()
+        }
+        assert len(exact) == 30  # every planted pair qualifies
+        lsh = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh(
+                borderline, n=3, num_hashes=num_hashes, bands=bands,
+                threshold=threshold,
+            ).collect()
+        }
+        assert lsh == exact
+
+    def test_coarse_banding_underrecalls(self, borderline):
+        """The default 8x4 banding (tuned for j>=0.9 dups) must MISS
+        borderline pairs — per-pair recall 1-(1-0.206^4)^8 ~= 1.4e-2.
+        If this ever starts passing borderline pairs, the banding/recall
+        model is wrong and choose_bands needs re-derivation."""
+        from gocrd_spark.operators.dedup import minhash_lsh
+
+        lsh = minhash_lsh(
+            borderline, n=3, num_hashes=32, bands=8, threshold=0.12
+        ).count()
+        assert lsh < 30  # strictly under-recalls (expected ~0)
+
+    def test_choose_bands_matches_known_operating_points(self):
+        from gocrd_spark.operators.dedup import choose_bands
+
+        # near-identical dups: the driver's 8x4 banding is exactly the
+        # cheapest 0.99-recall banding at j=0.9
+        assert choose_bands(32, 0.9) == 8
+        # borderline threshold needs 1-row bands even at 64 hashes
+        assert choose_bands(64, 0.2) == 64
+        # recall floor unreachable -> max banding (callers raise hashes)
+        assert choose_bands(32, 0.12) == 32
+
+
 class TestDedupClusters:
     def test_planted_components(self, spark):
         """Chain 1-2-3-4, star 10<-{11,12,13}, isolated pair (20,21):
