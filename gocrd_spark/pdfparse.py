@@ -10,8 +10,19 @@ Scope (a real, documented subset — not a stub):
   (escapes ``\\n \\r \\t \\b \\f \\( \\) \\\\ \\ddd`` + line
   continuations + nested parens), hex ``<...>`` strings, ``R``
   references, booleans/null;
-- page tree: trailer ``/Root`` -> catalog ``/Pages`` -> ``/Kids`` walk
-  (document page order); falls back to /Type /Page objects in object
+- modern cross-reference STREAMS (`/Type /XRef`): /W field widths,
+  /Index subsections, FlateDecode with PNG predictors (None/Sub/Up/
+  Average/Paeth — /Predictor 10-15, the layout ~every post-2005 writer
+  emits); the xref stream dict doubles as the trailer (/Root);
+- `/ObjStm` object streams: /N /First header parsing, embedded objects
+  unpacked; residency (top-level vs in-stream version of an object
+  number) follows the xref entries when they parse (type-1 = scanned
+  object current, type-2 = ObjStm version current), with an
+  unpack-all-ObjStms fallback when the xref is corrupt;
+- page tree: trailer ``/Root`` (classic keyword or xref-stream dict) ->
+  catalog ``/Pages`` -> ``/Kids`` walk (document page order), CYCLE-SAFE
+  (visited object set — a /Pages node listed as its own kid terminates
+  instead of exploding); falls back to /Type /Page objects in object
   order if the trailer is unparseable;
 - content streams: raw or /FlateDecode (zlib); text operators ``BT/ET``,
   ``Tj``, ``TJ`` (kern < -120/1000 em treated as a word space), ``'``,
@@ -19,10 +30,16 @@ Scope (a real, documented subset — not a stub):
 - strings decoded as Latin-1 (simple fonts; no CMap/ToUnicode — out of
   scope, documented).
 
+Hostile-input bounds (crawl bytes are untrusted; a bad document must be
+an error row, never an executor OOM/hang): every FlateDecode output is
+capped at MAX_DECOMPRESSED_BYTES (a few-KB zlib bomb otherwise inflates
+to GBs), and the page-tree walk tracks visited objects (depth cap alone
+leaves cyclic trees exponential in path count).
+
 Out of scope (error rows or skipped, never crashes): encrypted PDFs,
-xref streams /ObjStm-packed objects, non-Flate filters, composite
-fonts. The synthetic corpus (pdfgen.synth_pdf) and the reference tests
-exercise everything in scope.
+non-Flate filters (LZW/DCT/...), composite fonts. The synthetic corpus
+(pdfgen.synth_pdf, classic AND xref-stream/ObjStm layouts) and the
+tests exercise everything in scope.
 """
 
 from __future__ import annotations
@@ -35,6 +52,11 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _TRAILER_RE = re.compile(rb"trailer")
+
+# FlateDecode output cap — same bound family as the XML kernel's
+# max_doc_bytes tolerance contract: a hostile stream that inflates past
+# this is a ValueError (-> error row), never an executor OOM
+MAX_DECOMPRESSED_BYTES = 64 * 1024 * 1024
 
 
 class Ref:
@@ -267,6 +289,9 @@ def _resolve(objects: dict, v: Any) -> Any:
 
 
 def _trailer_root(data: bytes, objects: dict) -> Optional[dict]:
+    """/Root from the classic ``trailer`` keyword dict, else from an
+    xref STREAM's dict (which doubles as the trailer in the modern
+    layout — there is no ``trailer`` keyword at all)."""
     for m in reversed(list(_TRAILER_RE.finditer(data))):
         try:
             d, _ = parse_value(data, m.end())
@@ -275,19 +300,33 @@ def _trailer_root(data: bytes, objects: dict) -> Optional[dict]:
                 return root
         except Exception:
             continue
+    for num in sorted(objects, reverse=True):  # newest definition first
+        value, raw = objects[num]
+        if isinstance(value, dict) and value.get("Type") == "XRef" and raw is not None:
+            root = _resolve(objects, value.get("Root"))
+            if isinstance(root, dict):
+                return root
     return None
 
 
 def _page_objects(data: bytes, objects: dict) -> list[tuple[int, dict]]:
     """Pages in document order via the catalog's page tree; object-order
-    fallback when the trailer/tree is unparseable."""
+    fallback when the trailer/tree is unparseable. Cycle-safe: visited
+    object numbers are walked once — a hostile /Pages node listed twice
+    as its own kid would otherwise blow up exponentially in path count
+    (the depth cap alone does not prevent that)."""
     root = _trailer_root(data, objects)
     if root is not None:
         pages: list[tuple[int, dict]] = []
+        visited: set[int] = set()
 
         def walk(node_ref: Any, depth: int = 0) -> None:
             if depth > 64:
                 return
+            if isinstance(node_ref, Ref):
+                if node_ref.num in visited:
+                    return
+                visited.add(node_ref.num)
             node = _resolve(objects, node_ref)
             if not isinstance(node, dict):
                 return
@@ -309,6 +348,65 @@ def _page_objects(data: bytes, objects: dict) -> list[tuple[int, dict]]:
     )
 
 
+def _inflate_capped(raw: bytes, cap: int | None = None) -> bytes:
+    """zlib.decompress with an output cap: decompressobj(max_length)
+    stops inflating at the bound, so a few-KB Flate bomb costs at most
+    ``cap`` bytes before the ValueError — never an executor OOM.
+    ``cap=None`` reads MAX_DECOMPRESSED_BYTES at CALL time (late
+    binding, so deployments can tune the module global)."""
+    if cap is None:
+        cap = MAX_DECOMPRESSED_BYTES
+    d = zlib.decompressobj()
+    out = d.decompress(raw, cap)
+    if d.unconsumed_tail:
+        raise ValueError(
+            f"FlateDecode output exceeds {cap} bytes (decompression bomb?)"
+        )
+    return out + d.flush()
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row predictors (filter types 0-4, bpp=1 — the layout
+    xref streams use: /Predictor 10-15, /Colors 1, /BitsPerComponent 8).
+    Each row is 1 filter byte + ``columns`` data bytes."""
+    if columns <= 0:
+        raise ValueError(f"bad predictor Columns: {columns}")
+    rowlen = columns + 1
+    if len(data) % rowlen:
+        raise ValueError("predictor data not a whole number of rows")
+    out = bytearray()
+    prev = bytes(columns)
+    for off in range(0, len(data), rowlen):
+        ftype = data[off]
+        row = bytearray(data[off + 1 : off + rowlen])
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
 def _decode_stream(objects: dict, num: int) -> bytes:
     value, raw = objects.get(num, (None, None))
     if raw is None:
@@ -317,13 +415,117 @@ def _decode_stream(objects: dict, num: int) -> bytes:
     if filt is None:
         return raw
     filters = filt if isinstance(filt, list) else [filt]
+    parms = _resolve(objects, value.get("DecodeParms")) if isinstance(value, dict) else None
+    parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
     out = raw
-    for f in filters:
+    for f, pm in zip(filters, parms_list):
         if f == "FlateDecode":
-            out = zlib.decompress(out)
+            out = _inflate_capped(out)
+            pm = _resolve(objects, pm)
+            if isinstance(pm, dict):
+                pred = _resolve(objects, pm.get("Predictor", 1))
+                if isinstance(pred, int) and pred >= 10:
+                    out = _png_unpredict(out, int(_resolve(objects, pm.get("Columns", 1))))
+                elif pred not in (None, 1):
+                    raise ValueError(f"unsupported predictor {pred}")
         else:
             raise ValueError(f"unsupported PDF stream filter: {f}")
     return out
+
+
+# --- xref streams + object streams ------------------------------------------
+
+
+def _xref_stream_entries(objects: dict) -> Optional[dict[int, tuple[int, int, int]]]:
+    """Entries from every /Type /XRef stream: objnum -> (type, f2, f3)
+    where type 1 = at-offset (top-level), type 2 = packed in ObjStm f2
+    at index f3. Earlier xref streams are read first so LATER (newer,
+    incremental-update) sections overwrite — matching the last-wins rule
+    of the sequential scan. None when no xref stream parses."""
+    entries: dict[int, tuple[int, int, int]] = {}
+    found = False
+    for num in sorted(objects):
+        value, raw = objects[num]
+        if not (isinstance(value, dict) and value.get("Type") == "XRef" and raw is not None):
+            continue
+        try:
+            data = _decode_stream(objects, num)
+            w = [int(x) for x in value["W"]]
+            if len(w) != 3 or any(x < 0 for x in w) or sum(w) == 0:
+                continue
+            size = int(_resolve(objects, value.get("Size", 0)))
+            index = value.get("Index", [0, size])
+            rowlen = sum(w)
+            pos = 0
+            for k in range(0, len(index), 2):
+                start, count = int(index[k]), int(index[k + 1])
+                for objnum in range(start, start + count):
+                    if pos + rowlen > len(data):
+                        raise ValueError("xref stream truncated")
+                    fields = []
+                    for width in w:
+                        fields.append(
+                            int.from_bytes(data[pos : pos + width], "big") if width else 1
+                        )
+                        pos += width
+                    entries[objnum] = (fields[0], fields[1], fields[2])
+            found = True
+        except Exception:
+            continue
+    return entries if found else None
+
+
+def _unpack_objstm(objects: dict, num: int) -> dict[int, Any]:
+    """Embedded objects of one /Type /ObjStm stream: header = /N pairs
+    of (objnum, byte offset relative to /First)."""
+    value, _ = objects[num]
+    data = _decode_stream(objects, num)
+    n = int(_resolve(objects, value["N"]))
+    first = int(_resolve(objects, value["First"]))
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        raise ValueError(f"ObjStm {num}: header shorter than /N pairs")
+    out: dict[int, Any] = {}
+    for i in range(n):
+        objnum = int(header[2 * i])
+        off = int(header[2 * i + 1])
+        val, _ = parse_value(data, first + off)
+        out[objnum] = val
+    return out
+
+
+def _expand_object_streams(objects: dict) -> None:
+    """Merge /ObjStm-packed objects into the object map, in place.
+
+    Residency: when the xref entries parse, they are authoritative —
+    a type-2 entry means the ObjStm version is current (overwrites the
+    scan), a type-1 entry keeps the scanned top-level object. Fallback
+    (corrupt/absent xref): unpack every ObjStm but let scanned
+    definitions win (classic objects were visible to the scan's
+    last-definition-wins rule; embedded ones fill the gaps)."""
+    stms = [
+        num
+        for num, (value, raw) in objects.items()
+        if isinstance(value, dict) and value.get("Type") == "ObjStm" and raw is not None
+    ]
+    if not stms:
+        return
+    xref = _xref_stream_entries(objects)
+    unpacked: dict[int, dict[int, Any]] = {}
+    for num in sorted(stms):
+        try:
+            unpacked[num] = _unpack_objstm(objects, num)
+        except Exception:
+            continue  # a corrupt ObjStm skips; its objects stay missing
+    if xref is not None:
+        for objnum, (etype, f2, f3) in xref.items():
+            if etype == 2 and f2 in unpacked and objnum in unpacked[f2]:
+                objects[objnum] = (unpacked[f2][objnum], None)
+    else:
+        for num in sorted(unpacked):
+            for objnum, val in unpacked[num].items():
+                if objnum not in objects:
+                    objects[objnum] = (val, None)
 
 
 # --- content-stream text interpreter ---------------------------------------
@@ -438,6 +640,7 @@ def pdf_text_blocks(data: bytes) -> list[dict[str, Any]]:
     objects = _scan_objects(data)
     if not objects:
         raise ValueError("no PDF objects found")
+    _expand_object_streams(objects)
     pages = _page_objects(data, objects)
     if not pages:
         raise ValueError("no pages found")

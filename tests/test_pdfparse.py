@@ -83,6 +83,109 @@ class TestRoundtrip:
             pass  # corrupting a compressed stream is allowed to error
 
 
+class TestXrefStreamLayout:
+    def test_xref_stream_roundtrip_both_predictors(self):
+        """The modern layout (ObjStm-packed dicts + /Type /XRef stream
+        trailer, no trailer keyword) parses to the same spec blocks;
+        seeds cover both the predictor-12 and plain-Flate xref data."""
+        for seed in range(60):
+            rng = random.Random(1000 + seed)
+            data, expected = synth_pdf(rng, layout="xref_stream")
+            assert b"trailer" not in data and b"/ObjStm" in data
+            got = [(b["page"], b["text"]) for b in pdf_text_blocks(data)]
+            assert got == [(b["page"], b["text"]) for b in expected]
+
+    def test_png_unpredict_all_filters(self):
+        """Property: predict-then-unpredict is identity for every PNG
+        filter type over random rows."""
+        import os as _os
+
+        from gocrd_spark.pdfparse import _png_unpredict
+
+        raw = bytes(random.Random(7).randrange(256) for _ in range(6 * 40))
+        cols = 6
+        for ftype in range(5):
+            enc = bytearray()
+            prev = bytes(cols)
+            for i in range(0, len(raw), cols):
+                row = raw[i : i + cols]
+                if ftype == 0:
+                    filt = row
+                elif ftype == 1:
+                    filt = bytes((row[j] - (row[j - 1] if j else 0)) & 0xFF for j in range(cols))
+                elif ftype == 2:
+                    filt = bytes((row[j] - prev[j]) & 0xFF for j in range(cols))
+                elif ftype == 3:
+                    filt = bytes(
+                        (row[j] - ((row[j - 1] if j else 0) + prev[j]) // 2) & 0xFF
+                        for j in range(cols)
+                    )
+                else:  # Paeth
+                    filt = bytearray()
+                    for j in range(cols):
+                        a = row[j - 1] if j else 0
+                        b, c = prev[j], (prev[j - 1] if j else 0)
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        filt.append((row[j] - pred) & 0xFF)
+                enc += bytes([ftype]) + bytes(filt)
+                prev = row
+            assert _png_unpredict(bytes(enc), cols) == raw, f"filter {ftype}"
+
+
+class TestHostileInputs:
+    """Crawl bytes are untrusted: a hostile document must become an
+    error row in bounded time/memory, never an executor OOM or hang
+    (the advisor's round-2 medium finding)."""
+
+    def test_flate_bomb_is_bounded(self):
+        """A ~1MB zlib payload inflating to 2x the cap must raise (and
+        allocate at most ~cap), not OOM."""
+        import zlib as _z
+
+        import gocrd_spark.pdfparse as pp
+
+        old = pp.MAX_DECOMPRESSED_BYTES
+        pp.MAX_DECOMPRESSED_BYTES = 1 << 20  # 1 MiB cap for the test
+        try:
+            bomb = _z.compress(b"\x00" * (2 << 20))
+            with pytest.raises(ValueError, match="exceeds"):
+                pp._inflate_capped(bomb, pp.MAX_DECOMPRESSED_BYTES)
+            # and through the full document path -> error row, not crash
+            doc = (
+                b"%PDF-1.4\n"
+                b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+                b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+                b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+                b"4 0 obj\n<< /Length " + str(len(bomb)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + bomb + b"\nendstream\nendobj\n"
+                b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+            )
+            from gocrd_spark.pdfextract import extract_pdf
+
+            res = extract_pdf(doc)
+            assert res["error"] is not None and "exceeds" in res["error"]
+        finally:
+            pp.MAX_DECOMPRESSED_BYTES = old
+
+    def test_cyclic_page_tree_terminates(self):
+        """A /Pages node listing ITSELF (and its parent) as kids would
+        explode exponentially under a depth-only cap; the visited set
+        must terminate it quickly with the one real page extracted."""
+        doc = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [2 0 R 3 0 R 2 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length 26 >>\nstream\n"
+            b"BT (cycle safe) Tj ET\nendstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        )
+        blocks = pdf_text_blocks(doc)
+        assert [b["text"] for b in blocks] == ["cycle safe"]
+
+
 class TestSparkSurface:
     def test_extract_pdfs_matches_spec(self, spark):
         from gocrd_spark.pdfextract import extract_pdfs
