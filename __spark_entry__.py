@@ -299,6 +299,25 @@ def _q_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doclen_histogram(_docs(spark, sf_dir))
 
 
+# MinHash banding for the driver's 0.12 threshold, derived (not guessed)
+# from the recall model: choose_bands(64, 0.12) -> 64 one-row bands,
+# per-pair miss probability (1-j)^64 (4e-4 at the threshold itself,
+# ~2e-4 at the lowest real corpus pair, j=0.125). The r02 banding
+# (32 hashes, 8x4) was tuned for j>=0.9 dups and silently missed the two
+# borderline sf0.1 pairs at j=0.125/0.136 — caught by the sf0.1 sweep.
+# One-row bands cost candidate volume (~500k candidate pairs on the
+# 5k-doc sf0.1 corpus, all exact-verified): that is the fundamental LSH
+# price of a threshold this low; production near-dup thresholds
+# (0.7-0.9) keep r>=4 and candidates tight (see choose_bands).
+_MH_NUM_HASHES = 64
+
+
+def _mh_bands() -> int:
+    from gocrd_spark.operators.dedup import choose_bands
+
+    return choose_bands(_MH_NUM_HASHES, 0.12)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over MinHash-LSH candidates — the crawl-scale wiring
     (candidate verification is O(|candidates|), not per-shingle df²).
@@ -308,7 +327,10 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
-        docs, n=3, threshold=0.12, candidates=minhash_candidates(docs, n=3)
+        docs, n=3, threshold=0.12,
+        candidates=minhash_candidates(
+            docs, n=3, num_hashes=_MH_NUM_HASHES, bands=_mh_bands()
+        ),
     )
     return pairs.select(
         "doc_a",
@@ -337,7 +359,10 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.dedup import minhash_lsh
 
-    pairs = minhash_lsh(_docs(spark, sf_dir), n=3, threshold=0.12)
+    pairs = minhash_lsh(
+        _docs(spark, sf_dir), n=3, threshold=0.12,
+        num_hashes=_MH_NUM_HASHES, bands=_mh_bands(),
+    )
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -369,7 +394,9 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.dedup import dedup_clusters, minhash_lsh
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh(docs, n=3, threshold=0.12)
+    pairs = minhash_lsh(
+        docs, n=3, threshold=0.12, num_hashes=_MH_NUM_HASHES, bands=_mh_bands()
+    )
     return dedup_clusters(docs, pairs)
 
 
@@ -647,13 +674,22 @@ _EXACT_JACCARD_SQL = """
 """
 
 
+def _tools_import():
+    """Single authority for golden paths/scales: tools/gen_goldens."""
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import gen_goldens
+
+    return gen_goldens
+
+
 def _extracted_quality_oracle() -> str:
     """Quality formula recomputed over the INDEPENDENT golden extraction
     text (spec-derived parquet) — checks the kernel->analytics chain."""
-    from gocrd_spark.datagen import DATAGEN_VERSION
-
-    golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
-    path = os.path.join(golden_dir, f"extract_text_v{DATAGEN_VERSION}_sf001.parquet")
+    path = _tools_import().golden_path("extract_text")
     punct = " + ".join(
         f"(length(text) - length(replace(text, '{c}', '')))"
         for c in [".", ",", "!", "?", ";", ":"]
@@ -713,18 +749,13 @@ def _contamination_oracle() -> str:
 def _ops_golden(name: str, cols: str) -> str:
     """Operator goldens: parquet computed by the pure-Python twins
     (tools/oracle_twins.py on the from-scratch xxHash64) — an
-    independent implementation, not the Spark operator. Valid at sf0.01;
-    freshness gated by tests/test_entry_contract.py. Path and version
-    come from tools/gen_goldens (single authority — no drift between the
-    writer's version and the reader's)."""
-    import sys
-
-    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-    if tools_dir not in sys.path:
-        sys.path.insert(0, tools_dir)
-    from gen_goldens import ops_golden_path
-
-    return f"SELECT {cols} FROM read_parquet('{ops_golden_path(name)}')"
+    independent implementation, not the Spark operator. Valid at the
+    oracle scale (driver default sf0.01; SPARK_GRAFT_ORACLE_SF selects
+    the sf0.1 sweep's goldens); freshness gated by
+    tests/test_entry_contract.py. Path and version come from
+    tools/gen_goldens (single authority — no drift between the writer's
+    version and the reader's)."""
+    return f"SELECT {cols} FROM read_parquet('{_tools_import().ops_golden_path(name)}')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -752,16 +783,12 @@ def oracle_sql() -> dict[str, str]:
     # under test (tools/gen_goldens.py): synthetic rows' expectations are
     # computed from the datagen template SPEC by offset arithmetic; the
     # reference-fixture rows come from the independent expat walkers and
-    # are asserted against the FIXTURES.md §3-§4 pins. Valid at sf0.01
-    # (the driver's oracle scale); staleness gated by
+    # are asserted against the FIXTURES.md §3-§4 pins. Valid at the
+    # oracle scale (driver default sf0.01; SPARK_GRAFT_ORACLE_SF selects
+    # the sf0.1 sweep); staleness gated by
     # tests/test_entry_contract.py::test_goldens_fresh.
-    golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
-
     def _golden(name: str, cols: str) -> str:
-        from gocrd_spark.datagen import DATAGEN_VERSION
-
-        path = os.path.join(golden_dir, f"{name}_v{DATAGEN_VERSION}_sf001.parquet")
-        return f"SELECT {cols} FROM read_parquet('{path}')"
+        return f"SELECT {cols} FROM read_parquet('{_tools_import().golden_path(name)}')"
 
     return {
         "extract_text": _golden("extract_text", "url, text, error"),
@@ -1162,18 +1189,20 @@ def _multimodal_oracles() -> dict[str, str]:
     payload bytes (not by calling the fake decoders): the fake decode
     contract is pixels = sha256(payload) tiled to 8x8x3, so the expected
     features/means/frame hashes are sha256 + hex-pair arithmetic over
-    the shared media parquet. Valid at sf0.01 (driver oracle scale)."""
+    the shared media parquet. Valid at the oracle scale (driver default
+    sf0.01; SPARK_GRAFT_ORACLE_SF selects the sf0.1 sweep)."""
     from gocrd_spark.operators.multimodal import (
         ensure_media_parquet,
         media_parquet_path,
     )
 
+    n = max(int(_tools_import().oracle_sf() * 10_000), 10)  # matches _media
     try:
-        path = ensure_media_parquet(100)  # n at the driver's sf0.01
+        path = ensure_media_parquet(n)
     except OSError:
         # keep oracle_sql() constructible on a read-only /tmp — the
         # multimodal queries themselves will surface the real error
-        path = media_parquet_path(100)
+        path = media_parquet_path(n)
 
     def byte_at(pos_expr: str) -> str:
         # 0-based byte of the sha256 hex digest h

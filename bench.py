@@ -15,7 +15,10 @@ accumulate heap/GC pressure and understate later measurements (observed
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 100000),
-     SPARK_GRAFT_SCALE_LOW (default 2).
+     SPARK_GRAFT_SCALE_LOW (default 2),
+     SPARK_GRAFT_QUERY_REPEATS (default 2 — per-query best-of-N; single
+     samples on this steal-prone VM recorded up to 6.9x phantom
+     regressions, see BENCH.md run F).
 """
 
 from __future__ import annotations
@@ -88,7 +91,14 @@ def phase_extract(master: str, path: str, cores: int, repeats: int) -> None:
     print(json.dumps({"sec": best}))
 
 
-def phase_queries(cpus: int, sf_dir: str) -> None:
+def phase_queries(cpus: int, sf_dir: str, repeats: int) -> None:
+    """Per-query wall seconds, BEST-OF-``repeats`` back-to-back samples.
+
+    Single samples proved untrustworthy on this steal-prone VM: the r02
+    driver recording showed ann_topk_brute at 9.96s where quiet-window
+    best-of-3 measures 0.62s — a contention artifact, not a plan change
+    (probed directly: the plan is identical; see BENCH.md). Best-of-N in
+    the RECORDED artifact makes the record match what the plans do."""
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry
     from gocrd_spark.session import get_spark
@@ -97,10 +107,13 @@ def phase_queries(cpus: int, sf_dir: str) -> None:
     entry._pages(spark, sf_dir)  # warm the synthetic-table cache untimed
     per_query: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        t0 = time.time()
+        best = float("inf")
         try:
-            _noop_write(fn(spark, sf_dir))
-            per_query[name] = round(time.time() - t0, 3)
+            for _ in range(repeats):
+                t0 = time.time()
+                _noop_write(fn(spark, sf_dir))
+                best = min(best, time.time() - t0)
+            per_query[name] = round(best, 3)
         except Exception as exc:  # never let one query kill the bench
             per_query[name] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
@@ -133,7 +146,7 @@ def main() -> int:
         elif phase == "extract":
             phase_extract(kv["master"], kv["path"], int(kv["cores"]), int(kv["repeats"]))
         elif phase == "queries":
-            phase_queries(int(kv["cpus"]), kv["sf_dir"])
+            phase_queries(int(kv["cpus"]), kv["sf_dir"], int(kv.get("repeats", 2)))
         return 0
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -168,9 +181,11 @@ def main() -> int:
         ["--phase", "extract", f"master=local[{cpus}]", f"path={path}",
          f"cores={cpus}", "repeats=4"]
     )["sec"]
-    per_query = _run_phase(["--phase", "queries", f"cpus={cpus}", f"sf_dir={sf_dir}"])[
-        "queries"
-    ]
+    q_repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
+    per_query = _run_phase(
+        ["--phase", "queries", f"cpus={cpus}", f"sf_dir={sf_dir}",
+         f"repeats={q_repeats}"]
+    )["queries"]
 
     thr = {c: n_docs / t for c, t in times.items()}
     scaling_eff = (thr[scale_high] / thr[scale_low]) / (scale_high / scale_low)

@@ -33,7 +33,7 @@ from .htmlextract import extract_html
 from .mets import Match as MetsMatch
 from .mets import Mets
 from .page import Page, Rect, _text_equiv_unicode_at, parse_polygon
-from .spans import assemble
+from .spans import assemble, stable_error
 from .xmlwalk import local_name, parse_bytes
 
 
@@ -75,7 +75,7 @@ def extract_document(data: bytes) -> dict[str, Any]:
             return {"text": None, "spans": None, "error": "not a PAGE-XML document"}
         return _extract_page_root(page.root)
     except Exception as exc:  # malformed XML etc.
-        return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
+        return {"text": None, "spans": None, "error": stable_error(exc)}
 
 
 def _extract_page_root(root) -> dict[str, Any]:
@@ -133,7 +133,7 @@ def _extract_page_root(root) -> dict[str, Any]:
 
         return assemble(blocks())
     except Exception as exc:  # malformed XML etc.
-        return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
+        return {"text": None, "spans": None, "error": stable_error(exc)}
 
 
 _HTML_HEAD_RE = re.compile(rb"<\s*(?:!doctype\s+html|html)[\s>]", re.IGNORECASE)
@@ -165,7 +165,7 @@ def extract_any_document(data: bytes) -> dict[str, Any]:
     try:
         root = parse_bytes(data)
     except Exception as exc:
-        return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
+        return {"text": None, "spans": None, "error": stable_error(exc)}
     ln = local_name(root.tag)
     if ln == "PcGts":
         return _extract_page_root(root)

@@ -33,7 +33,7 @@ from __future__ import annotations
 from typing import Any, Optional
 from xml.parsers import expat
 
-from .spans import assemble
+from .spans import assemble, strip_positions
 from .xmlwalk import parse_go_int
 
 
@@ -172,7 +172,10 @@ def extract_document_fast(data: bytes) -> dict[str, Any]:
     try:
         parser.Parse(data, True)
     except expat.ExpatError as exc:
-        return {"text": None, "spans": None, "error": f"ParseError: {exc}"}
+        # class name pinned to the kernel's (ET raises ParseError, expat
+        # ExpatError — same expat underneath); positions stripped per the
+        # engine-stability contract (spans.stable_error)
+        return {"text": None, "spans": None, "error": f"ParseError: {strip_positions(str(exc))}"}
     except Exception as exc:  # defensive: never raise out of the kernel
         return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
     if not ex.root_ok:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from html.parser import HTMLParser
 from typing import Any, Optional
 
-from .spans import assemble
+from .spans import assemble, stable_error
 
 PRUNE_TAGS = frozenset(
     "script style noscript template head nav footer header aside form "
@@ -163,4 +163,4 @@ def extract_html(
 
         return assemble(blocks())
     except Exception as exc:
-        return {"text": None, "spans": None, "error": f"{type(exc).__name__}: {exc}"}
+        return {"text": None, "spans": None, "error": stable_error(exc)}

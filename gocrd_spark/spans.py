@@ -9,7 +9,29 @@ the joined text exactly") has one implementation to test and fix.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Iterable, Optional
+
+_POSITION_RE = re.compile(r":? line \d+, column \d+")
+
+
+def stable_error(exc: BaseException) -> str:
+    """Engine-stable error string for tolerance rows: class + message
+    with parser-reported positions STRIPPED. CPython's two expat
+    bindings (_elementtree vs pyexpat) disagree by one column on some
+    malformed tokens (observed: attr name ``c:9`` + backtick — ET says
+    column 23, raw expat 24), so a position in the driver-compared
+    ``error`` column is not stable across walkers — the same rule that
+    keeps raw doubles out of oracle-checked outputs (CLAUDE.md). Lives
+    here (with the output contract) so every extractor and its golden
+    twin formats errors identically."""
+    return f"{type(exc).__name__}: {strip_positions(str(exc))}"
+
+
+def strip_positions(msg: str) -> str:
+    """Strip ``line N, column M`` parser positions from an error
+    message (see stable_error)."""
+    return _POSITION_RE.sub("", msg)
 
 
 def assemble(blocks: Iterable[tuple[str, int, str, Optional[dict]]]) -> dict[str, Any]:

@@ -44,8 +44,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    # oracle goldens must match the sweep's scale (gen_goldens reads this
+    # at golden_path() call time); run tools/gen_goldens.py --sf first
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+        os.environ["SPARK_GRAFT_ORACLE_SF"] = repr(sf)
+    except ValueError:
+        pass  # non-standard dir name: keep the sf0.01 default
 
     sys.path.insert(0, ".")
     import __spark_entry__ as entry

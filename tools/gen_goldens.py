@@ -11,7 +11,13 @@ Keyed by DATAGEN_VERSION / OPS_GOLDEN_VERSION; tests/test_entry_contract.py
 asserts the committed files match a fresh regeneration, so a datagen or
 operator change cannot silently ship stale goldens.
 
-Usage: python tools/gen_goldens.py
+Scale-parameterized: the driver's oracle gate runs at sf0.01 (the
+default), but every golden can be produced for any sf so the full
+correctness sweep can also run at sf0.1 (tools/check_oracles.py sets
+SPARK_GRAFT_ORACLE_SF, which golden_path/ops_golden_path read at call
+time). Tags: sf0.01 -> _sf001, sf0.1 -> _sf01.
+
+Usage: python tools/gen_goldens.py [--sf 0.01]
 """
 
 from __future__ import annotations
@@ -29,9 +35,34 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from gocrd_spark import datagen  # noqa: E402
 from gocrd_spark.fastextract import extract_document_fast  # noqa: E402
 
-N_DOCS_SF001 = 1000  # matches __spark_entry__._pages at sf0.01
-TESTDATA_SF001 = "/root/testdata/sf0.01"
+DEFAULT_SF = 0.01  # the driver's oracle scale
 OPS_GOLDEN_VERSION = 1  # bump when an operator twin's params/semantics change
+
+
+def oracle_sf() -> float:
+    """Scale factor the oracles should read goldens for — the driver's
+    sf0.01 unless SPARK_GRAFT_ORACLE_SF overrides (the sf0.1 sweep)."""
+    return float(os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_SF))
+
+
+def sf_tag(sf: float | None = None) -> str:
+    """0.01 -> 'sf001' (the historical tag), 0.1 -> 'sf01'."""
+    sf = oracle_sf() if sf is None else float(sf)
+    return "sf" + repr(sf).replace(".", "")
+
+
+def n_docs_for(sf: float) -> int:
+    """Matches __spark_entry__._pages: n_docs = sf * 100_000."""
+    return max(int(sf * 100_000), 10)
+
+
+def testdata_dir(sf: float) -> str:
+    return f"/root/testdata/sf{sf:g}"
+
+
+# back-compat aliases (pre-parameterization constants)
+N_DOCS_SF001 = n_docs_for(DEFAULT_SF)
+TESTDATA_SF001 = testdata_dir(DEFAULT_SF)
 
 # Pinned contract values (FIXTURES.md §3-§4, derived from the reference's
 # own tests) — the fixture rows' goldens are checked against these, so a
@@ -189,13 +220,14 @@ def _load_documents(sf_dir: str = TESTDATA_SF001) -> list[tuple[int, str]]:
 
 def build_operator_tables(
     docs: list[tuple[int, str]] | None = None,
+    sf: float = DEFAULT_SF,
 ) -> dict[str, pa.Table]:
     """Operator goldens from the pure-Python twins (oracle_twins) over
-    the driver's sf0.01 documents table — shaped exactly like the
+    the given scale's documents table — shaped exactly like the
     corresponding __spark_entry__ query outputs."""
     import oracle_twins as tw
 
-    docs = docs if docs is not None else _load_documents()
+    docs = docs if docs is not None else _load_documents(testdata_dir(sf))
     sh = tw.simhash_near_dups(docs, n=2, max_hamming=3)
     winnow = []
     for doc_id, text in docs:
@@ -209,7 +241,7 @@ def build_operator_tables(
 
     PDF_CORRUPT_ERROR = "ValueError: no PDF objects found"
     pdf_rows = []
-    for i in range(100):  # n at the driver's sf0.01
+    for i in range(max(int(sf * 10_000), 10)):  # matches _q_pdf_extract
         _, expected = pdfgen.make_pdf_row(i)
         if i % 19 == 18:
             pdf_rows.append((i, None, None, PDF_CORRUPT_ERROR))
@@ -218,7 +250,7 @@ def build_operator_tables(
                 (i, "\n".join(b["text"] for b in expected), len(expected), None)
             )
 
-    emb = tw.load_embeddings(os.path.join(TESTDATA_SF001, "embeddings.parquet"))
+    emb = tw.load_embeddings(os.path.join(testdata_dir(sf), "embeddings.parquet"))
     qids = [0, 1, 2, 3, 4]
     nd = tw.embedding_near_dups_lsh(emb, threshold=0.42)
     lsh = tw.topk_lsh(emb, qids, k=10)
@@ -250,26 +282,33 @@ def build_operator_tables(
     }
 
 
-def golden_path(name: str) -> str:
+def golden_path(name: str, sf: float | None = None) -> str:
     return os.path.join(
-        REPO, "goldens", f"{name}_v{datagen.DATAGEN_VERSION}_sf001.parquet"
+        REPO, "goldens",
+        f"{name}_v{datagen.DATAGEN_VERSION}_{sf_tag(sf)}.parquet",
     )
 
 
-def ops_golden_path(name: str) -> str:
+def ops_golden_path(name: str, sf: float | None = None) -> str:
     return os.path.join(
-        REPO, "goldens", f"{name}_v{OPS_GOLDEN_VERSION}_sf001.parquet"
+        REPO, "goldens", f"{name}_v{OPS_GOLDEN_VERSION}_{sf_tag(sf)}.parquet"
     )
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=DEFAULT_SF)
+    args = ap.parse_args()
+    sf = args.sf
     os.makedirs(os.path.join(REPO, "goldens"), exist_ok=True)
-    for name, table in build_tables(N_DOCS_SF001).items():
-        path = golden_path(name)
+    for name, table in build_tables(n_docs_for(sf)).items():
+        path = golden_path(name, sf)
         pq.write_table(table, path, compression="zstd")
         print(f"{path}: {table.num_rows} rows")
-    for name, table in build_operator_tables().items():
-        path = ops_golden_path(name)
+    for name, table in build_operator_tables(sf=sf).items():
+        path = ops_golden_path(name, sf)
         pq.write_table(table, path, compression="zstd")
         print(f"{path}: {table.num_rows} rows")
     return 0
