@@ -638,6 +638,14 @@ def simhash_signatures(
     return path
 
 
+def _load_sig_params(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_PARAMS.json")) as fh:
+        return json.load(fh)
+
+
 def simhash_near_dups_from(
     spark,
     path: str,
@@ -648,14 +656,73 @@ def simhash_near_dups_from(
     :func:`simhash_signatures` — validates the _PARAMS.json radius, then
     runs the same band-bucket join + hamming filter as
     simhash_near_dups, with the signature cost already paid."""
-    import json
-    import os
-
-    with open(os.path.join(path, "_PARAMS.json")) as fh:
-        params = json.load(fh)
+    params = _load_sig_params(path)
     if params["max_hamming"] != max_hamming:
         raise ValueError(
             f"signature table at {path} banded for max_hamming="
             f"{params['max_hamming']}, requested {max_hamming}"
         )
     return _pairs_from_banded(spark.read.parquet(path), max_hamming, max_bucket)
+
+
+def simhash_incremental(
+    new_docs: DataFrame,
+    path: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs involving at least one
+    document of a NEW batch, against the existing durable signature
+    table (:func:`simhash_signatures`) plus the batch itself — the
+    daily-crawl-increment shape. The old corpus's signatures are never
+    recomputed (that is the point of the durable table), and old–old
+    pairs are never re-emitted (yesterday's run already reported them):
+    the band join is new-side × (table ∪ new), so its cost scales with
+    |new| × bucket density, not with the corpus.
+
+    Signature params (n, max_hamming → banding) come from the table's
+    _PARAMS.json sidecar; a radius mismatch refuses like
+    simhash_near_dups_from. Returns (doc_a, doc_b, hamming) with
+    doc_a < doc_b. To fold the batch into the table for the NEXT
+    increment, append the new banded signatures yourself (the returned
+    plan does not mutate the table — increments stay idempotent/
+    re-runnable)."""
+    params = _load_sig_params(path)
+    if params["max_hamming"] != max_hamming:
+        raise ValueError(
+            f"signature table at {path} banded for max_hamming="
+            f"{params['max_hamming']}, requested {max_hamming}"
+        )
+    spark = new_docs.sparkSession
+    new_chunks = _banded_signatures(
+        new_docs, params["n"], max_hamming
+    ).persist()
+    old_chunks = spark.read.parquet(path)
+    all_chunks = old_chunks.unionByName(new_chunks)
+    if max_bucket is not None:
+        # cap on the COMBINED bucket population — a key that was fine
+        # yesterday can go degenerate once the increment lands
+        ok = (
+            all_chunks.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket)
+            .select("band", "key")
+        )
+        new_side = new_chunks.join(ok, ["band", "key"], "left_semi")
+        all_side = all_chunks.join(ok, ["band", "key"], "left_semi")
+    else:
+        new_side, all_side = new_chunks, all_chunks
+    return (
+        new_side.alias("x")
+        .join(all_side.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

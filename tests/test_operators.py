@@ -276,6 +276,39 @@ class TestSimhashSignatureTable:
         with _pytest.raises(ValueError, match="was built with"):
             simhash_signatures(docs, path, n=3, max_hamming=3)
 
+    def test_incremental_equals_full_minus_old_pairs(self, spark, docs, tmp_path):
+        """Daily-increment contract: build the table on the OLD half,
+        run the NEW half incrementally — pairs must be exactly the full
+        corpus's pairs that touch at least one new doc (old signatures
+        never recomputed, old-old pairs never re-emitted)."""
+        from gocrd_spark.operators.dedup import (
+            simhash_incremental,
+            simhash_near_dups,
+            simhash_signatures,
+        )
+
+        ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+        cut = ids[len(ids) // 2]
+        old = docs.filter(F.col("doc_id") < cut)
+        new = docs.filter(F.col("doc_id") >= cut)
+
+        path = str(tmp_path / "old_sigs")
+        simhash_signatures(old, path, n=2, max_hamming=3)
+
+        inc = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_incremental(new, path, max_hamming=3).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups(docs, n=2, max_hamming=3).collect()
+        }
+        want = {p for p in full if p[0] >= cut or p[1] >= cut}
+        assert inc == want
+        assert inc  # the corpus must actually exercise the join
+        # no old-old pair leaked
+        assert all(a >= cut or b >= cut for a, b, _ in inc)
+
 
 class TestSimilarity:
     def test_bruteforce_matches_numpy(self, emb):
