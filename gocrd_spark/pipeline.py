@@ -82,13 +82,18 @@ def extract_pages(
 
     ``num_partitions`` triggers the salted url-hash repartition; leave
     None for shuffle-free operation when input splits are already
-    balanced (the scan's own partitioning is reused — zero shuffles).
+    balanced (the scan's own partitioning is reused — zero payload
+    shuffles; on this box that is +23% throughput at 8 cores and 2->8
+    scaling 0.94 vs 0.85, BENCH.md run F — and at 100 TB a blanket
+    payload shuffle is the most expensive op a plan can carry).
 
     ``oversize_bytes`` enables two-tier routing (SURVEY.md §4.3
     document-size skew): documents larger than the threshold go through
     their own repartition so a handful of giant pages cannot straggle a
     partition full of normal ones. Output is the union of both tiers —
-    row-for-row identical to the single-tier plan.
+    row-for-row identical to the single-tier plan. Combined with
+    num_partitions=None this is the 100 TB default: narrow map for the
+    ~all-of-the-bytes small tier, a shuffle only for the giant tail.
 
     ``max_doc_bytes`` converts pathologically large payloads into error
     rows before parsing (executor OOM guard).
@@ -99,12 +104,22 @@ def extract_pages(
         extract_kernel_factory(max_doc_bytes) if max_doc_bytes else extract_kernel
     )
     sel = df.select("url", "html")
-    if num_partitions and oversize_bytes:
+    if oversize_bytes:
         key = salted_partition_key(salt)
         size = F.coalesce(F.octet_length("html"), F.lit(0))  # null html -> small tier
-        small = sel.filter(size <= oversize_bytes).repartition(num_partitions, key)
+        small = sel.filter(size <= oversize_bytes)
+        if num_partitions:
+            small = small.repartition(num_partitions, key)
+        # With num_partitions=None the small tier stays a SHUFFLE-FREE
+        # narrow map on the scan's own splits — at 100 TB a blanket
+        # payload shuffle is the single most expensive op in the plan
+        # (measured on the bench box: -23% throughput at 8 cores and
+        # 2->8 scaling 0.85 vs 0.94 without, BENCH.md run F) — while the
+        # oversize TAIL (a sliver of rows) still gets its own shuffle so
+        # giant documents cannot straggle a scan partition.
         big = sel.filter(size > oversize_bytes).repartition(
-            max(num_partitions // 4, 1), key
+            max((num_partitions or sel.sparkSession.sparkContext.defaultParallelism) // 4, 1),
+            key,
         )
         return small.mapInPandas(kernel, EXTRACTED_SCHEMA).unionByName(
             big.mapInPandas(kernel, EXTRACTED_SCHEMA)

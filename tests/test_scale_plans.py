@@ -80,6 +80,25 @@ class TestPhysicalPlans:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
 
+    def test_two_tier_small_side_is_shuffle_free(self, spark):
+        """The 100 TB extraction default (num_partitions=None +
+        oversize_bytes): the small tier — ~all of the bytes — must run
+        as a narrow map on the scan's own splits; the ONLY Exchange in
+        the plan is the oversize tail's. A blanket payload shuffle
+        measured -23% throughput at 8 cores and 0.85-vs-0.94 scaling on
+        the bench box (BENCH.md run F); at crawl scale it would push the
+        whole corpus through the fabric for nothing."""
+        from gocrd_spark.pipeline import extract_pages
+
+        df = spark.range(0, 64, 1, 4).selectExpr(
+            "cast(id as string) as url",
+            "cast(repeat('x', 10 + cast(id % 7 as int) * 3) as binary) as html",
+        )
+        plan = _plan(extract_pages(df, oversize_bytes=25))
+        assert plan.count("Exchange ") == 1  # big tier only
+        salted = _plan(extract_pages(df, oversize_bytes=25, num_partitions=8))
+        assert salted.count("Exchange ") == 2  # both tiers
+
     def test_simhash_band_join_is_equi(self, docs):
         from gocrd_spark.operators.dedup import simhash_near_dups
 

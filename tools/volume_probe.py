@@ -72,6 +72,7 @@ def _noop(df) -> None:
 
 def _probe(master: str, path: str, ops: list[str]) -> dict[str, float]:
     from gocrd_spark.operators.dedup import (
+        dedup_clusters,
         exact_dedup,
         minhash_candidates,
         ngram_jaccard_pairs,
@@ -99,6 +100,15 @@ def _probe(master: str, path: str, ops: list[str]) -> dict[str, float]:
         ),
     )
     timed("simhash_near_dups", lambda: simhash_near_dups(docs, n=2, max_hamming=3))
+    timed(
+        "dedup_clusters",
+        lambda: dedup_clusters(
+            docs,
+            ngram_jaccard_pairs(
+                docs, n=3, threshold=0.5, candidates=minhash_candidates(docs, n=3)
+            ),
+        ),
+    )
     timed("winnowing", lambda: winnowing_fingerprints(docs))
     spark.stop()
     return out
@@ -115,7 +125,8 @@ def main() -> int:
         spark.stop()
 
     full = _probe("local[32]", path, [
-        "exact_dedup", "minhash_verified_pairs", "simhash_near_dups", "winnowing",
+        "exact_dedup", "minhash_verified_pairs", "simhash_near_dups",
+        "dedup_clusters", "winnowing",
     ])
     # scale pair on a 1/5 corpus so the 2-core sample stays in minutes
     n_pair = max(n_docs // 5, 1000)
