@@ -4,9 +4,14 @@ Measures:
 1. headline extraction throughput (docs/sec) on a synthesized pages
    table at two parallelism levels — local[N] vs local[4N] — the
    sandbox proxy for the north rule's N -> 4N executor scaling
-   (BASELINE.md: efficiency = (thr_hi / thr_lo) / 4, target >= 0.8);
-2. per-query wall seconds for every __spark_entry__.queries() entry at
-   $SPARK_GRAFT_SF_DIR.
+   (BASELINE.md: efficiency = (thr_hi / thr_lo) / 4, target >= 0.8).
+   The scaling claim is measured on the PLAN OF RECORD for balanced
+   inputs (shuffle-free narrow map), as median of 3 matched
+   back-to-back (low, high) subprocess pairs; the salted skew-defense
+   plan's pair is recorded alongside (scaling_efficiency_salted), and
+   the headline `value` stays the salted plan for r01/r02 continuity;
+2. per-query wall seconds (best-of-N) for every
+   __spark_entry__.queries() entry at $SPARK_GRAFT_SF_DIR.
 
 Isolation: every measured master runs in its OWN subprocess — pyspark
 reuses one JVM per process across sessions, so in-process re-builds
@@ -182,43 +187,49 @@ def main() -> int:
     # pair, and record the MEDIAN pair (robust both ways: contention on
     # the high side deflates a pair, on the low side inflates it).
     # Throughputs still report each width's best across all windows.
-    times: dict[int, float] = {}
+    # Scaling pairs run on the PLAN OF RECORD for balanced inputs: the
+    # shuffle-free narrow map (num_partitions=None — the documented
+    # 100 TB default; the blanket payload shuffle costs ~23% at 8 cores
+    # and would push the whole corpus through the fabric at real scale).
+    # One salted pair is recorded alongside: that plan exists for
+    # host-level-skew inputs and its bus-bound shuffle cost rides the
+    # network fabric on a real cluster.
+    times_ns: dict[int, float] = {}
     pair_effs: list[float] = []
     for _ in range(3):
         t_lo = _run_phase(
             ["--phase", "extract", f"master=local[{scale_low}]", f"path={path}",
-             f"cores={scale_low}", "repeats=3"]
+             f"cores={scale_low}", "repeats=3", "shuffle=n"]
         )["sec"]
         t_hi = _run_phase(
             ["--phase", "extract", f"master=local[{scale_high}]", f"path={path}",
-             f"cores={scale_high}", "repeats=3"]
+             f"cores={scale_high}", "repeats=3", "shuffle=n"]
         )["sec"]
-        times[scale_low] = min(times.get(scale_low, float("inf")), t_lo)
-        times[scale_high] = min(times.get(scale_high, float("inf")), t_hi)
+        times_ns[scale_low] = min(times_ns.get(scale_low, float("inf")), t_lo)
+        times_ns[scale_high] = min(times_ns.get(scale_high, float("inf")), t_hi)
         pair_effs.append((t_lo / t_hi) / (scale_high / scale_low))
-    # the same pair on the SHUFFLE-FREE plan (num_partitions=None +
-    # balanced splits — the 100 TB default for non-skewed layouts): the
-    # salted pair above additionally measures the payload shuffle's bus
-    # cost, which on a real cluster rides the network fabric instead
-    t_lo_ns = _run_phase(
+    t_lo_s = _run_phase(
         ["--phase", "extract", f"master=local[{scale_low}]", f"path={path}",
-         f"cores={scale_low}", "repeats=3", "shuffle=n"]
+         f"cores={scale_low}", "repeats=3"]
     )["sec"]
-    t_hi_ns = _run_phase(
+    t_hi_s = _run_phase(
         ["--phase", "extract", f"master=local[{scale_high}]", f"path={path}",
-         f"cores={scale_high}", "repeats=3", "shuffle=n"]
+         f"cores={scale_high}", "repeats=3"]
     )["sec"]
-    times[cpus] = _run_phase(
-        ["--phase", "extract", f"master=local[{cpus}]", f"path={path}",
-         f"cores={cpus}", "repeats=4"]
-    )["sec"]
+    times = {
+        scale_low: t_lo_s,
+        scale_high: t_hi_s,
+        cpus: _run_phase(
+            ["--phase", "extract", f"master=local[{cpus}]", f"path={path}",
+             f"cores={cpus}", "repeats=4"]
+        )["sec"],
+    }
     q_repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
     per_query = _run_phase(
         ["--phase", "queries", f"cpus={cpus}", f"sf_dir={sf_dir}",
          f"repeats={q_repeats}"]
     )["queries"]
 
-    thr = {c: n_docs / t for c, t in times.items()}
     scaling_eff = sorted(pair_effs)[len(pair_effs) // 2]  # median pair
     result = {
         "metric": "extraction_wall_sec",
@@ -227,17 +238,19 @@ def main() -> int:
         "queries": per_query,
         "sf": sf,
         "bench_docs": n_docs,
-        "docs_per_sec": {str(c): round(t, 1) for c, t in thr.items()},
+        # salted-plan throughputs (headline `value` continuity with
+        # r01/r02, which always measured the salted plan)
+        "docs_per_sec": {str(c): round(n_docs / t, 1) for c, t in times.items()},
+        # plan-of-record (shuffle-free) throughputs, best per width
+        "docs_per_sec_noshuffle": {
+            str(c): round(n_docs / t, 1) for c, t in times_ns.items()
+        },
         "scale_pair": [scale_low, scale_high],
         "scaling_efficiency": round(scaling_eff, 3),
         "scaling_pair_efficiencies": [round(e, 3) for e in pair_effs],
-        "scaling_efficiency_noshuffle": round(
-            (t_lo_ns / t_hi_ns) / (scale_high / scale_low), 3
+        "scaling_efficiency_salted": round(
+            (t_lo_s / t_hi_s) / (scale_high / scale_low), 3
         ),
-        "docs_per_sec_noshuffle": {
-            str(scale_low): round(n_docs / t_lo_ns, 1),
-            str(scale_high): round(n_docs / t_hi_ns, 1),
-        },
         "full_cores": cpus,
     }
     steal1, total1 = _cpu_ticks()

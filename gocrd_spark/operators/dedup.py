@@ -316,6 +316,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     codegen matters; here the plan DEPTH is the failure mode.)
     """
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # every round's join/groupBy shuffles ONLY (long, long) id/label
+    # rows — the pair table, not the corpus; pre-partitioning sym was
+    # tried and AQE's ENSURE_REQUIREMENTS re-exchanges anyway (and
+    # localCheckpoint's ExistingRDD scan drops outputPartitioning)
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
