@@ -29,7 +29,8 @@ import zlib
 # cache AND the spec-derived golden must move together (a stale cached
 # corpus against a fresh golden shows up as spurious oracle failures)
 # v2: xref-stream/ObjStm layout for every doc_id % 3 == 1
-PDFGEN_VERSION = 2
+# v3: composite-font (Type0/ToUnicode) CID text blocks (content kind 5)
+PDFGEN_VERSION = 3
 
 WORDS = (
     "spark parquet shuffle codegen arrow batch kernel page region text "
@@ -42,9 +43,15 @@ def _escape_literal(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _cid_hex(text: str) -> str:
+    """2-byte glyph codes for the synthetic Type0 font: code = 0x0100 +
+    ord(ch) — mapped back by the ToUnicode bfrange <0120><017e><0020>."""
+    return "".join(f"{0x100 + ord(c):04x}" for c in text)
+
+
 def _block_content(rng: random.Random, x: int, y: int) -> tuple[str, str]:
     """-> (content-stream snippet inside BT/ET, expected block text)."""
-    kind = rng.randint(0, 4)
+    kind = rng.randint(0, 5)
     if kind == 0:  # plain literal
         text = " ".join(rng.choice(WORDS) for _ in range(rng.randint(3, 10)))
         return f"({_escape_literal(text)}) Tj", text
@@ -63,6 +70,9 @@ def _block_content(rng: random.Random, x: int, y: int) -> tuple[str, str]:
             f"[({_escape_literal(a)}) -250 ({_escape_literal(b)})] TJ",
             f"{a} {b}",
         )
+    if kind == 5:  # composite-font (Type0/CID) text through ToUnicode
+        text = " ".join(rng.choice(WORDS) for _ in range(rng.randint(2, 6)))
+        return f"/F2 12 Tf <{_cid_hex(text)}> Tj", text
     # multi-line block: Td line advances
     n_lines = rng.randint(2, 3)
     lines = [
@@ -98,13 +108,17 @@ def _build_content(
     dict_objs: dict[int, bytes] = {}
     stream_objs: dict[int, bytes] = {}
     kids = []
+    # contiguous numbering (classic xref tables have no gaps):
+    # 1-3 catalog/pages/F1, then per page (dict, content), then F2 + CMap
+    f2_num = 4 + 2 * n_pages
+    cmap_num = f2_num + 1
     for i, content in enumerate(page_contents):
         page_num = 4 + 2 * i
         cont_num = page_num + 1
         kids.append(f"{page_num} 0 R")
         dict_objs[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Resources << /Font << /F1 3 0 R /F2 {f2_num} 0 R >> >> "
             f"/Contents {cont_num} 0 R >>".encode()
         )
         if rng.random() < 0.7:
@@ -123,6 +137,29 @@ def _build_content(
         f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {n_pages} >>".encode()
     )
     dict_objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    # synthetic composite font: Identity-H Type0 whose ToUnicode maps
+    # glyph code 0x0100+ch back to ASCII (one bfrange, see _cid_hex)
+    dict_objs[f2_num] = (
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+        f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R >>".encode()
+    )
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0120> <017e> <0020>\nendbfrange\n"
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
+    if rng.random() < 0.5:
+        payload = zlib.compress(cmap)
+        stream_objs[cmap_num] = (
+            f"<< /Length {len(payload)} /Filter /FlateDecode >>".encode()
+            + b"\nstream\n" + payload + b"\nendstream"
+        )
+    else:
+        stream_objs[cmap_num] = (
+            f"<< /Length {len(cmap)} >>".encode()
+            + b"\nstream\n" + cmap + b"\nendstream"
+        )
     return expected, page_contents, dict_objs, stream_objs, n_pages
 
 

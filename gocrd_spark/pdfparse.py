@@ -27,8 +27,10 @@ Scope (a real, documented subset — not a stub):
 - content streams: raw or /FlateDecode (zlib); text operators ``BT/ET``,
   ``Tj``, ``TJ`` (kern < -120/1000 em treated as a word space), ``'``,
   ``"``, with ``Td/TD/T*/Tm`` starting new lines inside a text object;
-- strings decoded as Latin-1 (simple fonts; no CMap/ToUnicode — out of
-  scope, documented).
+- composite (Type0) fonts via ``/ToUnicode`` CMaps: ``Tf`` tracks the
+  selected font, 2-byte glyph codes map through the font's bfchar/
+  bfrange tables (UTF-16BE destinations); simple fonts — and fonts
+  without a parseable ToUnicode — decode as Latin-1.
 
 Hostile-input bounds (crawl bytes are untrusted; a bad document must be
 an error row, never an executor OOM/hang): every FlateDecode output is
@@ -37,9 +39,10 @@ to GBs), and the page-tree walk tracks visited objects (depth cap alone
 leaves cyclic trees exponential in path count).
 
 Out of scope (error rows or skipped, never crashes): encrypted PDFs,
-non-Flate filters (LZW/DCT/...), composite fonts. The synthetic corpus
-(pdfgen.synth_pdf, classic AND xref-stream/ObjStm layouts) and the
-tests exercise everything in scope.
+non-Flate filters (LZW/DCT/...), composite fonts WITHOUT a ToUnicode
+(pure CID glyphs carry no text mapping — extractors universally punt).
+The synthetic corpus (pdfgen.synth_pdf, classic AND xref-stream/ObjStm
+layouts, CID text blocks) and the tests exercise everything in scope.
 """
 
 from __future__ import annotations
@@ -528,15 +531,111 @@ def _expand_object_streams(objects: dict) -> None:
                     objects[objnum] = (val, None)
 
 
+# --- ToUnicode CMaps (composite / Type0 fonts) ------------------------------
+
+
+def _utf16be(hexs: str) -> str:
+    return bytes.fromhex(hexs).decode("utf-16-be", errors="replace")
+
+
+_CMAP_TOK = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+
+
+def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap -> {glyph code: unicode string}. Handles both
+    ``bfchar`` (src/dst pairs) and ``bfrange`` (lo hi dstStart, and the
+    lo hi [dst1 dst2 ...] array form); destinations are UTF-16BE. This
+    is the subset every mainstream PDF writer emits for text
+    extraction; CID system info / cmap-name plumbing is ignored (only
+    the code->unicode mapping matters for text)."""
+    cmap: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            cmap[int(toks[i], 16)] = _utf16be(toks[i + 1].decode())
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks: list[tuple[str, str]] = []
+        for mm in _CMAP_TOK.finditer(m.group(1)):
+            if mm.group(1):
+                toks.append(("hex", mm.group(1).decode()))
+            elif mm.group(2):
+                toks.append(("[", ""))
+            else:
+                toks.append(("]", ""))
+        i = 0
+        while i < len(toks):
+            if (
+                toks[i][0] != "hex"
+                or i + 2 >= len(toks)
+                or toks[i + 1][0] != "hex"
+            ):
+                i += 1
+                continue
+            lo, hi = int(toks[i][1], 16), int(toks[i + 1][1], 16)
+            if toks[i + 2][0] == "[":
+                j = i + 3
+                k = 0
+                while j < len(toks) and toks[j][0] == "hex":
+                    if lo + k <= hi:
+                        cmap[lo + k] = _utf16be(toks[j][1])
+                    j += 1
+                    k += 1
+                i = j + 1  # skip the closing ]
+            elif toks[i + 2][0] == "hex":
+                start_hex = toks[i + 2][1]
+                base = int(start_hex, 16)
+                width = len(start_hex)
+                for c in range(lo, hi + 1):
+                    cmap[c] = _utf16be(f"{base + (c - lo):0{width}x}")
+                i += 3
+            else:
+                i += 1
+    return cmap
+
+
+def _page_fonts(objects: dict, page: dict) -> dict[str, tuple[Optional[dict], int]]:
+    """Page /Resources /Font -> {name: (ToUnicode cmap or None,
+    bytes per code)}. Type0 (composite) fonts use 2-byte codes; simple
+    fonts 1 byte. A font without a parseable ToUnicode falls back to
+    Latin-1 (the simple-font behavior)."""
+    res = _resolve(objects, page.get("Resources"))
+    if not isinstance(res, dict):
+        return {}
+    fdict = _resolve(objects, res.get("Font"))
+    if not isinstance(fdict, dict):
+        return {}
+    out: dict[str, tuple[Optional[dict], int]] = {}
+    for name, fref in fdict.items():
+        font = _resolve(objects, fref)
+        if not isinstance(font, dict):
+            continue
+        width = 2 if font.get("Subtype") == "Type0" else 1
+        cmap = None
+        tu = font.get("ToUnicode")
+        if isinstance(tu, Ref):
+            try:
+                cmap = parse_tounicode_cmap(_decode_stream(objects, tu.num)) or None
+            except Exception:
+                cmap = None
+        out[str(name)] = (cmap, width)
+    return out
+
+
 # --- content-stream text interpreter ---------------------------------------
 
 _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
 
-def _content_text_blocks(content: bytes) -> list[dict[str, Any]]:
+def _content_text_blocks(
+    content: bytes,
+    fonts: Optional[dict[str, tuple[Optional[dict], int]]] = None,
+) -> list[dict[str, Any]]:
     """BT..ET text objects -> [{'text', 'x', 'y'}]. Shows on one line are
     concatenated; Td/TD/T*/Tm/' start a new line; TJ kerns below
-    -120/1000 em count as a word space."""
+    -120/1000 em count as a word space. ``fonts`` (from _page_fonts)
+    drives string decoding: the font selected by ``Tf`` decodes shows
+    through its ToUnicode cmap (2-byte codes for Type0); fonts without
+    a cmap — and all text when fonts is None — decode as Latin-1."""
     blocks: list[dict[str, Any]] = []
     p = 0
     n = len(content)
@@ -547,9 +646,18 @@ def _content_text_blocks(content: bytes) -> list[dict[str, Any]]:
     tx = ty = 0.0
     bx = by = 0.0
     first_pos = True
+    cur_font: tuple[Optional[dict], int] = (None, 1)
 
     def show(s: bytes) -> None:
-        cur.append(s.decode("latin-1"))
+        cmap, width = cur_font
+        if cmap is None:
+            cur.append(s.decode("latin-1"))
+            return
+        out = []
+        for i in range(0, len(s) - width + 1, width):
+            code = int.from_bytes(s[i : i + width], "big")
+            out.append(cmap.get(code, "�"))
+        cur.append("".join(out))
 
     def newline() -> None:
         nonlocal cur
@@ -627,6 +735,10 @@ def _content_text_blocks(content: bytes) -> list[dict[str, Any]]:
             newline()
         elif in_text and op == b"T*":
             newline()
+        elif op == b"Tf":
+            # text-state font selection: /Fx size Tf (valid outside BT too)
+            if fonts and len(stack) >= 2 and isinstance(stack[-2], Name):
+                cur_font = fonts.get(str(stack[-2]), (None, 1))
         stack.clear()
     return blocks
 
@@ -652,7 +764,7 @@ def pdf_text_blocks(data: bytes) -> list[dict[str, Any]]:
         for r in refs:
             if isinstance(r, Ref):
                 payload += _decode_stream(objects, r.num) + b"\n"
-        for b in _content_text_blocks(payload):
+        for b in _content_text_blocks(payload, fonts=_page_fonts(objects, page)):
             blocks.append(
                 {"text": b["text"], "page": page_idx, "x": b["x"], "y": b["y"]}
             )

@@ -134,6 +134,54 @@ class TestXrefStreamLayout:
             assert _png_unpredict(bytes(enc), cols) == raw, f"filter {ftype}"
 
 
+class TestToUnicode:
+    def test_cmap_parser_bfchar_and_both_bfrange_forms(self):
+        from gocrd_spark.pdfparse import parse_tounicode_cmap
+
+        cmap = parse_tounicode_cmap(
+            b"2 beginbfchar\n<01> <0041>\n<02> <00e9>\nendbfchar\n"
+            b"1 beginbfrange\n<10> <12> [<0058> <0059> <005a>]\nendbfrange\n"
+            b"1 beginbfrange\n<20> <22> <0061>\nendbfrange\n"
+        )
+        assert cmap == {
+            1: "A", 2: "é",
+            0x10: "X", 0x11: "Y", 0x12: "Z",
+            0x20: "a", 0x21: "b", 0x22: "c",
+        }
+
+    def test_cid_text_roundtrips_both_layouts(self):
+        """Composite-font (Type0 + ToUnicode) blocks must decode to the
+        spec text in both the classic and xref-stream layouts; fonts
+        without a cmap keep Latin-1 behavior within the same page."""
+        seen_cid_show = 0
+        for seed in range(40):
+            rng = random.Random(7000 + seed)
+            layout = "xref_stream" if seed % 2 else "classic"
+            data, expected = synth_pdf(rng, layout=layout)
+            got = [(b["page"], b["text"]) for b in pdf_text_blocks(data)]
+            assert got == [(b["page"], b["text"]) for b in expected]
+            if b"/F2 12 Tf <01" in data:  # visible only in RAW streams
+                seen_cid_show += 1
+        assert seen_cid_show > 5  # the corpus actually exercises CID shows
+
+    def test_unmapped_code_is_replacement_char(self):
+        doc = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F9 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length 34 >>\nstream\n"
+            b"BT /F9 12 Tf <012100ff0122> Tj ET\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\nendobj\n"
+            b"6 0 obj\n<< /Length 58 >>\nstream\n"
+            b"1 beginbfrange\n<0120> <017e> <0020>\nendbfrange\nendstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        )
+        blocks = pdf_text_blocks(doc)
+        assert [b["text"] for b in blocks] == ["!�\""]
+
+
 class TestHostileInputs:
     """Crawl bytes are untrusted: a hostile document must become an
     error row in bounded time/memory, never an executor OOM or hang
