@@ -400,6 +400,17 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-passage removal: 8-token chunks, keep only
+    the first corpus-order occurrence of each distinct chunk, reassemble
+    per doc. The oracle recomputes it in DuckDB grouping by the chunk
+    STRING (the spec) where Spark groups by xxhash64 (the scale
+    optimization) — a green row certifies the hash grouping too."""
+    from gocrd_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(spark, sf_dir), chunk_words=8)
+
+
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.similarity import topk_bruteforce
 
@@ -434,6 +445,26 @@ def _q_emb_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.similarity import embedding_near_dups_lsh
 
     return embedding_near_dups_lsh(_emb(spark, sf_dir), threshold=0.42)
+
+
+def _q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs resolved to keep/drop decisions: the same
+    connected-components resolution dedup_clusters applies to MinHash
+    pairs, composed over the flagship embedding-LSH pair table. The
+    oracle runs a DuckDB recursive transitive closure over the
+    INDEPENDENT twin-golden pair parquet (tools/oracle_twins.py) —
+    independent pair generation AND independent closure algorithm."""
+    from gocrd_spark.operators.dedup import dedup_clusters
+    from gocrd_spark.operators.similarity import embedding_near_dups_lsh
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_near_dups_lsh(emb, threshold=0.42).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    return dedup_clusters(ids, pairs).select(
+        F.col("doc_id").alias("vec_id"), "canonical_id", "keep"
+    )
 
 
 def _q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_dups,
         "simhash_near_dups": _q_simhash_dups,
         "dedup_clusters": _q_dedup_clusters,
+        "paragraph_dedup": _q_paragraph_dedup,
         "contamination_flags": _q_contamination,
         "repetition_stats": _q_repetition,
         # text analysis (documents)
@@ -624,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "embedding_near_dups": _q_emb_dups_lsh,
         "embedding_near_dups_exact_baseline": _q_emb_dups_exact,
+        "embedding_dedup_clusters": _q_emb_dedup_clusters,
         "label_centroids": _q_centroids,
         # events analytics (streaming-shaped batch)
         "events_window": _q_events_window,
@@ -1046,6 +1079,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(c.canonical_id, d.doc_id) = d.doc_id AS BIGINT) AS keep
             FROM documents d LEFT JOIN canon c USING (doc_id)
         """,
+        # paragraph-level dedup: the oracle groups by the chunk STRING
+        # (the spec); Spark groups by xxhash64(chunk) (the scale
+        # optimization) — equality certifies the hash grouping as well
+        "paragraph_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS chunk_idx
+              FROM toks WHERE len(t) > 0),
+            chunks AS (
+              SELECT doc_id, chunk_idx,
+                     array_to_string(t[(chunk_idx*8 + 1):(chunk_idx*8 + 8)], ' ') AS chunk
+              FROM idx),
+            ranked AS (
+              SELECT doc_id, chunk_idx, chunk,
+                     row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+              FROM chunks),
+            kept AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+              FROM ranked WHERE rn = 1 GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(t.n_chunks, 0)::BIGINT AS n_chunks,
+                   coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(k.text_dedup, '') AS text_dedup
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN kept k USING (doc_id)
+        """,
         "pdf_extract_text": _ops_golden(
             "pdf_extract_text", "doc_id, text, n_blocks, error"
         ),
@@ -1084,6 +1151,29 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _ops_golden(
             "embedding_near_dups", "id_a, id_b, cos_e6"
         ),
+        # components over the INDEPENDENT twin-golden pair parquet
+        # (independent pairs) via recursive transitive closure
+        # (independent closure vs the Spark min-propagation loop)
+        "embedding_dedup_clusters": f"""
+            WITH RECURSIVE pr AS (
+              SELECT id_a AS doc_a, id_b AS doc_b
+              FROM read_parquet('{_tools_import().ops_golden_path("embedding_near_dups")}')),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pr
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pr),
+            walk(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+            canon AS (
+              SELECT u AS vid, least(min(v), u) AS canonical_id
+              FROM walk GROUP BY u)
+            SELECT e.vec_id,
+                   coalesce(c.canonical_id, e.vec_id) AS canonical_id,
+                   CAST(coalesce(c.canonical_id, e.vec_id) = e.vec_id AS BIGINT) AS keep
+            FROM embeddings e LEFT JOIN canon c ON c.vid = e.vec_id
+        """,
         "ann_topk_lsh": _ops_golden("ann_topk_lsh", "query_id, neighbor_id, rank"),
         "ann_topk_ivf": _ops_golden("ann_topk_ivf", "query_id, neighbor_id, rank"),
         "label_centroids": """

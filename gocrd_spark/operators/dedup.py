@@ -730,3 +730,83 @@ def simhash_incremental(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _chunks_of_tokens(t: Column, chunk_words: int) -> Column:
+    """Array of consecutive ``chunk_words``-token windows of an
+    ALREADY-PROJECTED token column (same bound-column rule as
+    _shingles_of_tokens: an inline expression would be re-derived per
+    chunk inside the HOF lambda). The tail chunk keeps the remainder
+    (slice clamps); an empty token array yields an empty chunk array."""
+    n_chunks = F.ceil(F.size(t) / F.lit(chunk_words))
+    return F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.array_join(
+                F.slice(t, i * chunk_words + 1, chunk_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def paragraph_dedup(docs: DataFrame, chunk_words: int = 8) -> DataFrame:
+    """Corpus-level duplicated-passage removal, the CCNet/RefinedWeb
+    paragraph-dedup shape (Wenzek et al. 2020 dedup stage): split every
+    document into consecutive ``chunk_words``-token chunks (the
+    paragraph stand-in — the synthetic corpus carries no newlines; on
+    real crawl text pass paragraphs by splitting on blank lines before
+    tokenizing), keep only the FIRST occurrence of each distinct chunk
+    in corpus order (min (doc_id, chunk_idx)), and reassemble each
+    document from its surviving chunks in original order.
+
+    Returns one row per input document:
+    (doc_id, n_chunks, n_kept, text_dedup) — all BIGINT/VARCHAR.
+
+    Shuffle accounting at crawl scale: the keep/drop decision shuffles
+    ONLY (xxhash64(chunk), doc_id, chunk_idx) longs — map-side partial
+    min, never chunk text; the surviving (doc_id, chunk_idx) set joins
+    back against the doc table by doc_id (one text shuffle) and chunks
+    are RECOMPUTED map-side from the doc's own text rather than carried
+    through the exchange. Chunk identity is xxhash64 (collision between
+    two distinct chunks ~|chunks|²/2^65, the suite-wide convention);
+    the DuckDB oracle groups by the chunk STRING itself, so a green
+    driver row also certifies the hash-grouping at this scale.
+    """
+    toks = docs.select("doc_id", _tokens_col(F.col("text")).alias("_toks"))
+    chunked = toks.select(
+        "doc_id", _chunks_of_tokens(F.col("_toks"), chunk_words).alias("chunks")
+    )
+    # narrow: longs only past this projection
+    occ = chunked.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
+    ).select("doc_id", "chunk_idx", F.xxhash64("chunk").alias("h"))
+    firsts = occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first_occ")
+    )
+    kept_idx = (
+        firsts.select(
+            F.col("first_occ.doc_id").alias("doc_id"),
+            F.col("first_occ.chunk_idx").alias("chunk_idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("kept"))
+    )
+    return chunked.join(kept_idx, "doc_id", "left").select(
+        "doc_id",
+        F.size("chunks").cast("long").alias("n_chunks"),
+        F.when(F.col("kept").isNull(), F.lit(0))
+        .otherwise(F.size("kept"))
+        .cast("long")
+        .alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.col("kept"),
+                    lambda i: F.element_at(F.col("chunks"), (i + 1).cast("int")),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_dedup"),
+    )

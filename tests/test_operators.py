@@ -209,6 +209,59 @@ class TestDedupClusters:
             connected_components(chain, max_iters=3)
 
 
+class TestParagraphDedup:
+    def test_planted_cases(self, spark):
+        """First occurrence wins in (doc_id, chunk_idx) order; later
+        exact chunks drop — across docs, within a doc, and for the
+        short tail chunk; empty docs survive with zero chunks."""
+        from gocrd_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d e f g h i j"),
+                (1, "a b c d e f g h i j"),     # full duplicate -> empty
+                (2, "A b C d e x y z w v"),     # chunk0 dup after norm
+                (3, ""),                         # no chunks
+                (4, "p q r s t p q r s t"),     # intra-doc dup
+                (5, "f g h i j k"),             # chunk0 dup of doc0 chunk1
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: (r.n_chunks, r.n_kept, r.text_dedup)
+            for r in paragraph_dedup(docs, chunk_words=5).collect()
+        }
+        assert rows == {
+            0: (2, 2, "a b c d e f g h i j"),
+            1: (2, 0, ""),
+            2: (2, 1, "x y z w v"),
+            3: (0, 0, ""),
+            4: (2, 1, "p q r s t"),
+            5: (2, 1, "k"),
+        }
+
+    def test_chunk_conservation(self, docs):
+        """Every distinct chunk of the corpus survives in exactly one
+        document's output (kept counts sum to the distinct-chunk count),
+        and no document gains chunks."""
+        from gocrd_spark.operators.dedup import _chunks_of_tokens, _tokens_col, paragraph_dedup
+
+        k = 8
+        chunked = docs.select(
+            "doc_id", _tokens_col(F.col("text")).alias("_toks")
+        ).select("doc_id", _chunks_of_tokens(F.col("_toks"), k).alias("chunks"))
+        n_distinct = (
+            chunked.select(F.explode("chunks").alias("c")).distinct().count()
+        )
+        out = paragraph_dedup(docs, chunk_words=k)
+        agg = out.agg(
+            F.sum("n_kept").alias("kept"), F.sum("n_chunks").alias("total")
+        ).collect()[0]
+        assert agg.kept == n_distinct
+        assert agg.total >= agg.kept
+        assert out.count() == docs.count()
+
+
 class TestSimHash:
     def test_identical_docs_same_hash(self, spark):
         from gocrd_spark.operators.dedup import simhash64
