@@ -411,6 +411,36 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_docs(spark, sf_dir), chunk_words=8)
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over a deterministic messy-URL corpus derived
+    from doc_id (the documents table carries no URL column): groups of
+    4 docs share a page identity; variants exercise scheme/host case,
+    explicit default ports, fragments, and query-param order. Spark
+    canonicalizes with JVM try_parse_url; the oracle re-derives the
+    canonical form with an INDEPENDENT regexp decomposition in DuckDB."""
+    from gocrd_spark.operators.urls import url_dedup
+
+    g = F.floor(F.col("doc_id") / 4)
+    host = F.concat(
+        F.lit("www.example-"), (g % 7).cast("string"), F.lit(".com")
+    )
+    gs = g.cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://"), F.upper(host), F.lit(":80/d/"),
+                                gs, F.lit("/page?b=2&a=1#frag")))
+        .when(v == 1, F.concat(F.lit("https://"), host, F.lit(":443/d/"),
+                               gs, F.lit("/page?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("http://"), host, F.lit("/d/"),
+                               gs, F.lit("/page?a=1&b=2")))
+        .otherwise(F.concat(F.lit("http://"), host, F.lit("/d/"), gs, F.lit("/other")))
+    )
+    rows = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), F.col("doc_id").alias("warc_ts")
+    )
+    return url_dedup(rows, ts_col="warc_ts")
+
+
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.similarity import topk_bruteforce
 
@@ -630,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_dups,
         "dedup_clusters": _q_dedup_clusters,
         "paragraph_dedup": _q_paragraph_dedup,
+        "url_dedup": _q_url_dedup,
         "contamination_flags": _q_contamination,
         "repetition_stats": _q_repetition,
         # text analysis (documents)
@@ -1078,6 +1109,54 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.canonical_id, d.doc_id) AS canonical_id,
                    CAST(coalesce(c.canonical_id, d.doc_id) = d.doc_id AS BIGINT) AS keep
             FROM documents d LEFT JOIN canon c USING (doc_id)
+        """,
+        # URL dedup: same messy-URL construction, then an INDEPENDENT
+        # canonicalizer — regexp decomposition in DuckDB vs JVM
+        # try_parse_url in Spark — and keep = latest warc_ts per canon
+        "url_dedup": """
+            WITH base AS (
+              SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+                     'www.example-' || ((doc_id // 4) % 7) || '.com' AS host
+              FROM documents),
+            urls AS (
+              SELECT doc_id, doc_id AS warc_ts,
+                     CASE v
+                       WHEN 0 THEN 'HTTP://' || upper(host) || ':80/d/' || g || '/page?b=2&a=1#frag'
+                       WHEN 1 THEN 'https://' || host || ':443/d/' || g || '/page?a=1&b=2'
+                       WHEN 2 THEN 'http://' || host || '/d/' || g || '/page?a=1&b=2'
+                       ELSE 'http://' || host || '/d/' || g || '/other'
+                     END AS url
+              FROM base),
+            parts AS (
+              SELECT doc_id, warc_ts, url,
+                     lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+                     regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
+                     regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM urls),
+            parts2 AS (
+              SELECT doc_id, warc_ts, url, scheme, path, query,
+                     lower(regexp_replace(auth, ':[0-9]+$', '')) AS host_l,
+                     regexp_extract(auth, ':([0-9]+)$', 1) AS port
+              FROM parts),
+            canon AS (
+              SELECT doc_id, warc_ts, url,
+                     scheme || '://' || host_l
+                     || CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                              AND NOT (scheme = 'https' AND port = '443')
+                             THEN ':' || port ELSE '' END
+                     || CASE WHEN path = '' THEN '/' ELSE path END
+                     || CASE WHEN query <> ''
+                             THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+                             ELSE '' END AS canonical_url
+              FROM parts2),
+            ranked AS (
+              SELECT doc_id, url, canonical_url,
+                     row_number() OVER (PARTITION BY canonical_url
+                                        ORDER BY warc_ts DESC, doc_id ASC) AS rn
+              FROM canon)
+            SELECT doc_id, url, canonical_url, CAST(rn = 1 AS BIGINT) AS keep
+            FROM ranked
         """,
         # paragraph-level dedup: the oracle groups by the chunk STRING
         # (the spec); Spark groups by xxhash64(chunk) (the scale

@@ -209,6 +209,48 @@ class TestDedupClusters:
             connected_components(chain, max_iters=3)
 
 
+class TestUrlDedup:
+    def test_canonicalization_rules(self, spark):
+        """Scheme/host case, default ports, empty path, query order,
+        fragments; nonstandard ports survive; malformed -> NULL."""
+        from gocrd_spark.operators.urls import canonical_url
+
+        cases = [
+            (0, "HTTP://WWW.Example.COM:80/a/b?b=2&a=1#frag"),
+            (1, "http://www.example.com/a/b?a=1&b=2"),
+            (2, "https://www.example.com:443/a/b?a=1&b=2"),
+            (3, "http://www.example.com:8080/a/b"),
+            (4, "http://www.example.com"),
+            (5, "not a url"),
+        ]
+        df = spark.createDataFrame(cases, "doc_id long, url string")
+        got = {
+            r.doc_id: r.c
+            for r in df.select("doc_id", canonical_url(F.col("url")).alias("c")).collect()
+        }
+        assert got[0] == got[1] == "http://www.example.com/a/b?a=1&b=2"
+        assert got[2] == "https://www.example.com/a/b?a=1&b=2"  # scheme kept distinct
+        assert got[3] == "http://www.example.com:8080/a/b"      # real port kept
+        assert got[4] == "http://www.example.com/"              # empty path -> /
+        assert got[5] is None                                    # malformed -> NULL
+
+    def test_dedup_keeps_latest_capture(self, spark):
+        from gocrd_spark.operators.urls import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (0, "HTTP://WWW.Example.COM:80/a/b?b=2&a=1#frag", 10),
+                (1, "http://www.example.com/a/b?a=1&b=2", 20),  # latest wins
+                (2, "https://www.example.com/a/b?a=1&b=2", 5),
+                (3, "bogus", 5),                                 # NULL canon keeps
+                (4, "http://www.example.com/a/b?a=1&b=2", 20),  # ts tie: min id wins
+            ],
+            "doc_id long, url string, warc_ts long",
+        )
+        got = {r.doc_id: r.keep for r in url_dedup(df).collect()}
+        assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 0}
+
+
 class TestParagraphDedup:
     def test_planted_cases(self, spark):
         """First occurrence wins in (doc_id, chunk_idx) order; later
