@@ -423,3 +423,115 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             "n",
         )
     )
+
+def ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_iters: int = 2,
+) -> str:
+    """Materialize the IVF index ONCE at ``path`` — the durable,
+    serving-scale counterpart of :func:`topk_ivf` (which re-trains the
+    quantizer per call), mirroring the simhash_signatures write-once
+    contract:
+
+    - ``centroids/``  (cell, centroid) parquet — the coarse quantizer;
+    - ``corpus/``     (vec_id, embedding) parquet PARTITIONED BY cell —
+      the inverted lists ARE parquet partitions, so probing n_probe of
+      n_cells cells is literal partition pruning: a query batch reads
+      ~n_probe/n_cells of the corpus bytes off storage, which is the
+      entire point of IVF at 10^12 vectors;
+    - ``_PARAMS.json`` pins (n_cells, n_iters); a resume with different
+      params refuses rather than probing a mismatched quantizer.
+
+    If the corpus ``_SUCCESS`` marker exists the build is SKIPPED
+    (write-once/resume, like the extraction commit log). Returns path.
+    """
+    import json
+    import os
+
+    params = {"n_cells": n_cells, "n_iters": n_iters, "version": 1}
+    marker = os.path.join(path, "corpus", "_SUCCESS")
+    sidecar = os.path.join(path, "_PARAMS.json")
+    if os.path.exists(marker):
+        with open(sidecar) as fh:
+            existing = json.load(fh)
+        if existing != params:
+            raise ValueError(
+                f"existing IVF index at {path} was built with "
+                f"{existing}, requested {params}"
+            )
+        return path
+    cent = kmeans_centroids_df(embeddings, n_cells, n_iters)
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    spark = embeddings.sparkSession
+    cent_back = spark.read.parquet(os.path.join(path, "centroids"))
+    (
+        assign_cells(embeddings, cent_back)
+        .join(embeddings, "vec_id")
+        .select("vec_id", "embedding", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "corpus"))
+    )
+    with open(sidecar, "w") as fh:
+        json.dump(params, fh)
+    return path
+
+
+def topk_ivf_from(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k against a durable :func:`ivf_index` — quantizer
+    training and corpus assignment already paid. Query vectors are
+    looked up in the index corpus by id; each query probes its n_probe
+    nearest cells and exact-cosine reranks inside them.
+
+    The probe join hits the corpus ON ITS PARTITION COLUMN with a
+    broadcast build side, so Spark's dynamic partition pruning turns
+    the probe list into a storage-level partition filter — the
+    unprobed inverted lists are never read. Results are identical to
+    :func:`topk_ivf` at the same params (parity is pytest-gated).
+    """
+    import os
+
+    cent = spark.read.parquet(os.path.join(path, "centroids"))
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    q_probed = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_emb",
+            "cell",
+            _dist2(F.col("q_emb"), F.col("centroid")).alias("d2"),
+        )
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    scored = (
+        F.broadcast(q_probed)
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos"),
+        )
+    )
+    return _rank_topk(scored, k)

@@ -475,6 +475,47 @@ class TestSimilarity:
             assert centroid == pytest.approx(expected, abs=1e-6)
 
 
+class TestIvfIndex:
+    def test_build_probe_parity_resume(self, spark, emb, tmp_path):
+        """Durable-index results == per-call topk_ivf at the same params;
+        the probe join dynamic-partition-prunes the cell-partitioned
+        corpus; a second build resumes (marker) and a param mismatch
+        refuses instead of probing a mismatched quantizer."""
+        import time
+
+        from gocrd_spark.operators.similarity import (
+            ivf_index,
+            topk_ivf,
+            topk_ivf_from,
+        )
+
+        path = str(tmp_path / "ivf")
+        ivf_index(emb, path, n_cells=8, n_iters=2)
+        fresh = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in topk_ivf(
+                emb, [0, 1, 2], k=5, n_cells=8, n_probe=3, n_iters=2
+            ).collect()
+        }
+        served_df = topk_ivf_from(spark, path, [0, 1, 2], k=5, n_probe=3)
+        served = {
+            (r.query_id, r.rank): r.neighbor_id for r in served_df.collect()
+        }
+        assert served == fresh and len(served) == 15
+
+        # probing IS partition pruning: DPP subquery on the cell column
+        plan = served_df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+
+        # resume: second build skips (no recompute — sub-second)
+        t0 = time.time()
+        assert ivf_index(emb, path, n_cells=8, n_iters=2) == path
+        assert time.time() - t0 < 1.0
+
+        with pytest.raises(ValueError, match="was built with"):
+            ivf_index(emb, path, n_cells=16, n_iters=2)
+
+
 class TestTextStats:
     def test_edge_cases(self, spark):
         from gocrd_spark.operators.textstats import lang_id, quality_score, token_stats
