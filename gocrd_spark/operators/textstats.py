@@ -224,7 +224,13 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame
     hash set per document."""
     import numpy as np
 
-    norm = _norm_ws(F.col("text"))
+    # the normalized text must be a BOUND column, not an inline
+    # regexp_replace chain: the gram lambda below references it per
+    # element, and HOF lambda bodies get no common-subexpression
+    # elimination — inlined, the full normalization re-ran per gram,
+    # O(n²) regexp work (measured 10x on ~1.5 KB docs; the same trap
+    # _shingles_of_tokens documents for the shingle path)
+    norm = F.col("_norm")
     n = F.length(norm)
     # k-gram hashes JVM-side (substr with dynamic start: Column.substr).
     # NB: the window-minimum step must NOT be a nested transform over
@@ -253,8 +259,10 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame
             out.append(sorted(set(int(x) for x in minima)))
         return pd.Series(out)
 
-    return docs.select("doc_id", grams.alias("grams")).select(
-        "doc_id", window_minima("grams").alias("fingerprints")
+    return (
+        docs.select("doc_id", _norm_ws(F.col("text")).alias("_norm"))
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", window_minima("grams").alias("fingerprints"))
     )
 
 

@@ -76,6 +76,7 @@ def _probe(master: str, path: str, ops: list[str]) -> dict[str, float]:
         exact_dedup,
         minhash_candidates,
         ngram_jaccard_pairs,
+        paragraph_dedup,
         simhash_near_dups,
     )
     from gocrd_spark.operators.textstats import winnowing_fingerprints
@@ -110,6 +111,7 @@ def _probe(master: str, path: str, ops: list[str]) -> dict[str, float]:
         ),
     )
     timed("winnowing", lambda: winnowing_fingerprints(docs))
+    timed("paragraph_dedup", lambda: paragraph_dedup(docs, chunk_words=8))
     spark.stop()
     return out
 
@@ -126,7 +128,7 @@ def main() -> int:
 
     full = _probe("local[32]", path, [
         "exact_dedup", "minhash_verified_pairs", "simhash_near_dups",
-        "dedup_clusters", "winnowing",
+        "dedup_clusters", "winnowing", "paragraph_dedup",
     ])
     # scale pair on a 1/5 corpus so the 2-core sample stays in minutes
     n_pair = max(n_docs // 5, 1000)
