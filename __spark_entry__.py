@@ -411,6 +411,19 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_docs(spark, sf_dir), chunk_words=8)
 
 
+def _q_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reweighting: per-source deterministic sampling rates
+    (src0 25%, src1 50%, src2 dropped, src3 kept whole, others 75%).
+    Both engines decide keep by one lexicographic compare of an 8-char
+    md5 band against the rate threshold — no hex parsing anywhere."""
+    from gocrd_spark.operators.textstats import source_weighted_sample
+
+    rates = {"src0": 0.25, "src1": 0.5, "src2": 0.0, "src3": 1.0}
+    return source_weighted_sample(
+        _docs(spark, sf_dir), rates, default_rate=0.75, seed="mix1"
+    )
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup over a deterministic messy-URL corpus derived
     from doc_id (the documents table carries no URL column): groups of
@@ -674,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_histogram": _q_doclen_hist,
         "source_stats": _q_source_stats,
         "corpus_split": _q_corpus_split,
+        "source_weighted_sample": _q_source_sample,
         "length_quantiles": _q_length_quantiles,
         "extracted_quality": _q_extracted_quality,
         "token_stats_bpe": _q_token_stats_bpe,
@@ -1067,6 +1081,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN bucket < 25 THEN 'test'
                         WHEN bucket < 50 THEN 'valid'
                         ELSE 'train' END AS split
+            FROM b
+        """,
+        # thresholds are the same (rate * 16^8) 8-hex-char strings the
+        # operator derives; lowercase fixed-width hex sorts numerically,
+        # so keep is one string compare in both engines
+        "source_weighted_sample": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     substr(md5('mix1:' || doc_id), 1, 8) AS band
+              FROM documents)
+            SELECT doc_id, source,
+                   CAST(band < CASE source
+                     WHEN 'src0' THEN '40000000'
+                     WHEN 'src1' THEN '80000000'
+                     WHEN 'src2' THEN '00000000'
+                     WHEN 'src3' THEN 'g'
+                     ELSE 'c0000000' END AS BIGINT) AS keep
             FROM b
         """,
         "length_quantiles": """

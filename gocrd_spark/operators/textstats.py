@@ -361,3 +361,68 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(F.encode(norm, "utf-8")).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+def _sample_threshold(rate: float) -> str:
+    """8-hex-char keep threshold for a sampling rate in [0, 1]: a doc is
+    kept iff the first 8 chars of its md5 band compare lexicographically
+    below it. Lowercase fixed-width hex orders exactly like the number
+    it spells (0-9 < a-f in ASCII), so neither engine ever parses hex —
+    the Spark plan and the DuckDB oracle both do one string compare.
+    rate >= 1 maps to 'g', which every hex digit sorts below (keep-all);
+    rate 0 maps to '00000000' (keep-none)."""
+    if rate < 0:
+        raise ValueError(f"sampling rate must be >= 0, got {rate}")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x")
+
+
+def source_weighted_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "mix1",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-source downsampling — the domain-reweighting
+    step of a training-data mix (keep 100% of books, 10% of generic
+    crawl, ...). keep iff md5(seed:doc_id) band < the source's
+    threshold: id-keyed (every run and every engine picks the same
+    docs), seed-parameterized (a new mix draws an independent sample),
+    and exactly reproducible from (rates, seed) alone — no RNG state.
+
+    The rate table rides a broadcast DataFrame join, not plan literals,
+    so a production mix over thousands of domains leaves the plan size
+    constant (same pattern as the IVF quantizer and the LSH planes).
+    Narrow map + broadcast join: zero shuffles at any corpus size.
+
+    Returns every input row labeled: (doc_id, <strata_col>, keep 0/1).
+    """
+    spark = docs.sparkSession
+    rows = [(s, _sample_threshold(r)) for s, r in sorted(rates.items())]
+    rates_df = spark.createDataFrame(rows, f"{strata_col} string, _thr string")
+    band = F.substring(
+        F.md5(
+            F.encode(
+                F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")),
+                "utf-8",
+            )
+        ),
+        1,
+        8,
+    )
+    return (
+        docs.select("doc_id", strata_col, band.alias("_band"))
+        .join(F.broadcast(rates_df), strata_col, "left")
+        .select(
+            "doc_id",
+            strata_col,
+            (
+                F.col("_band")
+                < F.coalesce(F.col("_thr"), F.lit(_sample_threshold(default_rate)))
+            )
+            .cast("long")
+            .alias("keep"),
+        )
+    )

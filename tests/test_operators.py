@@ -624,6 +624,58 @@ class TestTextStats:
         assert fps[1] == fps[2] != fps[3]
 
 
+class TestSourceWeightedSample:
+    def test_rates_determinism_and_extremes(self, docs):
+        """rate 0 keeps nothing, rate >= 1 keeps everything, fractional
+        rates land near their target, unknown sources get the default,
+        and two invocations pick the exact same docs (id-keyed, no RNG)."""
+        from gocrd_spark.operators.textstats import source_weighted_sample
+
+        rates = {"src0": 0.0, "src1": 1.0, "src2": 0.5}
+        out = source_weighted_sample(docs, rates, default_rate=0.75, seed="t")
+        agg = {
+            r.source: (r.kept, r.total)
+            for r in out.groupBy("source")
+            .agg(F.sum("keep").alias("kept"), F.count(F.lit(1)).alias("total"))
+            .collect()
+        }
+        assert agg["src0"][0] == 0
+        assert agg["src1"][0] == agg["src1"][1]
+        k2, n2 = agg["src2"]
+        assert 0 < k2 < n2  # fractional rate: strict subset
+        # deterministic: same (rates, seed) -> identical keep set
+        a = {r.doc_id for r in out.filter("keep = 1").collect()}
+        b = {
+            r.doc_id
+            for r in source_weighted_sample(docs, rates, default_rate=0.75, seed="t")
+            .filter("keep = 1")
+            .collect()
+        }
+        assert a == b
+        # a different seed draws a different (same-rate) sample of src2
+        a_src2 = {
+            r.doc_id
+            for r in out.filter("keep = 1 and source = 'src2'").collect()
+        }
+        c = {
+            r.doc_id
+            for r in source_weighted_sample(docs, rates, default_rate=0.75, seed="u")
+            .filter("keep = 1 and source = 'src2'")
+            .collect()
+        }
+        assert c != a_src2
+
+    def test_threshold_edges(self):
+        from gocrd_spark.operators.textstats import _sample_threshold
+
+        assert _sample_threshold(0.0) == "00000000"
+        assert _sample_threshold(0.25) == "40000000"
+        assert _sample_threshold(1.0) == "g"
+        assert _sample_threshold(2.0) == "g"
+        with pytest.raises(ValueError):
+            _sample_threshold(-0.1)
+
+
 class TestMultimodal:
     def test_decode_stub_raises_without_fake(self):
         from gocrd_spark.operators.multimodal import decode_image
