@@ -411,6 +411,16 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_docs(spark, sf_dir), chunk_words=8)
 
 
+def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard layout. Spark computes the running total with
+    a distributed two-phase prefix sum (bucket offsets + partitioned
+    windows); the oracle uses a single-node window cumsum — independent
+    algorithms for the same spec."""
+    from gocrd_spark.operators.textstats import pack_shards
+
+    return pack_shards(_docs(spark, sf_dir), budget_tokens=2048, bucket_size=64)
+
+
 def _q_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain reweighting: per-source deterministic sampling rates
     (src0 25%, src1 50%, src2 dropped, src3 kept whole, others 75%).
@@ -688,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": _q_source_stats,
         "corpus_split": _q_corpus_split,
         "source_weighted_sample": _q_source_sample,
+        "pack_shards": _q_pack_shards,
         "length_quantiles": _q_length_quantiles,
         "extracted_quality": _q_extracted_quality,
         "token_stats_bpe": _q_token_stats_bpe,
@@ -1099,6 +1110,22 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 'src3' THEN 'g'
                      ELSE 'c0000000' END AS BIGINT) AS keep
             FROM b
+        """,
+        # single-node window cumsum vs Spark's distributed two-phase
+        # prefix sum — independent algorithms, same shard layout
+        "pack_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(floor(cum_before / 2048.0) AS BIGINT) AS shard_id
+            FROM c
         """,
         "length_quantiles": """
             SELECT lang, count(*) AS n_docs,

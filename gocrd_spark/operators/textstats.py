@@ -426,3 +426,59 @@ def source_weighted_sample(
             .alias("keep"),
         )
     )
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Token-budget shard assignment: lay the corpus out in doc_id order
+    and cut it into training shards of ~``budget_tokens`` whitespace
+    tokens each (shard_id = cumulative-tokens-before // budget) — the
+    step that turns a filtered corpus into fixed-size training inputs.
+
+    The global running sum is a DISTRIBUTED two-phase prefix sum, not a
+    single giant window: doc_ids bucket into ranges of ``bucket_size``;
+    per-bucket token sums roll up to bucket offsets (one tiny
+    n_docs/bucket_size-row window — the only unpartitioned sort, over
+    thousands of rows at trillions of docs with a large bucket_size),
+    broadcast back, and each bucket computes its intra-bucket cumsum in
+    parallel (window PARTITIONED by bucket). The DuckDB oracle uses a
+    plain single-node window cumsum — an independent algorithm for the
+    same spec.
+
+    Returns (doc_id, n_tokens, shard_id), every doc assigned.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    b = toks.withColumn("bucket", F.floor(F.col("doc_id") / bucket_size))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bsum"))
+        .withColumn("boffset", F.coalesce(F.sum("bsum").over(wb), F.lit(0)))
+        .select("bucket", "boffset")
+    )
+    wi = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cum_before",
+            F.col("boffset") + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("cum_before") / F.lit(float(budget_tokens)))
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )

@@ -676,6 +676,60 @@ class TestSourceWeightedSample:
             _sample_threshold(-0.1)
 
 
+class TestPackShards:
+    def test_planted_layout(self, spark):
+        """Hand-computed layout at budget 10: cumulative-before // 10.
+        Docs: 4, 5, 3, 9, 2 tokens -> cum_before 0,4,9,12,21 ->
+        shards 0,0,0,1,2. Bucket boundary (size 2) must not matter."""
+        from gocrd_spark.operators.textstats import pack_shards
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d"),
+                (1, "a b c d e"),
+                (2, "a b c"),
+                (3, "a b c d e f g h i"),
+                (4, "a b"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.shard_id)
+            for r in pack_shards(docs, budget_tokens=10, bucket_size=2).collect()
+        }
+        assert got == {0: (4, 0), 1: (5, 0), 2: (3, 0), 3: (9, 1), 4: (2, 2)}
+
+    def test_two_phase_equals_single_window(self, docs):
+        """The distributed prefix sum must equal a naive single global
+        window cumsum — differential check at several bucket sizes
+        (including one bucket per doc and one bucket for everything)."""
+        from pyspark.sql import Window
+
+        from gocrd_spark.operators.textstats import _tokens, pack_shards
+
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        naive = {
+            r.doc_id: r.shard_id
+            for r in docs.select(
+                "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n")
+            )
+            .withColumn("cb", F.coalesce(F.sum("n").over(w), F.lit(0)))
+            .select(
+                "doc_id",
+                F.floor(F.col("cb") / 2048.0).cast("long").alias("shard_id"),
+            )
+            .collect()
+        }
+        for bucket_size in (1, 7, 1000000):
+            got = {
+                r.doc_id: r.shard_id
+                for r in pack_shards(
+                    docs, budget_tokens=2048, bucket_size=bucket_size
+                ).collect()
+            }
+            assert got == naive, f"bucket_size={bucket_size}"
+
+
 class TestMultimodal:
     def test_decode_stub_raises_without_fake(self):
         from gocrd_spark.operators.multimodal import decode_image
