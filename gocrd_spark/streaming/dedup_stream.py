@@ -55,6 +55,46 @@ def dedup_stream(
     return hashed.dropDuplicatesWithinWatermark(["text_hash"])
 
 
+URLS_STREAM_SCHEMA = "doc_id long, ts timestamp, url string"
+
+
+def url_dedup_stream(
+    spark: SparkSession, input_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Ingest-time URL dedup: first fetch per CANONICAL url within the
+    watermark horizon — the streaming twin of operators.urls.url_dedup
+    (same canonicalizer, so 'HTTP://X.COM:80/p?b=2&a=1#f' and
+    'http://x.com/p?a=1&b=2' collapse at ingest). Malformed URLs
+    canonicalize to NULL and are kept (one NULL key would otherwise
+    swallow them all) by routing them past the dedup with a
+    disambiguating per-row key. State bounded like dedup_stream."""
+    from gocrd_spark.operators.urls import canonical_url
+
+    stream = (
+        spark.readStream.schema(URLS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+    keyed = stream.select(
+        "doc_id",
+        "ts",
+        "url",
+        canonical_url(F.col("url")).alias("canonical_url"),
+    ).withColumn(
+        # NULL canon (malformed) must not collapse into one state row:
+        # give each its own key so dropDuplicates keeps every one
+        "_key",
+        F.coalesce(
+            F.col("canonical_url"), F.concat(F.lit("\x00bad:"), F.col("doc_id"))
+        ),
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_key"])
+        .drop("_key")
+    )
+
+
 def dedup_stream_exact(spark: SparkSession, input_dir: str) -> DataFrame:
     """First-seen documents per text hash over the whole stream
     (unbounded state — bounded-backfill use only)."""

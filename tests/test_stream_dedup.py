@@ -116,3 +116,36 @@ class TestStreamDedup:
         run_available_now_to_dir(dedup_stream_exact(spark, inp), out, ckpt)
         n2 = spark.read.parquet(out).count()
         assert n1 == 4 and n2 == 4  # second drain appends nothing
+
+
+class TestUrlDedupStream:
+    def test_canonical_collapse_and_malformed_survival(self, spark, tmp_path):
+        """Streaming URL dedup keeps the FIRST fetch per canonical URL
+        (spelling variants collapse at ingest) while every malformed URL
+        survives (NULL canon must not become one shared state key); the
+        keep-set matches the batch url_dedup canonical grouping."""
+        from gocrd_spark.streaming.dedup_stream import (
+            run_available_now,
+            url_dedup_stream,
+        )
+
+        rows = [
+            (0, _ts(0), "HTTP://WWW.Example.COM:80/a?b=2&a=1#frag"),
+            (1, _ts(1), "http://www.example.com/a?a=1&b=2"),   # dup of 0
+            (2, _ts(2), "https://www.example.com/a?a=1&b=2"),  # scheme differs
+            (3, _ts(3), "not a url"),                           # malformed
+            (4, _ts(4), "also not a url"),                      # malformed
+            (5, _ts(5), "http://www.example.com/a?a=1&b=2"),   # dup of 0
+        ]
+        inp = str(tmp_path / "urls_in")
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, url string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        name = run_available_now(
+            url_dedup_stream(spark, inp), str(tmp_path / "ckpt_u"), "url_dedup_s"
+        )
+        got = {r.doc_id for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        # one of {0,1,5} (same canon — micro-batch order within one file
+        # is not time-ordered, so WHICH one is not pinned), plus 2, 3, 4
+        assert got & {0, 1, 5} and len(got & {0, 1, 5}) == 1
+        assert {2, 3, 4} <= got and len(got) == 4
