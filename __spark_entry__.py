@@ -400,6 +400,17 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (Lee et al. 2022 shape): every
+    13-token window, duplicated-anywhere hashes, per-doc maximal span
+    merge. Spark: xxhash64 keys + lag/cumsum islands; oracle: window
+    STRING keys + row_number-difference islands — independent keys AND
+    an independent islands algorithm."""
+    from gocrd_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), n=13)
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style duplicated-passage removal: 8-token chunks, keep only
     the first corpus-order occurrence of each distinct chunk, reassemble
@@ -683,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_dups,
         "dedup_clusters": _q_dedup_clusters,
         "paragraph_dedup": _q_paragraph_dedup,
+        "duplicate_spans": _q_duplicate_spans,
         "url_dedup": _q_url_dedup,
         "contamination_flags": _q_contamination,
         "repetition_stats": _q_repetition,
@@ -1167,6 +1179,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.canonical_id, d.doc_id) AS canonical_id,
                    CAST(coalesce(c.canonical_id, d.doc_id) = d.doc_id AS BIGINT) AS keep
             FROM documents d LEFT JOIN canon c USING (doc_id)
+        """,
+        # repeated-substring spans: window-STRING keys (vs xxhash64) and
+        # row_number-difference islands (vs lag+cumsum) — both sides of
+        # the algorithm independent
+        "duplicate_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            idx AS (
+              SELECT doc_id, t, unnest(range(len(t) - 12)) AS pos
+              FROM toks WHERE len(t) >= 13),
+            w AS (
+              SELECT doc_id, pos,
+                     array_to_string(t[pos + 1 : pos + 13], ' ') AS win
+              FROM idx),
+            dups AS (
+              SELECT doc_id, pos
+              FROM (SELECT doc_id, pos,
+                           count(*) OVER (PARTITION BY win) AS c FROM w)
+              WHERE c > 1),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM dups)
+            SELECT doc_id,
+                   min(pos)::BIGINT AS span_start,
+                   (max(pos) + 12)::BIGINT AS span_end,
+                   count(*)::BIGINT AS n_windows
+            FROM isl GROUP BY doc_id, grp
         """,
         # URL dedup: same messy-URL construction, then an INDEPENDENT
         # canonicalizer — regexp decomposition in DuckDB vs JVM

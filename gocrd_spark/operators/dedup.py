@@ -810,3 +810,63 @@ def paragraph_dedup(docs: DataFrame, chunk_words: int = 8) -> DataFrame:
             F.lit(""),
         ).alias("text_dedup"),
     )
+
+
+def duplicate_spans(docs: DataFrame, n: int = 13) -> DataFrame:
+    """Exact repeated-substring span detection — the substring-level
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed relationally instead of via
+    their suffix array: hash EVERY n-token window (stride 1, NOT the
+    distinct shingle set), find window hashes occurring more than once
+    in the whole corpus (cross- or intra-document), and merge each
+    document's duplicated window positions into maximal token spans
+    (consecutive positions chain; a window at pos covers tokens
+    [pos, pos+n-1], so spans end at last_pos + n - 1).
+
+    Returns one row per maximal duplicated span:
+    (doc_id, span_start, span_end, n_windows) — token offsets,
+    inclusive. Callers cut the spans out (or drop the docs) downstream.
+
+    Scale shape: the duplicated-hash decision shuffles (hash, doc_id,
+    pos) longs with a map-side partial count; the span merge is a
+    per-document window (PARTITIONED by doc_id — fully parallel,
+    lag+cumsum islands). Token text never rides an exchange. Window
+    identity is xxhash64, the suite-wide convention; the DuckDB oracle
+    groups by the window STRING and merges islands with the
+    row_number-difference formulation — independent keys AND an
+    independent islands algorithm.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", _tokens_col(F.col("text")).alias("_toks"))
+    t = F.col("_toks")  # bound column: see _shingles_of_tokens note
+    windows = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    occ = toks.select("doc_id", F.posexplode(windows).alias("pos", "h"))
+    # corpus-duplicated hashes: total occurrence count > 1 (map-side
+    # partial count; only (h, count) longs cross the exchange)
+    dup_h = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("h")
+    )
+    dup_pos = occ.join(dup_h, "h", "left_semi")
+    # gaps-and-islands per doc: consecutive duplicated positions chain
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn(
+            "_new", (F.col("pos") - F.lag("pos", 1, -2).over(wd) > 1).cast("int")
+        )
+        .withColumn("_island", F.sum("_new").over(wd))
+    )
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + n - 1).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")

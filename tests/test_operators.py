@@ -209,6 +209,38 @@ class TestDedupClusters:
             connected_components(chain, max_iters=3)
 
 
+class TestDuplicateSpans:
+    def test_planted_spans(self, spark):
+        """Cross-doc repeat -> one maximal span per doc; overlapping
+        duplicated windows merge (consecutive positions chain); intra-doc
+        repetition counts as duplication; short docs emit nothing."""
+        from gocrd_spark.operators.dedup import duplicate_spans
+
+        shared = "a b c d e f"  # 6 tokens
+        docs = spark.createDataFrame(
+            [
+                (0, f"{shared} x y z"),        # shared at pos 0
+                (1, f"p q {shared} r"),        # shared at pos 2
+                (2, "w " * 10),                 # intra-doc: all 4-grams equal
+                (3, "too short"),               # < n tokens -> no windows
+                (4, "totally unrelated words here now"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in duplicate_spans(docs, n=4).collect()
+        }
+        # docs 0/1 share three 4-gram windows (abcd, bcde, cdef) ->
+        # one merged span of 6 tokens each; doc 2's identical windows
+        # chain into one whole-doc span (7 windows over 10 tokens)
+        assert got == {
+            (0, 0, 5, 3),
+            (1, 2, 7, 3),
+            (2, 0, 9, 7),
+        }
+
+
 class TestUrlDedup:
     def test_canonicalization_rules(self, spark):
         """Scheme/host case, default ports, empty path, query order,
