@@ -422,6 +422,12 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_docs(spark, sf_dir), chunk_words=8)
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gocrd_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard layout. Spark computes the running total with
     a distributed two-phase prefix sum (bucket offsets + partitioned
@@ -711,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "source_weighted_sample": _q_source_sample,
         "pack_shards": _q_pack_shards,
+        "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
         "extracted_quality": _q_extracted_quality,
         "token_stats_bpe": _q_token_stats_bpe,
@@ -1122,6 +1129,24 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 'src3' THEN 'g'
                      ELSE 'c0000000' END AS BIGINT) AS keep
             FROM b
+        """,
+        # ln rounded 6dp + fixed-pointed BEFORE the per-doc sum: after
+        # the one rounded transcendental, both engines do exact BIGINT
+        # arithmetic (no mean division -> no .5e-6 round ties)
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+            tot AS (SELECT sum(tf)::DOUBLE AS t FROM tf),
+            lm AS (SELECT term,
+                          CAST(round(round(ln(tf / (SELECT t FROM tot)), 6) * 1000000) AS BIGINT) AS lnp_e6
+                   FROM tf),
+            dc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term)
+            SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                   sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
+            FROM dc JOIN lm USING (term) GROUP BY doc_id
         """,
         # single-node window cumsum vs Spark's distributed two-phase
         # prefix sum — independent algorithms, same shard layout

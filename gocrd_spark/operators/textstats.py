@@ -482,3 +482,47 @@ def pack_shards(
             .alias("shard_id"),
         )
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean unigram
+    log-probability under the corpus's OWN unigram LM — the cheap,
+    self-contained stand-in for the KenLM-perplexity filter of
+    CCNet/C4-style pipelines (low mean logprob = rare-token-heavy =
+    boilerplate/garbage candidates at the tails).
+
+    Two aggregations, both map-side-combinable: corpus term frequencies
+    (term-keyed), then per-(doc, term) counts joined against the LM and
+    summed per doc. The corpus token total rides a broadcast singleton
+    (same pattern as tfidf_top_terms — no driver count, no literal in
+    the plan). ln() is rounded to 6dp and fixed-pointed to BIGINT
+    BEFORE the per-doc sum, so everything after the one rounded
+    transcendental is EXACT integer arithmetic in both engines — no
+    mean division whose double could land on a .5e-6 tie (observed: 2
+    of 500 docs flipped ±1 when this emitted a rounded average).
+    Callers derive the mean as sum_logprob_e6 / n_tokens.
+
+    Returns (doc_id, n_tokens, sum_logprob_e6) for every document with
+    at least one token.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").cast("double").alias("t"))
+    lm = tf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.round(F.log(F.col("tf") / F.col("t")), 6) * 1_000_000)
+        .cast("long")
+        .alias("lnp_e6"),
+    )
+    dc = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    agg = dc.join(lm, "term").groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("lnp_e6")).alias("s_e6"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("s_e6").cast("long").alias("sum_logprob_e6"),
+    )

@@ -708,6 +708,37 @@ class TestSourceWeightedSample:
             _sample_threshold(-0.1)
 
 
+class TestUnigramLogprob:
+    def test_rare_tokens_score_lower(self, spark):
+        """Docs of corpus-common tokens get a higher mean logprob than
+        docs of corpus-rare tokens; counts include repetition; docs
+        with no tokens emit no row."""
+        from gocrd_spark.operators.textstats import unigram_logprob
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the the the the the the the the"),
+                (1, "the the the the the the the the"),
+                (2, "zyxwv qqqqq"),  # two singleton terms
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+        assert set(rows) == {0, 1, 2}
+        mean = {
+            d: rows[d].sum_logprob_e6 / rows[d].n_tokens for d in rows
+        }
+        assert rows[0].n_tokens == 8 and rows[2].n_tokens == 2
+        assert mean[0] == mean[1]           # identical docs, same LM score
+        assert mean[2] < mean[0]            # rare tokens -> lower logprob
+        # LM is corpus-derived: p(the) = 16/18, p(rare) = 1/18
+        import math
+
+        exp_the = round(round(math.log(16 / 18), 6) * 1e6)
+        assert rows[0].sum_logprob_e6 == 8 * exp_the
+
+
 class TestPackShards:
     def test_planted_layout(self, spark):
         """Hand-computed layout at budget 10: cumulative-before // 10.

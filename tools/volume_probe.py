@@ -73,6 +73,7 @@ def _noop(df) -> None:
 def _probe(master: str, path: str, ops: list[str]) -> dict[str, float]:
     from gocrd_spark.operators.dedup import (
         dedup_clusters,
+        duplicate_spans,
         exact_dedup,
         minhash_candidates,
         ngram_jaccard_pairs,
@@ -112,6 +113,7 @@ def _probe(master: str, path: str, ops: list[str]) -> dict[str, float]:
     )
     timed("winnowing", lambda: winnowing_fingerprints(docs))
     timed("paragraph_dedup", lambda: paragraph_dedup(docs, chunk_words=8))
+    timed("duplicate_spans", lambda: duplicate_spans(docs, n=13))
     spark.stop()
     return out
 
@@ -128,7 +130,7 @@ def main() -> int:
 
     full = _probe("local[32]", path, [
         "exact_dedup", "minhash_verified_pairs", "simhash_near_dups",
-        "dedup_clusters", "winnowing", "paragraph_dedup",
+        "dedup_clusters", "winnowing", "paragraph_dedup", "duplicate_spans",
     ])
     # scale pair on a 1/5 corpus so the 2-core sample stays in minutes
     n_pair = max(n_docs // 5, 1000)
