@@ -263,3 +263,55 @@ class TestDecontamination:
         assert rows[1].n_grams == 7 and rows[1].n_unique_grams == 3
         assert rows[1].dup_ratio_e6 == 571429
         assert rows[2].dup_ratio_e6 == 0
+
+
+class TestRound3PlanShapes:
+    def test_paragraph_dedup_decision_exchange_is_longs_only(self, docs):
+        """The keep/drop decision exchange hashes on the chunk HASH —
+        chunk/text strings must never ride a hash exchange (the text
+        joins back once by doc_id for reassembly)."""
+        from gocrd_spark.operators.dedup import paragraph_dedup
+
+        plan = _plan(paragraph_dedup(docs, chunk_words=8))
+        # hash-partitioned exchanges exist (decision + kept-idx rollup) ...
+        assert "hashpartitioning(h#" in plan
+        # ... and none of them carries a string payload: every Exchange
+        # Input list is free of the text/chunk columns
+        for block in plan.split("\n\n"):
+            if block.strip().startswith("(") and ") Exchange" in block.splitlines()[0]:
+                if "hashpartitioning" in block:
+                    assert "text#" not in block and "chunk#" not in block, block
+
+    def test_duplicate_spans_window_partitioned_by_doc(self, docs):
+        """The islands merge must be a doc_id-PARTITIONED window (fully
+        parallel), never a global sort; the dup decision is a semi-join
+        on the hash."""
+        from gocrd_spark.operators.dedup import duplicate_spans
+
+        plan = _plan(duplicate_spans(docs, n=13))
+        assert "windowspecdefinition(doc_id#" in plan
+        assert "LeftSemi" in plan
+
+    def test_source_sample_rates_are_broadcast_not_literals(self, docs):
+        """A thousand-domain mix must not inflate the plan: rates ride a
+        broadcast join, and the plan size is independent of the rate
+        count."""
+        from gocrd_spark.operators.textstats import source_weighted_sample
+
+        small = _plan(source_weighted_sample(docs, {"src0": 0.5}))
+        big = _plan(
+            source_weighted_sample(
+                docs, {f"d{i}": (i % 100) / 100 for i in range(1000)}
+            )
+        )
+        assert "BroadcastHashJoin" in big
+        # same operator tree; only the broadcast DATA differs
+        assert abs(len(big) - len(small)) < 400
+
+    def test_pack_shards_intra_bucket_window_is_partitioned(self, docs):
+        """Only the tiny bucket-offset window may be unpartitioned; the
+        per-doc cumsum must be PARTITIONED by bucket."""
+        from gocrd_spark.operators.textstats import pack_shards
+
+        plan = _plan(pack_shards(docs, budget_tokens=2048, bucket_size=64))
+        assert "windowspecdefinition(bucket#" in plan
