@@ -1,0 +1,86 @@
+"""End-to-end training-corpus composition — the chain a real pipeline
+runs, wired from the individually-oracle-checked operators:
+
+1. exact dedup            (keep one doc per normalized-text hash)
+2. MinHash near-dup       (LSH candidates -> exact verify -> connected
+   cluster resolution      components -> keep one doc per cluster)
+3. paragraph-level dedup  (rewrite survivors without corpus-duplicated
+                           passages; drop docs left empty)
+4. quality gate           (composite score over the REWRITTEN text)
+5. domain reweighting     (deterministic per-source sampling)
+6. shard packing          (token-budget layout of what remains)
+
+Every stage is the operator the driver checks in isolation; this module
+only composes them, so its correctness surface is the glue — pinned by
+tests/test_compose.py invariants (survivor uniqueness, budget bounds,
+determinism, monotone filtering), not by a new oracle.
+
+Scale shape: the chain inherits each stage's documented shuffle
+accounting; nothing here adds a shuffle beyond the stages' own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def training_corpus(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    chunk_words: int = 8,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    seed: str = "mix1",
+    budget_tokens: int = 2048,
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """Run the full cleaning chain over ``docs`` (doc_id, text, source).
+    Returns the training-ready corpus:
+    (doc_id, source, text, n_tokens, shard_id)."""
+    from gocrd_spark.operators.dedup import (
+        dedup_clusters,
+        exact_dedup,
+        minhash_lsh,
+        paragraph_dedup,
+    )
+    from gocrd_spark.operators.textstats import (
+        pack_shards,
+        quality_score,
+        source_weighted_sample,
+    )
+
+    # 1. exact dedup: canonical doc per normalized-text hash
+    exact_keep = exact_dedup(docs).select("doc_id")
+    stage1 = docs.join(exact_keep, "doc_id", "left_semi")
+
+    # 2. near-dup clusters -> keep the canonical of each cluster
+    pairs = minhash_lsh(stage1, threshold=jaccard_threshold)
+    keep2 = dedup_clusters(stage1, pairs).filter(F.col("keep") == 1).select("doc_id")
+    stage2 = stage1.join(keep2, "doc_id", "left_semi")
+
+    # 3. paragraph-level dedup: rewrite text, drop docs left empty
+    rewritten = paragraph_dedup(stage2, chunk_words=chunk_words).filter(
+        F.col("n_kept") > 0
+    )
+    stage3 = stage2.select("doc_id", "source").join(
+        rewritten.select("doc_id", F.col("text_dedup").alias("text")), "doc_id"
+    )
+
+    # 4. quality gate over the REWRITTEN text
+    q_keep = quality_score(stage3).filter(
+        F.col("quality") >= min_quality
+    ).select("doc_id")
+    stage4 = stage3.join(q_keep, "doc_id", "left_semi")
+
+    # 5. domain reweighting
+    sampled = source_weighted_sample(
+        stage4, rates or {}, default_rate=default_rate, seed=seed
+    )
+    stage5 = stage4.join(
+        sampled.filter(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 6. shard layout of what remains
+    shards = pack_shards(stage5, budget_tokens=budget_tokens)
+    return stage5.join(shards.select("doc_id", "n_tokens", "shard_id"), "doc_id")

@@ -1,0 +1,73 @@
+"""End-to-end training_corpus composition invariants: the glue between
+the individually-oracle-checked stages."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+class TestTrainingCorpus:
+    def test_chain_invariants(self, spark, docs):
+        from gocrd_spark.operators.compose import training_corpus
+        from gocrd_spark.operators.dedup import _norm_text
+
+        out = training_corpus(
+            docs,
+            rates={"src0": 0.0},     # src0 dropped entirely
+            default_rate=1.0,
+            budget_tokens=512,
+            min_quality=0.2,
+        )
+        out.cache()
+        rows = out.collect()
+        n_in = docs.count()
+        assert 0 < len(rows) < n_in
+
+        # survivors are input docs, with rewritten (non-empty) text
+        in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+        assert all(r.doc_id in in_ids for r in rows)
+        assert all(r.text and r.n_tokens > 0 for r in rows)
+
+        # dedup held: no two survivors share normalized ORIGINAL text
+        surv = docs.join(out.select("doc_id"), "doc_id", "left_semi")
+        n_surv = surv.count()
+        n_distinct = (
+            surv.select(_norm_text(F.col("text")).alias("t")).distinct().count()
+        )
+        assert n_surv == n_distinct
+
+        # domain reweighting held: no src0 survivor
+        assert all(r.source != "src0" for r in rows)
+
+        # shard budgets: every shard except the last holds <= budget +
+        # the max straddling doc (docs assigned where they START)
+        max_doc = max(r.n_tokens for r in rows)
+        per_shard = (
+            out.groupBy("shard_id").agg(F.sum("n_tokens").alias("s")).collect()
+        )
+        assert all(p.s <= 512 + max_doc for p in per_shard)
+        # shards are contiguous from 0
+        sids = sorted(p.shard_id for p in per_shard)
+        assert sids == list(range(len(sids)))
+
+        # deterministic end to end
+        again = training_corpus(
+            docs,
+            rates={"src0": 0.0},
+            default_rate=1.0,
+            budget_tokens=512,
+            min_quality=0.2,
+        ).collect()
+        assert {(r.doc_id, r.shard_id, r.text) for r in rows} == {
+            (r.doc_id, r.shard_id, r.text) for r in again
+        }
+        out.unpersist()
