@@ -3,9 +3,12 @@
 - ``entry(spark)``   — flagship extraction over a deterministic synthetic
   ``pages`` table (BASELINE.json input_hint shape) at sf0.001 scale.
 - ``queries()``      — one entry per implemented operator (SURVEY.md §2 +
-  the training-data operator suite). SQL-expressible ones have DuckDB
-  twins in ``oracle_sql()``; XML-kernel and LSH/ANN ops are rows-only
-  (their correctness gate is the golden pytest suite, FIXTURES.md §3-4).
+  the training-data operator suite). EVERY entry has an ``oracle_sql()``
+  twin: directly-expressed DuckDB SQL where the semantics are
+  SQL-expressible, otherwise a read of golden parquet computed by
+  INDEPENDENT implementations (template-spec arithmetic, expat walkers,
+  pure-Python twins — tools/gen_goldens.py; never the operator under
+  test). Zero rows-only entries since round 2.
 - ``oracle_sql()``   — ANSI-SQL twins. Engine-parity rule: oracle-checked
   outputs carry only BIGINT/VARCHAR columns (ratios as fixed-point
   ``*_e6`` scaled integers, timestamps as epoch seconds) so value hashes
@@ -687,8 +690,9 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # gocrd extraction surface (XML kernel — rows-only checks; golden
-        # byte-identity is gated by pytest, FIXTURES.md §3)
+        # gocrd extraction surface (XML kernel — oracle = independently
+        # generated golden parquet; byte-identity also gated by pytest,
+        # FIXTURES.md §3)
         "extract_text": _q_extract_text,
         "extract_spans": _q_extract_spans,
         "mets_files_alto": _q_mets_files,
