@@ -414,6 +414,21 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), n=13)
 
 
+def _q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_spans -> cut: remove every duplicated-substring
+    occurrence (all copies — the released ExactSubstr tool's behavior)
+    and reassemble. Oracle recomputes the full chain with string-keyed
+    windows, row_number-difference islands, and a NOT EXISTS coverage
+    anti-join vs Spark's per-token array `exists`."""
+    from gocrd_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return remove_duplicate_spans(docs, duplicate_spans(docs, n=13))
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style duplicated-passage removal: 8-token chunks, keep only
     the first corpus-order occurrence of each distinct chunk, reassemble
@@ -705,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "paragraph_dedup": _q_paragraph_dedup,
         "duplicate_spans": _q_duplicate_spans,
+        "remove_duplicate_spans": _q_remove_spans,
         "url_dedup": _q_url_dedup,
         "contamination_flags": _q_contamination,
         "repetition_stats": _q_repetition,
@@ -1239,6 +1255,55 @@ def oracle_sql() -> dict[str, str]:
                    (max(pos) + 12)::BIGINT AS span_end,
                    count(*)::BIGINT AS n_windows
             FROM isl GROUP BY doc_id, grp
+        """,
+        # span-cut rewrite: the duplicate_spans chain (string keys,
+        # row_number islands) + NOT EXISTS coverage anti-join (vs
+        # Spark's per-token array exists)
+        "remove_duplicate_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            idx AS (
+              SELECT doc_id, t, unnest(range(len(t) - 12)) AS pos
+              FROM toks WHERE len(t) >= 13),
+            w AS (
+              SELECT doc_id, pos,
+                     array_to_string(t[pos + 1 : pos + 13], ' ') AS win
+              FROM idx),
+            dups AS (
+              SELECT doc_id, pos
+              FROM (SELECT doc_id, pos,
+                           count(*) OVER (PARTITION BY win) AS c FROM w)
+              WHERE c > 1),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM dups),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
+              FROM isl GROUP BY doc_id, grp),
+            tokpos AS (
+              SELECT doc_id, t, unnest(range(len(t))) AS p
+              FROM toks WHERE len(t) > 0),
+            tok AS (SELECT doc_id, p, t[p + 1] AS tok FROM tokpos),
+            keep AS (
+              SELECT k.doc_id, k.p, k.tok FROM tok k
+              WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                WHERE s.doc_id = k.doc_id
+                                  AND k.p BETWEEN s.s AND s.e)),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY p) AS text_clean,
+                     count(*) AS n_kept
+              FROM keep GROUP BY doc_id),
+            nt AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+            SELECT n.doc_id,
+                   coalesce(a.text_clean, '') AS text_clean,
+                   n.n_tokens::BIGINT AS n_tokens,
+                   (n.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+            FROM nt n LEFT JOIN agg a USING (doc_id)
         """,
         # URL dedup: same messy-URL construction, then an INDEPENDENT
         # canonicalizer — regexp decomposition in DuckDB vs JVM

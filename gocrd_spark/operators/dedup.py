@@ -870,3 +870,45 @@ def duplicate_spans(docs: DataFrame, n: int = 13) -> DataFrame:
         (F.max("pos") + n - 1).cast("long").alias("span_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+def remove_duplicate_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """The cut step that completes :func:`duplicate_spans` (Lee et al.
+    drop every duplicated substring occurrence): remove the tokens of
+    each doc's spans and reassemble the remainder in order. ``spans``
+    is duplicate_spans output (doc_id, span_start, span_end) — or any
+    caller-filtered subset (e.g. keep the first occurrence and cut only
+    the rest).
+
+    Per doc, spans collapse into one array via an equi-join groupBy on
+    doc_id (never a range join — the coverage test is an array `exists`
+    per token, bounded by spans-per-doc); the rewrite itself is a
+    narrow map over the doc's own tokens. Docs with no spans pass
+    through unchanged (normalized whitespace).
+
+    Returns (doc_id, text_clean, n_tokens, n_removed) for every doc.
+    """
+    span_arrays = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = docs.select(
+        "doc_id", _tokens_col(F.col("text")).alias("_toks")
+    ).join(span_arrays, "doc_id", "left")
+    t = F.col("_toks")  # bound column: see _shingles_of_tokens note
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        F.transform(t, lambda tok, i: F.struct(tok.alias("tok"), i.alias("i"))),
+        lambda p: ~F.exists(
+            sp,
+            lambda s: (p["i"] >= s["span_start"]) & (p["i"] <= s["span_end"]),
+        ),
+    )
+    return toks.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda p: p["tok"]), " ").alias("text_clean"),
+        F.size(t).cast("long").alias("n_tokens"),
+        (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
+    )

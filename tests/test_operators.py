@@ -241,6 +241,56 @@ class TestDuplicateSpans:
         }
 
 
+class TestRemoveDuplicateSpans:
+    def test_cut_and_passthrough(self, spark):
+        """All copies of a duplicated run are cut (the ExactSubstr tool
+        behavior); clean docs pass through normalized; empty docs and
+        docs reduced to nothing both emit empty text."""
+        from gocrd_spark.operators.dedup import (
+            duplicate_spans,
+            remove_duplicate_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d e f x y z"),
+                (1, "p q a b c d e f r"),
+                (2, "Clean  Doc stays WHOLE"),
+                (3, ""),
+                (4, "a b c d e f"),  # nothing but the dup -> empty
+            ],
+            "doc_id long, text string",
+        )
+        out = remove_duplicate_spans(docs, duplicate_spans(docs, n=4))
+        got = {r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+               for r in out.collect()}
+        assert got == {
+            0: ("x y z", 9, 6),
+            1: ("p q r", 9, 6),
+            2: ("clean doc stays whole", 4, 0),
+            3: ("", 0, 0),
+            4: ("", 6, 6),
+        }
+
+    def test_caller_filtered_spans_keep_first_copy(self, spark):
+        """The span table is caller-filterable: dropping one doc's spans
+        from it keeps that copy — the keep-first policy composes without
+        operator changes."""
+        from gocrd_spark.operators.dedup import (
+            duplicate_spans,
+            remove_duplicate_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d e f x y z"), (1, "p q a b c d e f r")],
+            "doc_id long, text string",
+        )
+        later_copies = duplicate_spans(docs, n=4).filter(F.col("doc_id") != 0)
+        got = {r.doc_id: r.text_clean
+               for r in remove_duplicate_spans(docs, later_copies).collect()}
+        assert got[0] == "a b c d e f x y z" and got[1] == "p q r"
+
+
 class TestUrlDedup:
     def test_canonicalization_rules(self, spark):
         """Scheme/host case, default ports, empty path, query order,
