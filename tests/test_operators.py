@@ -316,6 +316,27 @@ class TestUrlDedup:
         assert got[4] == "http://www.example.com/"              # empty path -> /
         assert got[5] is None                                    # malformed -> NULL
 
+    def test_canonicalization_is_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u) — a canonical URL is
+        its own canonical form (ports already stripped, query already
+        sorted, path already non-empty), so re-ingesting cleaned URLs
+        never re-groups them."""
+        from gocrd_spark.operators.urls import canonical_url
+
+        urls = [
+            "HTTP://WWW.Example.COM:80/a/b?b=2&a=1#frag",
+            "https://www.example.com:443/a/b?a=1&b=2",
+            "http://www.example.com:8080/x",
+            "http://www.example.com",
+            "http://host.com/p?z=1&y=2&x=3",
+        ]
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                   "doc_id long, url string")
+        once = df.select("doc_id", canonical_url(F.col("url")).alias("c1"))
+        twice = once.select("doc_id", "c1", canonical_url(F.col("c1")).alias("c2"))
+        for r in twice.collect():
+            assert r.c1 == r.c2, (r.c1, r.c2)
+
     def test_dedup_keeps_latest_capture(self, spark):
         from gocrd_spark.operators.urls import url_dedup
 
