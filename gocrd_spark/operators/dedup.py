@@ -216,9 +216,27 @@ def minhash_candidates(
     of ``num_hashes/bands`` rows; bucket key = xxhash64 of the band
     slice; candidates = distinct same-bucket (doc_a < doc_b) pairs.
     Shuffles only (band, bucket, doc_id) — never the text."""
+    bands_df = _minhash_banded(docs, n, num_hashes, bands)
+    return (
+        bands_df.alias("x")
+        .join(bands_df.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _minhash_banded(
+    docs: DataFrame, n: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded MinHash bucket rows (doc_id, band, bucket) — the join key
+    table minhash_candidates buckets on, and the durable payload
+    minhash_signatures materializes."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(docs, n, num_hashes)
-    bands_df = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -240,15 +258,6 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    return (
-        bands_df.alias("x")
-        .join(bands_df.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
 
 
 def choose_bands(
@@ -912,3 +921,83 @@ def remove_duplicate_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
         F.size(t).cast("long").alias("n_tokens"),
         (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> str:
+    """Materialize the banded MinHash bucket table ONCE at ``path``
+    (parquet, columns doc_id/band/bucket) — the durable MinHash
+    counterpart of :func:`simhash_signatures`, closing the symmetry:
+    the expensive shingle+permutation computation is paid one time, and
+    any number of later candidate queries (or daily increments via
+    :func:`minhash_incremental`) join against the table.
+
+    Write-once/resume + ``_PARAMS.json`` (n, num_hashes, bands) pin,
+    refusing a parameter mismatch — the same contract as the SimHash
+    table and the IVF index. Returns ``path``.
+    """
+    import json
+    import os
+
+    params = {"n": n, "num_hashes": num_hashes, "bands": bands, "version": 1}
+    marker = os.path.join(path, "_SUCCESS")
+    sidecar = os.path.join(path, "_PARAMS.json")
+    if os.path.exists(marker):
+        with open(sidecar) as fh:
+            existing = json.load(fh)
+        if existing != params:
+            raise ValueError(
+                f"existing MinHash table at {path} was built with "
+                f"{existing}, requested {params}"
+            )
+        return path
+    _minhash_banded(docs, n, num_hashes, bands).write.mode("overwrite").parquet(path)
+    with open(sidecar, "w") as fh:
+        json.dump(params, fh)
+    return path
+
+
+def minhash_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental verified near-dups: pairs involving at least one NEW
+    document, against the durable MinHash table plus the batch itself —
+    the daily-crawl-increment shape (mirror of
+    :func:`simhash_incremental`). Old signatures are never recomputed
+    and old–old pairs never re-emitted; candidate cost scales with
+    |new| × bucket density, not the corpus. Candidates are then
+    EXACT-verified (``verify_jaccard_pairs``) against ``corpus_docs``,
+    which must carry the text of every doc a pair can touch (old ∪
+    new) — verification joins only the candidate docs' shingle hashes,
+    O(|candidates|).
+
+    Banding params come from the table's ``_PARAMS.json``; returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    Append the new batch's banded rows yourself to fold it in for the
+    next increment (increments stay idempotent/re-runnable).
+    """
+    params = _load_sig_params(path)
+    spark = new_docs.sparkSession
+    new_banded = _minhash_banded(
+        new_docs, params["n"], params["num_hashes"], params["bands"]
+    ).persist()
+    all_banded = spark.read.parquet(path).unionByName(new_banded)
+    candidates = (
+        new_banded.alias("x")
+        .join(all_banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return verify_jaccard_pairs(corpus_docs, candidates, params["n"], threshold)

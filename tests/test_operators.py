@@ -209,6 +209,48 @@ class TestDedupClusters:
             connected_components(chain, max_iters=3)
 
 
+class TestMinhashSignatureTable:
+    def test_durable_resume_and_incremental_parity(self, spark, docs, tmp_path):
+        """MinHash mirror of the SimHash durable path: write-once resume,
+        param-mismatch refusal, and increments that equal the full-batch
+        answer restricted to new-involving pairs (old-old never
+        re-emitted, old signatures never recomputed)."""
+        import time
+
+        from gocrd_spark.operators.dedup import (
+            minhash_incremental,
+            minhash_lsh,
+            minhash_signatures,
+        )
+
+        old = docs.filter(F.col("doc_id") % 5 != 0)
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        path = str(tmp_path / "mh_sigs")
+        minhash_signatures(old, path, n=3, num_hashes=32, bands=32)
+
+        t0 = time.time()
+        assert minhash_signatures(old, path, n=3, num_hashes=32, bands=32) == path
+        assert time.time() - t0 < 1.0
+        with pytest.raises(ValueError, match="was built with"):
+            minhash_signatures(old, path, n=3, num_hashes=32, bands=8)
+
+        inc = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_incremental(new, docs, path, threshold=0.12).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh(
+                docs, n=3, threshold=0.12, num_hashes=32, bands=32
+            ).collect()
+        }
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        expected = {
+            p: j for p, j in full.items() if p[0] in new_ids or p[1] in new_ids
+        }
+        assert inc == expected and len(inc) > 0
+
+
 class TestDuplicateSpans:
     def test_planted_spans(self, spark):
         """Cross-doc repeat -> one maximal span per doc; overlapping
