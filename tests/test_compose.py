@@ -71,3 +71,39 @@ class TestTrainingCorpus:
             (r.doc_id, r.shard_id, r.text) for r in again
         }
         out.unpersist()
+
+
+class TestCorpusJobCli:
+    def test_job_writes_sharded_output(self, spark, tmp_path, docs):
+        """The spark-submit CLI runs the chain, partitions output by
+        shard_id, prints a summary, and refuses a finished output
+        without --overwrite."""
+        import json
+
+        from gocrd_spark.jobs import corpus_job
+
+        out = str(tmp_path / "corpus")
+        args = [
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", out,
+            "--budget-tokens", "512",
+            "--rate", "src0=0.0",
+            "--min-quality", "0.2",
+        ]
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert corpus_job.main(args) == 0
+        summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert 0 < summary["kept_docs"] < summary["input_docs"]
+        assert summary["shards"] > 1
+
+        back = spark.read.parquet(out)
+        assert back.count() == summary["kept_docs"]
+        assert "shard_id" in back.columns
+        assert {r.source for r in back.select("source").distinct().collect()}.isdisjoint({"src0"})
+
+        with pytest.raises(SystemExit):
+            corpus_job.main(args)  # refuses without --overwrite
