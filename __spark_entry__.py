@@ -685,6 +685,24 @@ def _q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level media dedup over a deterministic dup-planted payload
+    corpus (the driver media table has no duplicate payloads, so the
+    query constructs groups of ~2.5 docs sharing bytes). Spark groups
+    by md5 of the BINARY payload; the oracle groups by the payload
+    value itself — independent keys, same decision."""
+    from gocrd_spark.operators.multimodal import media_dedup
+
+    payload = F.encode(
+        F.concat(F.lit("payload-"), (F.col("doc_id") % 200).cast("string")),
+        "utf-8",
+    )
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), payload.alias("payload")
+    )
+    return media_dedup(media)
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gocrd_spark.operators.multimodal import extract_features
 
@@ -764,7 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "segment_order_stats": _q_segment_stats,
         "order_priority": _q_order_priority,
-        # multimodal plumbing (stubbed decode, deterministic fake)
+        # multimodal plumbing (stubbed decode, deterministic fake) +
+        # byte-tier media dedup (no decode involved — pure JVM)
+        "media_dedup": _q_media_dedup,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
         "video_frame_sample": _q_frame_sample,
@@ -1589,6 +1609,17 @@ def _multimodal_oracles() -> dict[str, str]:
             f"CAST(floor(CAST({s} AS DOUBLE)/16.0) AS BIGINT) AS {name}"
         )
     return {
+        # byte-tier media dedup: oracle groups by the payload VALUE,
+        # Spark by md5 of the binary — independent keys, same decision
+        "media_dedup": """
+            WITH m AS (
+              SELECT doc_id AS id, 'payload-' || (doc_id % 200) AS p
+              FROM documents),
+            w AS (SELECT p, min(id) AS win, count(*) AS n_copies
+                  FROM m GROUP BY p)
+            SELECT m.id, CAST(m.id = w.win AS BIGINT) AS keep, w.n_copies
+            FROM m JOIN w USING (p)
+        """,
         "multimodal_features": f"""
             WITH m AS (SELECT id, kind, sha256(CAST(payload AS VARCHAR)) AS h
                        FROM read_parquet('{path}'))

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 FEATURE_DIM = 16
 
@@ -234,3 +235,30 @@ def ensure_media_parquet(n: int, seed: int = 42) -> str:
         pq.write_table(table, tmp, compression="zstd")
         os.replace(tmp, path)
     return path
+
+
+def media_dedup(
+    media: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact media dedup by payload BYTES — the crawl-side image/audio
+    dedup that needs no decoding at all (and therefore no stub): the
+    same JPEG fetched from two URLs is byte-identical far more often
+    than pixel-identical, so the byte tier runs first and is pure JVM.
+
+    Keep = lowest id per md5(payload); every row labeled
+    (id, keep 0/1, n_copies). Shuffles only (16-byte md5, id) — payload
+    bytes never ride the exchange (the decision joins back by id).
+    """
+    ids = F.col(id_col)
+    hashed = media.select(ids.alias("_id"), F.md5(F.col(payload_col)).alias("_h"))
+    winners = hashed.groupBy("_h").agg(
+        F.min("_id").alias("_win"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        hashed.join(winners, "_h")
+        .select(
+            F.col("_id").alias(id_col),
+            (F.col("_id") == F.col("_win")).cast("long").alias("keep"),
+            "n_copies",
+        )
+    )

@@ -906,6 +906,29 @@ class TestPackShards:
             assert got == naive, f"bucket_size={bucket_size}"
 
 
+class TestMediaDedup:
+    def test_byte_identity_groups(self, spark):
+        """Same BYTES -> one keeper (lowest id), regardless of any other
+        column; distinct bytes (even one bit off) stay separate."""
+        from gocrd_spark.operators.multimodal import media_dedup
+
+        rows = [
+            (0, "img", b"\x89PNG\x0d\x0a\x1a\x0a payload"),
+            (1, "img", b"\x89PNG\x0d\x0a\x1a\x0a payload"),   # dup of 0
+            (2, "aud", b"\x89PNG\x0d\x0a\x1a\x0a payload"),   # dup of 0, other kind
+            (3, "img", b"\x89PNG\x0d\x0a\x1a\x0a payloaX"),   # one byte off
+            (4, "vid", b""),                                   # empty payload
+            (5, "vid", b""),                                   # dup empty
+        ]
+        df = spark.createDataFrame(rows, "id long, kind string, payload binary")
+        got = {r.id: (r.keep, r.n_copies) for r in media_dedup(df).collect()}
+        assert got == {
+            0: (1, 3), 1: (0, 3), 2: (0, 3),
+            3: (1, 1),
+            4: (1, 2), 5: (0, 2),
+        }
+
+
 class TestMultimodal:
     def test_decode_stub_raises_without_fake(self):
         from gocrd_spark.operators.multimodal import decode_image
