@@ -1,0 +1,181 @@
+"""WARC container support — the Common-Crawl file format the north
+star's page table is materialized FROM (ISO 28500: records of
+``WARC/1.0\\r\\n`` header blocks + Content-Length-delimited payloads).
+From-scratch reader/writer over the public spec; no external libs.
+
+Reader scope (documented like pdfparse's):
+
+- WARC/1.0 and WARC/1.1 records; header keys case-insensitive;
+  payload length strictly from ``Content-Length`` (the spec's rule —
+  payloads are binary and may contain anything, including fake record
+  headers, so scanning for separators would be wrong);
+- plain files AND gzip members (Common Crawl stores one gzip member
+  per record; multi-member streams are decoded member-by-member);
+- ``response`` records carrying an HTTP envelope have the envelope
+  stripped (split at the first CRLFCRLF) when extracting page bytes;
+- malformed records (bad length, truncated payload, missing version
+  line) raise ValueError with offsets — the Spark surface converts
+  these to error rows per the kernel's error-row contract.
+
+Spark surface: ``warc_to_pages`` maps (warc_id, warc binary) rows to
+the input_hint page shape (url, warc_ts, html) via ``mapInPandas`` —
+one WARC file per input row, the Common-Crawl shard unit (~1 GB): at
+crawl scale the files table is a binary-file listing and the parse is
+a pure narrow map, so the plan is Scan -> MapInPandas exactly like the
+extraction flagship; downstream feeds ``pipeline.extract_pages``
+unchanged (pytest runs WARC -> pages -> kernel -> kant golden sha).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+_CRLF = b"\r\n"
+_MAX_HEADER_BYTES = 64 * 1024  # a header block beyond this is hostile
+
+
+def _gunzip_members(data: bytes, max_bytes: int = 1 << 31) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream; cap output."""
+    out = []
+    total = 0
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        chunk = d.decompress(rest, max_bytes - total)
+        if not d.eof and d.unconsumed_tail:
+            raise ValueError("gzip stream exceeds size cap")
+        out.append(chunk)
+        total += len(chunk)
+        if not d.eof:
+            break  # truncated final member: let record parsing report it
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse WARC bytes (plain or gzip) into records:
+    ``{"headers": {lower-name: value}, "payload": bytes}``."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(_CRLF + _CRLF, pos, pos + _MAX_HEADER_BYTES)
+        if head_end < 0:
+            raise ValueError(f"no header terminator after offset {pos}")
+        lines = data[pos:head_end].split(_CRLF)
+        version = lines[0]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(f"bad version line at offset {pos}: {version[:40]!r}")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            name, sep, value = line.partition(b":")
+            if not sep:
+                raise ValueError(f"malformed header line: {line[:80]!r}")
+            headers[name.strip().decode("ascii", "replace").lower()] = (
+                value.strip().decode("utf-8", "replace")
+            )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"missing/bad Content-Length at offset {pos}") from None
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            raise ValueError(
+                f"truncated payload: need {length} bytes at {body_start}, have {n - body_start}"
+            )
+        records.append({"headers": headers, "payload": data[body_start:body_end]})
+        pos = body_end
+    return records
+
+
+def http_body(payload: bytes) -> bytes:
+    """Strip the HTTP response envelope of a ``response`` record
+    (everything through the first CRLFCRLF); payloads without an
+    envelope pass through unchanged."""
+    if payload[:5] in (b"HTTP/",):
+        split = payload.find(_CRLF + _CRLF)
+        if split >= 0:
+            return payload[split + 4 :]
+    return payload
+
+
+def write_warc(records: list[dict], gzip_members: bool = False) -> bytes:
+    """Serialize records (headers dict + payload bytes) to WARC bytes;
+    ``gzip_members=True`` emits one gzip member per record (the
+    Common-Crawl layout). Content-Length is derived, never trusted."""
+    out = []
+    for rec in records:
+        head = [b"WARC/1.0"]
+        for name, value in rec["headers"].items():
+            if name.lower() == "content-length":
+                continue
+            head.append(f"{name}: {value}".encode())
+        head.append(f"Content-Length: {len(rec['payload'])}".encode())
+        raw = (
+            _CRLF.join(head) + _CRLF + _CRLF + rec["payload"] + _CRLF + _CRLF
+        )
+        if gzip_members:
+            c = zlib.compressobj(6, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+            raw = c.compress(raw) + c.flush()
+        out.append(raw)
+    return b"".join(out)
+
+
+PAGES_FROM_WARC_SCHEMA = "url string, warc_ts timestamp, html binary, error string"
+
+
+def warc_to_pages(warcs):
+    """Spark surface: (warc_id long, warc binary) rows -> the
+    input_hint page shape (url, warc_ts, html, error). ``response``
+    records become pages (HTTP envelope stripped); other record types
+    (warcinfo, request, metadata) are skipped; a malformed FILE yields
+    ONE error row carrying the parse error (the error-row contract —
+    one bad shard never fails the job)."""
+    import pandas as pd
+
+    def _naive_utc(s: str) -> "pd.Timestamp":
+        ts = pd.Timestamp(s or "1970-01-01T00:00:00Z")
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                try:
+                    for rec in parse_warc(bytes(r["warc"])):
+                        h = rec["headers"]
+                        if h.get("warc-type") != "response":
+                            continue
+                        rows.append(
+                            {
+                                "url": h.get("warc-target-uri", ""),
+                                "warc_ts": _naive_utc(h.get("warc-date", "")),
+                                "html": http_body(rec["payload"]),
+                                "error": None,
+                            }
+                        )
+                except ValueError as exc:
+                    rows.append(
+                        {
+                            "url": f"warc:{r['warc_id']}",
+                            "warc_ts": pd.Timestamp("1970-01-01"),
+                            "html": None,
+                            "error": f"warc parse error: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "error"]
+            )
+
+    return warcs.mapInPandas(gen, PAGES_FROM_WARC_SCHEMA)

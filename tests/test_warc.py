@@ -1,0 +1,161 @@
+"""WARC container source: spec-derived byte fixture (independent of the
+writer), writer/reader roundtrip in both layouts, hostile-input bounds,
+and the full WARC -> pages -> extraction-kernel chain ending at the
+pinned kant golden sha."""
+
+import hashlib
+
+import pytest
+
+# hand-written per ISO 28500 — NOT produced by write_warc, so reader
+# bugs cannot be masked by matching writer bugs
+_SPEC_FIXTURE = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: warcinfo\r\n"
+    b"WARC-Record-ID: <urn:uuid:0>\r\n"
+    b"Content-Length: 9\r\n"
+    b"\r\n"
+    b"info body"
+    b"\r\n\r\n"
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Target-URI: http://example.com/a\r\n"
+    b"WARC-Date: 2026-03-01T12:30:00Z\r\n"
+    b"Content-Length: 72\r\n"
+    b"\r\n"
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    b"<html><body>hi</body></html>"
+    b"\r\n\r\n"
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Target-URI: http://example.com/raw\r\n"
+    b"WARC-Date: 2026-03-02T00:00:00Z\r\n"
+    b"Content-Length: 11\r\n"
+    b"\r\n"
+    b"<raw bytes>"
+    b"\r\n\r\n"
+)
+
+
+class TestWarcParser:
+    def test_spec_fixture(self):
+        from gocrd_spark.warc import http_body, parse_warc
+
+        recs = parse_warc(_SPEC_FIXTURE)
+        assert [r["headers"]["warc-type"] for r in recs] == [
+            "warcinfo", "response", "response",
+        ]
+        assert recs[0]["payload"] == b"info body"
+        # HTTP envelope stripped; payload may contain \r\n\r\n safely
+        assert http_body(recs[1]["payload"]) == b"<html><body>hi</body></html>"
+        # no-envelope payload passes through
+        assert http_body(recs[2]["payload"]) == b"<raw bytes>"
+        assert recs[1]["headers"]["warc-target-uri"] == "http://example.com/a"
+
+    def test_payload_may_contain_fake_record_header(self):
+        """Content-Length delimits the payload — a payload containing
+        the bytes 'WARC/1.0' must NOT start a new record."""
+        from gocrd_spark.warc import parse_warc, write_warc
+
+        evil = b"xx\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\nyy"
+        data = write_warc(
+            [{"headers": {"WARC-Type": "response"}, "payload": evil}]
+        )
+        recs = parse_warc(data)
+        assert len(recs) == 1 and recs[0]["payload"] == evil
+
+    def test_roundtrip_plain_and_gzip(self):
+        from gocrd_spark.warc import parse_warc, write_warc
+
+        records = [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": f"http://h/{i}",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                },
+                "payload": bytes([i]) * (i * 13 % 257),
+            }
+            for i in range(1, 30)
+        ]
+        for gz in (False, True):
+            back = parse_warc(write_warc(records, gzip_members=gz))
+            assert [r["payload"] for r in back] == [r["payload"] for r in records]
+            assert [r["headers"]["warc-target-uri"] for r in back] == [
+                f"http://h/{i}" for i in range(1, 30)
+            ]
+
+    def test_hostile_inputs_raise(self):
+        from gocrd_spark.warc import parse_warc
+
+        with pytest.raises(ValueError, match="bad version"):
+            parse_warc(b"NOTWARC\r\nContent-Length: 0\r\n\r\n")
+        with pytest.raises(ValueError, match="truncated payload"):
+            parse_warc(b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort")
+        with pytest.raises(ValueError, match="missing/bad Content-Length"):
+            parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")
+        with pytest.raises(ValueError, match="no header terminator"):
+            parse_warc(b"WARC/1.0\r\nX: " + b"y" * 70_000)
+
+
+class TestWarcSparkSurface:
+    def test_warc_to_pages_to_kernel_golden(self, spark, tmp_path):
+        """The full source chain: synthesize a WARC shard holding the
+        kant PAGE-XML fixture + an HTML page, parse it with
+        warc_to_pages, run the extraction pipeline, and land on the
+        pinned byte-identity golden (FIXTURES.md: sha 7bac7349...,
+        1518 chars). A second, corrupt WARC row becomes ONE error row."""
+        from gocrd_spark.pipeline import extract_pages
+        from gocrd_spark.warc import write_warc
+
+        kant = open("tests/fixtures/kant_aufklaerung_1784_0020.xml", "rb").read()
+        shard = write_warc(
+            [
+                {
+                    "headers": {
+                        "WARC-Type": "warcinfo",
+                        "WARC-Record-ID": "<urn:uuid:1>",
+                    },
+                    "payload": b"isPartOf: test-crawl",
+                },
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": "http://crawl.test/kant",
+                        "WARC-Date": "2026-02-01T00:00:00Z",
+                    },
+                    "payload": b"HTTP/1.1 200 OK\r\n\r\n" + kant,
+                },
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": "http://crawl.test/html",
+                        "WARC-Date": "2026-02-01T01:00:00Z",
+                    },
+                    "payload": b"<html><body><p>"
+                    + b"plain web text here " * 10
+                    + b"</p></body></html>",
+                },
+            ],
+            gzip_members=True,
+        )
+        from gocrd_spark.warc import warc_to_pages
+
+        warcs = spark.createDataFrame(
+            [(1, bytearray(shard)), (2, bytearray(b"garbage not warc"))],
+            "warc_id long, warc binary",
+        )
+        pages = warc_to_pages(warcs)
+        rows = {r.url: r for r in pages.collect()}
+        assert rows["warc:2"].error and rows["warc:2"].html is None
+        assert rows["http://crawl.test/kant"].error is None
+
+        ok_pages = pages.filter("error IS NULL").select("url", "warc_ts", "html")
+        out = {r.url: r for r in extract_pages(ok_pages).collect()}
+        kant_text = out["http://crawl.test/kant"].text
+        assert (
+            hashlib.sha256(kant_text.encode()).hexdigest()
+            == "7bac7349cf86baac9834073fbfd7e589efa9d716e28578d6940362a02c7ec065"
+        )
+        assert len(kant_text) == 1518
+        assert "plain web text here" in out["http://crawl.test/html"].text
