@@ -22,7 +22,9 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="gocrd-spark extraction job")
-    parser.add_argument("--input", required=True, help="pages table (parquet dir or Iceberg id)")
+    parser.add_argument("--input", required=True, help="pages table (parquet dir or Iceberg id), or a WARC shard dir with --input-format warc")
+    parser.add_argument("--input-format", default="parquet", choices=["parquet", "warc"],
+                        help="read parquet/Iceberg pages (default) or raw *.warc/*.warc.gz shards")
     parser.add_argument("--output", required=True, help="output dir (data/ + _commits/)")
     parser.add_argument("--n-groups", type=int, default=64, help="commit groups (O(100k) at crawl scale)")
     parser.add_argument("--salt", type=int, default=42, help="url-hash salt")
@@ -54,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
             salt=args.salt,
             ts_start=args.ts_start,
             ts_end=args.ts_end,
+            input_format=args.input_format,
         )
         print(json.dumps(summary))
         return 0

@@ -35,9 +35,41 @@ from .kernel import EXTRACTED_SCHEMA, METS_FILES_SCHEMA, extract_batch, extract_
 from .kernel import group_id, mets_kernel_factory
 
 
-def load_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Source scan. Prefers an Iceberg table identifier (catalog present),
-    falls back to a parquet directory — same 5-column schema either way."""
+def load_pages(
+    spark: SparkSession, path: str, input_format: str = "parquet"
+) -> DataFrame:
+    """Source scan. ``parquet`` (default) prefers an Iceberg table
+    identifier (catalog present) and falls back to a parquet directory —
+    same 5-column schema either way. ``warc`` reads a directory of raw
+    Common-Crawl shards (``*.warc`` / ``*.warc.gz``) with Spark's
+    binaryFile source and parses them into the page shape via
+    :func:`gocrd_spark.warc.warc_to_pages` — one shard per task, a pure
+    narrow map; a malformed shard yields one error page (html empty)
+    that the kernel downstream turns into an error row, never a job
+    failure."""
+    if input_format == "warc":
+        from gocrd_spark.warc import warc_to_pages
+
+        shards = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.warc*")
+            .load(path)
+            .select(
+                F.xxhash64("path").alias("warc_id"),
+                F.col("content").alias("warc"),
+            )
+        )
+        pages = warc_to_pages(shards)
+        # kernel contract: html is non-null bytes; a warc-level error
+        # row keeps its error message in the url-less page and carries
+        # empty bytes so the kernel emits its own deterministic error
+        return pages.select(
+            "url",
+            "warc_ts",
+            F.coalesce("html", F.lit(b"")).alias("html"),
+        )
+    if input_format != "parquet":
+        raise ValueError(f"unknown input_format: {input_format!r}")
     if "://" not in path and not os.path.exists(path) and "." in path:
         try:
             return spark.read.format("iceberg").load(path)
@@ -185,6 +217,7 @@ def run_extract_job(
     ts_start: Optional[str] = None,
     ts_end: Optional[str] = None,
     fail_group: Optional[int] = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Resumable extraction run. Returns a summary dict of counters.
 
@@ -228,7 +261,9 @@ def run_extract_job(
         os.replace(tmp, manifest_path)
 
     done = committed_groups(output_dir)
-    pages = prune_warc_ts(load_pages(spark, input_path), ts_start, ts_end)
+    pages = prune_warc_ts(
+        load_pages(spark, input_path, input_format), ts_start, ts_end
+    )
     df = pages.select("url", "html").withColumn("g", group_id(n_groups, salt))
     if done:
         df = df.filter(~F.col("g").isin(*[int(g) for g in done]))

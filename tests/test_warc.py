@@ -159,3 +159,59 @@ class TestWarcSparkSurface:
         )
         assert len(kant_text) == 1518
         assert "plain web text here" in out["http://crawl.test/html"].text
+
+
+class TestWarcJobPath:
+    def test_resumable_job_over_warc_shards(self, spark, tmp_path):
+        """run_extract_job(input_format='warc'): raw shard dir in,
+        committed extraction out — kant golden sha lands in the output
+        and a rerun resumes (zero groups recomputed)."""
+        from gocrd_spark.pipeline import run_extract_job
+        from gocrd_spark.warc import write_warc
+
+        kant = open("tests/fixtures/kant_aufklaerung_1784_0020.xml", "rb").read()
+        shard_dir = tmp_path / "shards"
+        shard_dir.mkdir()
+        for i in range(3):
+            recs = [
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": f"http://crawl.test/{i}/{j}",
+                        "WARC-Date": "2026-02-01T00:00:00Z",
+                    },
+                    "payload": b"HTTP/1.1 200 OK\r\n\r\n"
+                    + (kant if (i, j) == (0, 0) else b"<html><body>x"
+                       + str(j).encode() * 30 + b"</body></html>"),
+                }
+                for j in range(4)
+            ]
+            (shard_dir / f"part-{i}.warc.gz").write_bytes(
+                write_warc(recs, gzip_members=True)
+            )
+
+        out = str(tmp_path / "out")
+        summary = run_extract_job(
+            spark, str(shard_dir), out, n_groups=8, input_format="warc"
+        )
+        assert summary["input_rows"] == 12
+        n_committed = summary["groups_committed_this_run"]
+        assert 0 < n_committed <= 8  # only non-empty groups commit
+
+        import duckdb
+        import hashlib
+
+        got = duckdb.sql(
+            f"SELECT text FROM read_parquet('{out}/data/*/*.parquet') "
+            "WHERE url = 'http://crawl.test/0/0'"
+        ).fetchone()[0]
+        assert (
+            hashlib.sha256(got.encode()).hexdigest()
+            == "7bac7349cf86baac9834073fbfd7e589efa9d716e28578d6940362a02c7ec065"
+        )
+
+        resumed = run_extract_job(
+            spark, str(shard_dir), out, n_groups=8, input_format="warc"
+        )
+        assert resumed["groups_committed_this_run"] == 0
+        assert resumed["groups_previously_done"] == n_committed
