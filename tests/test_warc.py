@@ -215,3 +215,33 @@ class TestWarcJobPath:
         )
         assert resumed["groups_committed_this_run"] == 0
         assert resumed["groups_previously_done"] == n_committed
+
+
+class TestWarcPlanShape:
+    def test_shard_to_text_is_shuffle_free(self, spark, tmp_path):
+        """Raw shard dir -> extracted text is Scan(binaryFile) ->
+        MapInPandas(warc parse) -> MapInPandas(kernel) with ZERO
+        exchanges — each shard flows through one task end to end, the
+        plan you want when the shard listing IS the parallelism."""
+        from gocrd_spark.pipeline import extract_pages, load_pages
+        from gocrd_spark.warc import write_warc
+
+        (tmp_path / "a.warc").write_bytes(
+            write_warc(
+                [
+                    {
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": "http://x/1",
+                            "WARC-Date": "2026-01-01T00:00:00Z",
+                        },
+                        "payload": b"<html><body>hello world text</body></html>",
+                    }
+                ]
+            )
+        )
+        df = extract_pages(load_pages(spark, str(tmp_path), "warc"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "binaryFile" in plan
+        assert plan.count("MapInPandas") == 2
+        assert "Exchange" not in plan
