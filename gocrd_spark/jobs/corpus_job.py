@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--seed", default="mix1", help="sampling seed (new seed = new mix)")
     parser.add_argument("--budget-tokens", type=int, default=2048)
     parser.add_argument("--min-quality", type=float, default=0.3)
+    parser.add_argument("--out-format", default="parquet", choices=["parquet", "jsonl"],
+                        help="parquet (default) or gzip JSONL shards (the "
+                             "training-data interchange format)")
     parser.add_argument("--overwrite", action="store_true")
     parser.add_argument("--master", default=None, help="override spark master")
     args = parser.parse_args(argv)
@@ -74,10 +77,15 @@ def main(argv: list[str] | None = None) -> int:
             budget_tokens=args.budget_tokens,
             min_quality=args.min_quality,
         )
-        out.write.mode("overwrite" if args.overwrite else "errorifexists").partitionBy(
-            "shard_id"
-        ).parquet(args.output)
-        written = spark.read.parquet(args.output)
+        writer = out.write.mode(
+            "overwrite" if args.overwrite else "errorifexists"
+        ).partitionBy("shard_id")
+        if args.out_format == "jsonl":
+            writer.option("compression", "gzip").json(args.output)
+            written = spark.read.json(args.output)
+        else:
+            writer.parquet(args.output)
+            written = spark.read.parquet(args.output)
         stats = written.agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tokens").alias("tokens"),

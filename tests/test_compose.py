@@ -107,3 +107,24 @@ class TestCorpusJobCli:
 
         with pytest.raises(SystemExit):
             corpus_job.main(args)  # refuses without --overwrite
+
+    def test_jsonl_output_format(self, spark, tmp_path):
+        """--out-format jsonl writes gzip JSONL shards (the
+        training-data interchange) a loader can read back."""
+        import glob
+        import gzip
+        import json
+
+        from gocrd_spark.jobs import corpus_job
+
+        out = str(tmp_path / "jsonl")
+        assert corpus_job.main([
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", out,
+            "--budget-tokens", "512",
+            "--out-format", "jsonl",
+        ]) == 0
+        files = glob.glob(f"{out}/shard_id=*/part-*.json.gz")
+        assert files
+        row = json.loads(gzip.open(files[0], "rt").readline())
+        assert {"doc_id", "source", "text", "n_tokens"} <= set(row)
