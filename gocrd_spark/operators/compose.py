@@ -39,6 +39,7 @@ def training_corpus(
     Returns the training-ready corpus:
     (doc_id, source, text, n_tokens, shard_id)."""
     from gocrd_spark.operators.dedup import (
+        choose_bands,
         dedup_clusters,
         exact_dedup,
         minhash_lsh,
@@ -54,8 +55,17 @@ def training_corpus(
     exact_keep = exact_dedup(docs).select("doc_id")
     stage1 = docs.join(exact_keep, "doc_id", "left_semi")
 
-    # 2. near-dup clusters -> keep the canonical of each cluster
-    pairs = minhash_lsh(stage1, threshold=jaccard_threshold)
+    # 2. near-dup clusters -> keep the canonical of each cluster.
+    # Banding DERIVED from the threshold (choose_bands) — the default
+    # 8x4 banding recalls only ~40% of pairs at j=0.5, the exact
+    # silent-miss class the borderline-recall gate exists for.
+    num_hashes = 32
+    pairs = minhash_lsh(
+        stage1,
+        threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        bands=choose_bands(num_hashes, jaccard_threshold),
+    )
     keep2 = dedup_clusters(stage1, pairs).filter(F.col("keep") == 1).select("doc_id")
     stage2 = stage1.join(keep2, "doc_id", "left_semi")
 
