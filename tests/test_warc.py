@@ -245,3 +245,45 @@ class TestWarcPlanShape:
         assert "binaryFile" in plan
         assert plan.count("MapInPandas") == 2
         assert "Exchange" not in plan
+
+
+class TestWarcProperties:
+    """Hypothesis roundtrip: ANY payload bytes (including CRLFs, fake
+    'WARC/1.0' headers, gzip magic) and ANY header values survive
+    write->parse in both layouts."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _headers = st.dictionaries(
+        st.sampled_from(
+            ["WARC-Type", "WARC-Target-URI", "WARC-Record-ID", "X-Custom"]
+        ),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FF
+            ),
+            max_size=40,
+        ).map(str.strip),
+        min_size=1,
+        max_size=4,
+    )
+    _records = st.lists(
+        st.fixed_dictionaries(
+            {"headers": _headers, "payload": st.binary(max_size=300)}
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @given(records=_records, gz=st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_identity(self, records, gz):
+        from gocrd_spark.warc import parse_warc, write_warc
+
+        back = parse_warc(write_warc(records, gzip_members=gz))
+        assert len(back) == len(records)
+        for orig, got in zip(records, back):
+            assert got["payload"] == orig["payload"]
+            for name, value in orig["headers"].items():
+                assert got["headers"][name.lower()] == value
