@@ -97,15 +97,53 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked body (hex-size CRLF chunk CRLF ...,
+    terminated by a 0-size chunk). Raises ValueError on malformation."""
+    out = []
+    pos = 0
+    while True:
+        line_end = body.find(_CRLF, pos)
+        if line_end < 0:
+            raise ValueError("chunked body: missing size line")
+        size_token = body[pos:line_end].split(b";", 1)[0].strip()
+        size = int(size_token, 16)  # ValueError on junk
+        pos = line_end + 2
+        if size == 0:
+            return b"".join(out)
+        if pos + size > len(body):
+            raise ValueError("chunked body: truncated chunk")
+        out.append(body[pos : pos + size])
+        pos += size + 2  # skip trailing CRLF
+
+
 def http_body(payload: bytes) -> bytes:
-    """Strip the HTTP response envelope of a ``response`` record
-    (everything through the first CRLFCRLF); payloads without an
-    envelope pass through unchanged."""
-    if payload[:5] in (b"HTTP/",):
-        split = payload.find(_CRLF + _CRLF)
-        if split >= 0:
-            return payload[split + 4 :]
-    return payload
+    """Extract the document bytes of a ``response`` record: strip the
+    HTTP envelope (through the first CRLFCRLF), then undo the two
+    transfer encodings real crawl responses carry — ``Transfer-
+    Encoding: chunked`` (dechunked) and ``Content-Encoding: gzip``
+    (decompressed). Decoding is TOLERANT: a malformed chunk stream or
+    gzip body falls back to the raw bytes (a mangled page should
+    degrade to a kernel error row, never fail the shard). Payloads
+    without an envelope pass through unchanged."""
+    if payload[:5] != b"HTTP/":
+        return payload
+    split = payload.find(_CRLF + _CRLF)
+    if split < 0:
+        return payload
+    envelope = payload[:split].lower()
+    body = payload[split + 4 :]
+    if b"transfer-encoding:" in envelope and b"chunked" in envelope:
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            return body
+    if b"content-encoding:" in envelope and b"gzip" in envelope:
+        try:
+            body = _gunzip_members(body)
+        except Exception:
+            pass
+    return body
 
 
 def write_warc(records: list[dict], gzip_members: bool = False) -> bytes:

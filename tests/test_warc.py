@@ -287,3 +287,47 @@ class TestWarcProperties:
             assert got["payload"] == orig["payload"]
             for name, value in orig["headers"].items():
                 assert got["headers"][name.lower()] == value
+
+
+class TestHttpTransferEncodings:
+    def test_chunked_and_gzip_bodies(self):
+        """The two encodings real crawl responses carry: chunked bodies
+        reassemble; gzip bodies (with and without chunking on top)
+        decompress; malformed chunk streams fall back to raw bytes."""
+        import zlib
+
+        from gocrd_spark.warc import http_body
+
+        doc = b"<html><body>chunked page content</body></html>"
+        chunked = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + b"a\r\n" + doc[:10] + b"\r\n"
+            + hex(len(doc) - 10)[2:].encode() + b"\r\n" + doc[10:] + b"\r\n"
+            + b"0\r\n\r\n"
+        )
+        assert http_body(chunked) == doc
+
+        c = zlib.compressobj(6, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+        gz = c.compress(doc) + c.flush()
+        gzipped = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz
+        )
+        assert http_body(gzipped) == doc
+
+        both = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: gzip\r\n\r\n"
+            + hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+        )
+        assert http_body(both) == doc
+
+        # tolerant: junk chunk size -> raw bytes back, no exception
+        bad = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx"
+        assert http_body(bad) == b"zz\r\nx"
+
+        # chunk-extension after the size is legal
+        ext = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5;name=v\r\nhello\r\n0\r\n\r\n"
+        )
+        assert http_body(ext) == b"hello"
