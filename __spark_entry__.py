@@ -405,10 +405,12 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring spans (Lee et al. 2022 shape): every
-    13-token window, duplicated-anywhere hashes, per-doc maximal span
-    merge. Spark: xxhash64 keys + lag/cumsum islands; oracle: window
-    STRING keys + row_number-difference islands — independent keys AND
-    an independent islands algorithm."""
+    13-token window, duplicated-anywhere hashes, per-doc maximal
+    coverage-merged spans (positions chain while gap <= n, so spans
+    never overlap in token space). Spark: xxhash64 keys + lag/cumsum
+    islands; oracle: window STRING keys + NOT-EXISTS island starts
+    with start-counting — independent keys AND an independent islands
+    algorithm."""
     from gocrd_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(_docs(spark, sf_dir), n=13)
@@ -1246,8 +1248,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN canon c USING (doc_id)
         """,
         # repeated-substring spans: window-STRING keys (vs xxhash64) and
-        # row_number-difference islands (vs lag+cumsum) — both sides of
-        # the algorithm independent
+        # set-based NOT-EXISTS island starts + start-counting (vs
+        # lag+cumsum) — both sides of the algorithm independent.
+        # Coverage-based merge: positions chain while gap <= n (=13)
         "duplicate_spans": """
             WITH toks AS (
               SELECT doc_id,
@@ -1266,10 +1269,16 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, pos,
                            count(*) OVER (PARTITION BY win) AS c FROM w)
               WHERE c > 1),
+            starts AS (
+              SELECT doc_id, pos FROM dups d
+              WHERE NOT EXISTS (SELECT 1 FROM dups e
+                                WHERE e.doc_id = d.doc_id
+                                  AND e.pos BETWEEN d.pos - 13 AND d.pos - 1)),
             isl AS (
-              SELECT doc_id, pos,
-                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-              FROM dups)
+              SELECT d.doc_id, d.pos,
+                     (SELECT count(*) FROM starts s
+                      WHERE s.doc_id = d.doc_id AND s.pos <= d.pos) AS grp
+              FROM dups d)
             SELECT doc_id,
                    min(pos)::BIGINT AS span_start,
                    (max(pos) + 12)::BIGINT AS span_end,

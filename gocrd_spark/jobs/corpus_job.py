@@ -82,11 +82,12 @@ def main(argv: list[str] | None = None) -> int:
         ).partitionBy("shard_id")
         if args.out_format == "jsonl":
             writer.option("compression", "gzip").json(args.output)
-            written = spark.read.json(args.output)
         else:
             writer.parquet(args.output)
-            written = spark.read.parquet(args.output)
-        stats = written.agg(
+        # stats from the (deterministic) chain itself, not a read-back:
+        # an all-filtered run writes only _SUCCESS and an empty
+        # partitioned dir cannot infer a schema on read
+        stats = out.agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tokens").alias("tokens"),
             F.countDistinct("shard_id").alias("shards"),

@@ -58,13 +58,25 @@ def training_corpus(
     # 2. near-dup clusters -> keep the canonical of each cluster.
     # Banding DERIVED from the threshold (choose_bands) — the default
     # 8x4 banding recalls only ~40% of pairs at j=0.5, the exact
-    # silent-miss class the borderline-recall gate exists for.
-    num_hashes = 32
+    # silent-miss class the borderline-recall gate exists for. 64
+    # hashes so the threshold can be met with multi-row bands: at 32,
+    # choose_bands(0.5) falls back to 1-row bands (any shared MinHash
+    # value = candidate, ~all pairs at corpus scale); at 64 it returns
+    # 32 two-row bands (recall 0.9999 at j=0.5, candidate probability
+    # 1-(1-j²)^32 — e.g. 27% at j=0.1, not 97%).
+    num_hashes = 64
+    bands = choose_bands(num_hashes, jaccard_threshold)
+    if bands == num_hashes:
+        raise ValueError(
+            f"threshold {jaccard_threshold} needs 1-row bands even at "
+            f"{num_hashes} hashes (near-quadratic candidates at scale); "
+            "raise the threshold or extend num_hashes here"
+        )
     pairs = minhash_lsh(
         stage1,
         threshold=jaccard_threshold,
         num_hashes=num_hashes,
-        bands=choose_bands(num_hashes, jaccard_threshold),
+        bands=bands,
     )
     keep2 = dedup_clusters(stage1, pairs).filter(F.col("keep") == 1).select("doc_id")
     stage2 = stage1.join(keep2, "doc_id", "left_semi")

@@ -636,7 +636,9 @@ def simhash_signatures(
     params = {"n": n, "max_hamming": max_hamming, "version": 1}
     marker = os.path.join(path, "_SUCCESS")
     sidecar = os.path.join(path, "_PARAMS.json")
-    if os.path.exists(marker):
+    # sidecar written LAST: marker-without-sidecar = crash between the
+    # parquet commit and the params pin -> rebuild, don't die forever
+    if os.path.exists(marker) and os.path.exists(sidecar):
         with open(sidecar) as fh:
             existing = json.load(fh)
         if existing != params:
@@ -828,9 +830,11 @@ def duplicate_spans(docs: DataFrame, n: int = 13) -> DataFrame:
     their suffix array: hash EVERY n-token window (stride 1, NOT the
     distinct shingle set), find window hashes occurring more than once
     in the whole corpus (cross- or intra-document), and merge each
-    document's duplicated window positions into maximal token spans
-    (consecutive positions chain; a window at pos covers tokens
-    [pos, pos+n-1], so spans end at last_pos + n - 1).
+    document's duplicated window positions into maximal token spans: a
+    window at pos covers tokens [pos, pos+n-1], so two duplicated
+    windows chain whenever their coverage overlaps or abuts (position
+    gap <= n) — emitted spans never overlap in token space, and spans
+    end at last_pos + n - 1.
 
     Returns one row per maximal duplicated span:
     (doc_id, span_start, span_end, n_windows) — token offsets,
@@ -866,11 +870,14 @@ def duplicate_spans(docs: DataFrame, n: int = 13) -> DataFrame:
         .select("h")
     )
     dup_pos = occ.join(dup_h, "h", "left_semi")
-    # gaps-and-islands per doc: consecutive duplicated positions chain
+    # gaps-and-islands per doc: duplicated positions chain while their
+    # n-token coverages overlap/abut (gap <= n); the lag default makes
+    # the first position always start an island
     wd = Window.partitionBy("doc_id").orderBy("pos")
     islands = (
         dup_pos.withColumn(
-            "_new", (F.col("pos") - F.lag("pos", 1, -2).over(wd) > 1).cast("int")
+            "_new",
+            (F.col("pos") - F.lag("pos", 1, -(n + 1)).over(wd) > n).cast("int"),
         )
         .withColumn("_island", F.sum("_new").over(wd))
     )
@@ -947,7 +954,8 @@ def minhash_signatures(
     params = {"n": n, "num_hashes": num_hashes, "bands": bands, "version": 1}
     marker = os.path.join(path, "_SUCCESS")
     sidecar = os.path.join(path, "_PARAMS.json")
-    if os.path.exists(marker):
+    # sidecar written LAST: marker-without-sidecar = crashed build -> rebuild
+    if os.path.exists(marker) and os.path.exists(sidecar):
         with open(sidecar) as fh:
             existing = json.load(fh)
         if existing != params:

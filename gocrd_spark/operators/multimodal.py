@@ -246,19 +246,26 @@ def media_dedup(
     than pixel-identical, so the byte tier runs first and is pure JVM.
 
     Keep = lowest id per md5(payload); every row labeled
-    (id, keep 0/1, n_copies). Shuffles only (16-byte md5, id) — payload
-    bytes never ride the exchange (the decision joins back by id).
+    (id, keep 0/1, n_copies). Rows with a NULL payload (failed fetch)
+    are each their own group (keep=1, n_copies=1) — md5(NULL) is NULL
+    and a null-unsafe join would silently drop them otherwise (the
+    same NULL-key rule urls.url_dedup applies). Shuffles only
+    (16-byte md5, id) — payload bytes never ride the exchange.
     """
     ids = F.col(id_col)
     hashed = media.select(ids.alias("_id"), F.md5(F.col(payload_col)).alias("_h"))
-    winners = hashed.groupBy("_h").agg(
-        F.min("_id").alias("_win"), F.count(F.lit(1)).alias("n_copies")
+    winners = (
+        hashed.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min("_id").alias("_win"), F.count(F.lit(1)).alias("_n"))
     )
     return (
-        hashed.join(winners, "_h")
+        hashed.join(winners, "_h", "left")
         .select(
             F.col("_id").alias(id_col),
-            (F.col("_id") == F.col("_win")).cast("long").alias("keep"),
-            "n_copies",
+            (F.col("_h").isNull() | (F.col("_id") == F.col("_win")))
+            .cast("long")
+            .alias("keep"),
+            F.coalesce("_n", F.lit(1)).cast("long").alias("n_copies"),
         )
     )

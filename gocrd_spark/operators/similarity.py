@@ -453,7 +453,11 @@ def ivf_index(
     params = {"n_cells": n_cells, "n_iters": n_iters, "version": 1}
     marker = os.path.join(path, "corpus", "_SUCCESS")
     sidecar = os.path.join(path, "_PARAMS.json")
-    if os.path.exists(marker):
+    # the sidecar is written LAST, so marker-without-sidecar means a
+    # crash between the parquet commit and the params pin: rebuild
+    # (mode=overwrite clears the partial state) instead of dying on a
+    # missing file forever
+    if os.path.exists(marker) and os.path.exists(sidecar):
         with open(sidecar) as fh:
             existing = json.load(fh)
         if existing != params:

@@ -60,13 +60,17 @@ def load_pages(
             )
         )
         pages = warc_to_pages(shards)
-        # kernel contract: html is non-null bytes; a warc-level error
-        # row keeps its error message in the url-less page and carries
-        # empty bytes so the kernel emits its own deterministic error
+        # kernel contract: html is non-null bytes, so a warc-level
+        # error row carries empty bytes (the kernel then emits its own
+        # deterministic error row for it); the shard's parse
+        # diagnostic survives in the extra `warc_error` column for
+        # callers that read pages directly — downstream selects that
+        # only take (url, html) simply drop it
         return pages.select(
             "url",
             "warc_ts",
             F.coalesce("html", F.lit(b"")).alias("html"),
+            F.col("error").alias("warc_error"),
         )
     if input_format != "parquet":
         raise ValueError(f"unknown input_format: {input_format!r}")

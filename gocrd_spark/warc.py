@@ -42,7 +42,12 @@ def _gunzip_members(data: bytes, max_bytes: int = 1 << 31) -> bytes:
     rest = data
     while rest:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        chunk = d.decompress(rest, max_bytes - total)
+        try:
+            chunk = d.decompress(rest, max_bytes - total)
+        except zlib.error as exc:
+            # corrupt member: surface as the module's error class so a
+            # bad shard becomes ONE error row, never a task failure
+            raise ValueError(f"corrupt gzip member: {exc}") from None
         if not d.eof and d.unconsumed_tail:
             raise ValueError("gzip stream exceeds size cap")
         out.append(chunk)
@@ -108,6 +113,10 @@ def _dechunk(body: bytes) -> bytes:
             raise ValueError("chunked body: missing size line")
         size_token = body[pos:line_end].split(b";", 1)[0].strip()
         size = int(size_token, 16)  # ValueError on junk
+        if size < 0:
+            # int(b'-2', 16) parses; a negative size would stall the
+            # position cursor and spin this loop forever
+            raise ValueError("chunked body: negative chunk size")
         pos = line_end + 2
         if size == 0:
             return b"".join(out)

@@ -282,6 +282,31 @@ class TestDuplicateSpans:
             (2, 0, 9, 7),
         }
 
+    def test_overlapping_coverage_merges(self, spark):
+        """Duplicated windows whose n-token coverages overlap merge into
+        ONE span even when the positions are not consecutive (doc 0 has
+        dup windows at pos 0 and 2 with pos 1 unique — the pre-fix rule
+        emitted the overlapping spans [0,3] and [2,5])."""
+        from gocrd_spark.operators.dedup import duplicate_spans
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d e f"),   # w0 'a b c d' dup w/ doc1; w2 'c d e f' dup w/ doc2
+                (1, "x a b c d"),
+                (2, "c d e f y"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in duplicate_spans(docs, n=4).collect()
+        }
+        assert got == {
+            (0, 0, 5, 2),   # one merged non-overlapping span
+            (1, 1, 4, 1),
+            (2, 0, 3, 1),
+        }
+
 
 class TestRemoveDuplicateSpans:
     def test_cut_and_passthrough(self, spark):
@@ -919,6 +944,8 @@ class TestMediaDedup:
             (3, "img", b"\x89PNG\x0d\x0a\x1a\x0a payloaX"),   # one byte off
             (4, "vid", b""),                                   # empty payload
             (5, "vid", b""),                                   # dup empty
+            (6, "img", None),                                  # failed fetch
+            (7, "img", None),                                  # NULLs never group
         ]
         df = spark.createDataFrame(rows, "id long, kind string, payload binary")
         got = {r.id: (r.keep, r.n_copies) for r in media_dedup(df).collect()}
@@ -926,6 +953,7 @@ class TestMediaDedup:
             0: (1, 3), 1: (0, 3), 2: (0, 3),
             3: (1, 1),
             4: (1, 2), 5: (0, 2),
+            6: (1, 1), 7: (1, 1),   # each NULL its own group, kept
         }
 
 

@@ -96,6 +96,23 @@ class TestWarcParser:
             parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")
         with pytest.raises(ValueError, match="no header terminator"):
             parse_warc(b"WARC/1.0\r\nX: " + b"y" * 70_000)
+        # corrupt gzip member must be the module's error class so a bad
+        # shard becomes one error row, not a task failure (zlib.error
+        # would escape warc_to_pages' except ValueError)
+        with pytest.raises(ValueError, match="corrupt gzip"):
+            parse_warc(b"\x1f\x8b\x08\x00" + b"\xff" * 32)
+
+    def test_negative_chunk_size_terminates(self):
+        """int(b'-2', 16) parses — a negative chunked size must raise
+        (tolerant fallback to raw bytes), never stall the cursor and
+        spin the decode loop forever."""
+        from gocrd_spark.warc import http_body
+
+        bad = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"-2\r\nxx\r\n0\r\n\r\n"
+        )
+        assert http_body(bad) == b"-2\r\nxx\r\n0\r\n\r\n"
 
 
 class TestWarcSparkSurface:
