@@ -1581,21 +1581,19 @@ def _multimodal_oracles() -> dict[str, str]:
     """DuckDB twins for the multimodal queries, recomputed from the RAW
     payload bytes (not by calling the fake decoders): the fake decode
     contract is pixels = sha256(payload) tiled to 8x8x3, so the expected
-    features/means/frame hashes are sha256 + hex-pair arithmetic over
-    the shared media parquet. Valid at the oracle scale (driver default
-    sf0.01; SPARK_GRAFT_ORACLE_SF selects the sf0.1 sweep)."""
-    from gocrd_spark.operators.multimodal import (
-        ensure_media_parquet,
-        media_parquet_path,
-    )
-
+    features/means/frame hashes are sha256 + hex-pair arithmetic. The
+    media table itself is regenerated INLINE in the SQL from the
+    deterministic contract (multimodal.synth_media_pdf: payload =
+    hexdigest(sha256('seed:i')) repeated 1 + i%5 times, kind cycling
+    image/audio/video) — fully self-contained, no filesystem reads and
+    no side effects, so the oracle runs in any DuckDB, including one
+    with external file access disabled (r03's read_parquet('/tmp/...')
+    version produced no driver rows). tests/test_multimodal.py pins the
+    inline CTE byte-identical to synth_media_pdf. Valid at the oracle
+    scale (driver default sf0.01; SPARK_GRAFT_ORACLE_SF selects the
+    sf0.1 sweep)."""
     n = max(int(_tools_import().oracle_sf() * 10_000), 10)  # matches _media
-    try:
-        path = ensure_media_parquet(n)
-    except OSError:
-        # keep oracle_sql() constructible on a read-only /tmp — the
-        # multimodal queries themselves will surface the real error
-        path = media_parquet_path(n)
+    media_cte = _media_inline_sql(n)
 
     def byte_at(pos_expr: str) -> str:
         # 0-based byte of the sha256 hex digest h
@@ -1630,8 +1628,8 @@ def _multimodal_oracles() -> dict[str, str]:
             FROM m JOIN w USING (p)
         """,
         "multimodal_features": f"""
-            WITH m AS (SELECT id, kind, sha256(CAST(payload AS VARCHAR)) AS h
-                       FROM read_parquet('{path}'))
+            WITH media AS ({media_cte}),
+            m AS (SELECT id, kind, sha256(p) AS h FROM media)
             SELECT id, kind, 8::BIGINT AS width, 8::BIGINT AS height,
                    CAST(round(CAST(CAST({f0_sum} AS DOUBLE)/64.0/255.0 AS FLOAT)::DOUBLE
                         * 1000000) AS BIGINT) AS f0_e6,
@@ -1639,17 +1637,17 @@ def _multimodal_oracles() -> dict[str, str]:
             FROM m
         """,
         "multimodal_resize": f"""
-            WITH m AS (SELECT id, sha256(CAST(payload AS VARCHAR)) AS h
-                       FROM read_parquet('{path}'))
+            WITH media AS ({media_cte}),
+            m AS (SELECT id, sha256(p) AS h FROM media)
             SELECT id, 4::BIGINT AS width, 4::BIGINT AS height,
                    {", ".join(chan_means)},
                    CAST(NULL AS VARCHAR) AS error
             FROM m
         """,
         "video_frame_sample": f"""
-            WITH v AS (SELECT id, CAST(payload AS VARCHAR) AS p,
-                              octet_length(payload)::INT AS len
-                       FROM read_parquet('{path}') WHERE kind = 'video'),
+            WITH media AS ({media_cte}),
+            v AS (SELECT id, p, length(p)::INT AS len
+                  FROM media WHERE kind = 'video'),
             f AS (SELECT id, p,
                          unnest(list_slice(range(0, 1 + len % 20, 3), 1, 5)) AS frame_idx
                   FROM v)
@@ -1659,3 +1657,17 @@ def _multimodal_oracles() -> dict[str, str]:
             FROM f
         """,
     }
+
+
+def _media_inline_sql(n: int, seed: int = 42) -> str:
+    """The deterministic media table as a pure-SQL CTE body: mirrors
+    multimodal.synth_media_pdf row for row — payload bytes are the
+    printable-ASCII hexdigest of sha256('seed:i') repeated 1 + i%5
+    times (here as VARCHAR p; the parquet stores the same bytes as
+    BLOB), kind cycles image/audio/video by i%3. Pinned equal to
+    synth_media_pdf by tests/test_multimodal.py."""
+    return (
+        f"SELECT i AS id, ['image','audio','video'][(i % 3) + 1] AS kind, "
+        f"repeat(sha256('{seed}:' || i::VARCHAR), 1 + i % 5) AS p "
+        f"FROM range(0, {n}) t(i)"
+    )

@@ -1010,6 +1010,42 @@ class TestMultimodal:
             (f.id, f.frame_idx, f.frame_hash) for f in again
         }
 
+    def test_inline_oracle_cte_matches_synth_media(self):
+        """The driver-oracle media CTE (__spark_entry__._media_inline_sql)
+        must stay byte-identical to synth_media_pdf: the r03 driver gate
+        dropped the three multimodal rows because the oracle read a /tmp
+        parquet; the fix regenerates the table inline in SQL, so the SQL
+        and the Python generator are now two independent implementations
+        of the same contract — pin them to each other."""
+        import duckdb
+
+        import __spark_entry__ as entry
+        from gocrd_spark.operators.multimodal import synth_media_pdf
+
+        n = 37  # off the cached-parquet sizes on purpose
+        got = duckdb.connect().execute(
+            "SELECT id, kind, p FROM (" + entry._media_inline_sql(n) + ") ORDER BY id"
+        ).fetchall()
+        pdf = synth_media_pdf(n)
+        want = [
+            (int(r.id), r.kind, bytes(r.payload).decode("ascii"))
+            for r in pdf.itertuples()
+        ]
+        assert got == want
+
+    def test_multimodal_oracles_are_self_contained(self):
+        """Regression guard for the r03 driver-gate gap: the multimodal
+        oracle SQL must not touch the filesystem (no read_parquet, no
+        absolute paths) so it runs in a DuckDB with external access
+        disabled."""
+        import __spark_entry__ as entry
+
+        oracles = entry.oracle_sql()
+        for name in ("multimodal_features", "multimodal_resize", "video_frame_sample"):
+            sql = oracles[name]
+            assert "read_parquet" not in sql, name
+            assert "/tmp" not in sql, name
+
     def test_error_rows_for_null_payload(self, spark):
         from gocrd_spark.operators.multimodal import extract_features
 
