@@ -458,6 +458,18 @@ def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(_docs(spark, sf_dir), budget_tokens=2048, bucket_size=64)
 
 
+def _q_pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-budgeted shard layout (VERDICT r03 #2): the budget unit is
+    the GPT-2-shaped pre-tokenizer count, not whitespace tokens — real
+    training shards are cut in tokenizer units. Same distributed
+    two-phase prefix sum; same single-node-window DuckDB twin."""
+    from gocrd_spark.operators.textstats import pack_shards
+
+    return pack_shards(
+        _docs(spark, sf_dir), budget_tokens=2048, bucket_size=64, token_mode="bpe"
+    )
+
+
 def _q_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain reweighting: per-source deterministic sampling rates
     (src0 25%, src1 50%, src2 dropped, src3 kept whole, others 75%).
@@ -757,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "source_weighted_sample": _q_source_sample,
         "pack_shards": _q_pack_shards,
+        "pack_shards_bpe": _q_pack_shards_bpe,
         "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
         "extracted_quality": _q_extracted_quality,
@@ -1196,6 +1209,20 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id,
                      len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(floor(cum_before / 2048.0) AS BIGINT) AS shard_id
+            FROM c
+        """,
+        "pack_shards_bpe": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens
               FROM documents),
             c AS (
               SELECT doc_id, n_tokens,

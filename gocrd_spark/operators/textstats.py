@@ -432,11 +432,19 @@ def pack_shards(
     docs: DataFrame,
     budget_tokens: int = 2048,
     bucket_size: int = 1000,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """Token-budget shard assignment: lay the corpus out in doc_id order
-    and cut it into training shards of ~``budget_tokens`` whitespace
-    tokens each (shard_id = cumulative-tokens-before // budget) — the
-    step that turns a filtered corpus into fixed-size training inputs.
+    and cut it into training shards of ~``budget_tokens`` tokens each
+    (shard_id = cumulative-tokens-before // budget) — the step that
+    turns a filtered corpus into fixed-size training inputs.
+
+    ``token_mode`` selects the budget unit: ``'whitespace'`` (cheap
+    proxy) or ``'bpe'`` (the GPT-2-shaped pre-tokenizer of
+    ``token_stats_bpe`` — letters-runs | digit-runs | single symbol).
+    Training budgets are tokenizer-unit budgets, so ``'bpe'`` is what a
+    real shard cut wants; both are pure JVM regexp counts, identical
+    plan shape.
 
     The global running sum is a DISTRIBUTED two-phase prefix sum, not a
     single giant window: doc_ids bucket into ranges of ``bucket_size``;
@@ -452,9 +460,17 @@ def pack_shards(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
-    )
+    if token_mode == "whitespace":
+        tok_count = F.size(_tokens(F.col("text")))
+    elif token_mode == "bpe":
+        tok_count = F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0)
+        )
+    else:
+        raise ValueError(
+            f"token_mode must be 'whitespace' or 'bpe', got {token_mode!r}"
+        )
+    toks = docs.select("doc_id", tok_count.cast("long").alias("n_tokens"))
     b = toks.withColumn("bucket", F.floor(F.col("doc_id") / bucket_size))
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

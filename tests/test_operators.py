@@ -930,6 +930,42 @@ class TestPackShards:
             }
             assert got == naive, f"bucket_size={bucket_size}"
 
+    def test_bpe_mode_planted(self, spark):
+        """token_mode='bpe' budgets pre-tokenizer units: 'ab12, cd!'
+        tokenizes to [ab][12][,][cd][!] = 5 BPE tokens vs 2 whitespace
+        tokens. Budget 6: cum_before 0,5,10 -> shards 0,0,1."""
+        from gocrd_spark.operators.textstats import pack_shards
+
+        docs = spark.createDataFrame(
+            [(0, "ab12, cd!"), (1, "ab12, cd!"), (2, "ab12, cd!")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.shard_id)
+            for r in pack_shards(
+                docs, budget_tokens=6, bucket_size=2, token_mode="bpe"
+            ).collect()
+        }
+        assert got == {0: (5, 0), 1: (5, 0), 2: (5, 1)}
+
+    def test_bpe_mode_matches_token_stats_bpe_counts(self, docs):
+        """The bpe budget unit must be EXACTLY token_stats_bpe's count
+        (the wiring the verdict asked for), and unknown modes raise."""
+        import pytest as _pytest
+
+        from gocrd_spark.operators.textstats import pack_shards, token_stats_bpe
+
+        counts = {
+            r.doc_id: r.n_bpe_tokens for r in token_stats_bpe(docs).collect()
+        }
+        packed = {
+            r.doc_id: r.n_tokens
+            for r in pack_shards(docs, token_mode="bpe").collect()
+        }
+        assert packed == counts
+        with _pytest.raises(ValueError):
+            pack_shards(docs, token_mode="wordpiece")
+
 
 class TestMediaDedup:
     def test_byte_identity_groups(self, spark):
