@@ -332,7 +332,10 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         docs, n=3, threshold=0.12,
         candidates=minhash_candidates(
-            docs, n=3, num_hashes=_MH_NUM_HASHES, bands=_mh_bands()
+            docs, n=3, num_hashes=_MH_NUM_HASHES, bands=_mh_bands(),
+            # 1-row bands: explicit opt-in — fine HERE because the exact
+            # all-pairs oracle bounds the corpus and certifies recall
+            allow_quadratic=True,
         ),
     )
     return pairs.select(
@@ -365,6 +368,7 @@ def _q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh(
         _docs(spark, sf_dir), n=3, threshold=0.12,
         num_hashes=_MH_NUM_HASHES, bands=_mh_bands(),
+        allow_quadratic=True,  # oracle corpus: recall-certified 1-row bands
     )
     return pairs.select(
         "doc_a",
@@ -398,7 +402,8 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh(
-        docs, n=3, threshold=0.12, num_hashes=_MH_NUM_HASHES, bands=_mh_bands()
+        docs, n=3, threshold=0.12, num_hashes=_MH_NUM_HASHES, bands=_mh_bands(),
+        allow_quadratic=True,  # oracle corpus: recall-certified 1-row bands
     )
     return dedup_clusters(docs, pairs)
 

@@ -211,11 +211,22 @@ def minhash_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: signature split into ``bands`` bands
     of ``num_hashes/bands`` rows; bucket key = xxhash64 of the band
     slice; candidates = distinct same-bucket (doc_a < doc_b) pairs.
-    Shuffles only (band, bucket, doc_id) — never the text."""
+    Shuffles only (band, bucket, doc_id) — never the text.
+
+    Refuses 1-row bands (``bands == num_hashes``) unless
+    ``allow_quadratic=True``: with r=1 any single shared MinHash value
+    makes a candidate pair, which degenerates toward all-pairs on a
+    real crawl corpus (compose.training_corpus refuses the same regime;
+    this lifts that guard to the raw operator so a low-threshold
+    parameter set can't silently go quadratic at scale). The opt-in is
+    for small recall-certified corpora — e.g. the driver oracle corpus,
+    where the exact all-pairs oracle bounds the candidate volume."""
+    _guard_banding(num_hashes, bands, allow_quadratic)
     bands_df = _minhash_banded(docs, n, num_hashes, bands)
     return (
         bands_df.alias("x")
@@ -226,6 +237,20 @@ def minhash_candidates(
         )
         .distinct()
     )
+
+
+def _guard_banding(num_hashes: int, bands: int, allow_quadratic: bool) -> None:
+    """Raise on the near-quadratic 1-row-band LSH regime unless the
+    caller explicitly opted in (VERDICT r03 #3)."""
+    if bands >= num_hashes and not allow_quadratic:
+        raise ValueError(
+            f"bands={bands} with num_hashes={num_hashes} means 1-row bands: "
+            "any single shared MinHash value becomes a candidate pair — "
+            "near-quadratic candidate volume on a real corpus. Raise the "
+            "threshold / num_hashes (see choose_bands) or pass "
+            "allow_quadratic=True if the corpus is small enough to verify "
+            "all candidates exactly."
+        )
 
 
 def _minhash_banded(
@@ -289,14 +314,16 @@ def minhash_lsh(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate generation (minhash_candidates) + exact
     Jaccard verification (verify_jaccard_pairs) — only candidates pay
-    the verification, not all O(N²) pairs.
+    the verification, not all O(N²) pairs. ``allow_quadratic`` gates
+    the 1-row-band regime (see minhash_candidates).
 
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
-    cand = minhash_candidates(docs, n, num_hashes, bands)
+    cand = minhash_candidates(docs, n, num_hashes, bands, allow_quadratic)
     return verify_jaccard_pairs(docs, cand, n, threshold)
 
 
@@ -936,6 +963,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    allow_quadratic: bool = False,
 ) -> str:
     """Materialize the banded MinHash bucket table ONCE at ``path``
     (parquet, columns doc_id/band/bucket) — the durable MinHash
@@ -951,6 +979,7 @@ def minhash_signatures(
     import json
     import os
 
+    _guard_banding(num_hashes, bands, allow_quadratic)
     params = {"n": n, "num_hashes": num_hashes, "bands": bands, "version": 1}
     marker = os.path.join(path, "_SUCCESS")
     sidecar = os.path.join(path, "_PARAMS.json")

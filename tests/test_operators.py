@@ -126,10 +126,37 @@ class TestMinhashBorderlineRecall:
             (r.doc_a, r.doc_b): r.jaccard
             for r in minhash_lsh(
                 borderline, n=3, num_hashes=num_hashes, bands=bands,
-                threshold=threshold,
+                threshold=threshold, allow_quadratic=True,
             ).collect()
         }
         assert lsh == exact
+
+    def test_one_row_bands_refused_without_opt_in(self, borderline):
+        """The raw operators refuse the near-quadratic 1-row-band regime
+        (bands == num_hashes) unless allow_quadratic=True — lifting the
+        compose.training_corpus refusal to minhash_candidates/
+        minhash_lsh/minhash_signatures so the driver-corpus parameters
+        can't silently be pasted into a crawl-scale run (VERDICT r03
+        #3). The opt-in path must still work."""
+        from gocrd_spark.operators.dedup import (
+            minhash_candidates,
+            minhash_lsh,
+            minhash_signatures,
+        )
+
+        with pytest.raises(ValueError, match="1-row bands"):
+            minhash_candidates(borderline, n=3, num_hashes=64, bands=64)
+        with pytest.raises(ValueError, match="1-row bands"):
+            minhash_lsh(borderline, n=3, num_hashes=64, bands=64, threshold=0.12)
+        with pytest.raises(ValueError, match="1-row bands"):
+            minhash_signatures(
+                borderline, "/tmp/never-written", n=3, num_hashes=64, bands=64
+            )
+        # opt-in constructs a plan (laziness: no job run needed to prove it)
+        df = minhash_candidates(
+            borderline, n=3, num_hashes=64, bands=64, allow_quadratic=True
+        )
+        assert df.columns == ["doc_a", "doc_b"]
 
     def test_coarse_banding_underrecalls(self, borderline):
         """The default 8x4 banding (tuned for j>=0.9 dups) must MISS
@@ -226,10 +253,17 @@ class TestMinhashSignatureTable:
         old = docs.filter(F.col("doc_id") % 5 != 0)
         new = docs.filter(F.col("doc_id") % 5 == 0)
         path = str(tmp_path / "mh_sigs")
-        minhash_signatures(old, path, n=3, num_hashes=32, bands=32)
+        minhash_signatures(
+            old, path, n=3, num_hashes=32, bands=32, allow_quadratic=True
+        )
 
         t0 = time.time()
-        assert minhash_signatures(old, path, n=3, num_hashes=32, bands=32) == path
+        assert (
+            minhash_signatures(
+                old, path, n=3, num_hashes=32, bands=32, allow_quadratic=True
+            )
+            == path
+        )
         assert time.time() - t0 < 1.0
         with pytest.raises(ValueError, match="was built with"):
             minhash_signatures(old, path, n=3, num_hashes=32, bands=8)
@@ -241,7 +275,8 @@ class TestMinhashSignatureTable:
         full = {
             (r.doc_a, r.doc_b): r.jaccard
             for r in minhash_lsh(
-                docs, n=3, threshold=0.12, num_hashes=32, bands=32
+                docs, n=3, threshold=0.12, num_hashes=32, bands=32,
+                allow_quadratic=True,
             ).collect()
         }
         new_ids = {r.doc_id for r in new.select("doc_id").collect()}
