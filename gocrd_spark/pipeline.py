@@ -44,9 +44,8 @@ def load_pages(
     Common-Crawl shards (``*.warc`` / ``*.warc.gz``) with Spark's
     binaryFile source and parses them into the page shape via
     :func:`gocrd_spark.warc.warc_to_pages` — one shard per task, a pure
-    narrow map; a malformed shard yields one error page (html empty)
-    that the kernel downstream turns into an error row, never a job
-    failure."""
+    narrow map; a malformed record yields one error page (html empty)
+    alongside the shard's salvaged good pages, never a job failure."""
     if input_format == "warc":
         from gocrd_spark.warc import warc_to_pages
 

@@ -13,9 +13,16 @@ Reader scope (documented like pdfparse's):
   per record; multi-member streams are decoded member-by-member);
 - ``response`` records carrying an HTTP envelope have the envelope
   stripped (split at the first CRLFCRLF) when extracting page bytes;
+- ``WARC-Truncated`` records (crawler stored a partial payload) are
+  pages with their partial bytes, flagged — not parse failures;
+- ``revisit`` records (WARC 1.1 §6.7 — the crawler's own dedup signal,
+  stored without content) surface via :func:`warc_revisits` as rows
+  keyed by WARC-Refers-To / payload digest;
 - malformed records (bad length, truncated payload, missing version
-  line) raise ValueError with offsets — the Spark surface converts
-  these to error rows per the kernel's error-row contract.
+  line): :func:`parse_warc` raises ValueError with offsets;
+  :func:`parse_warc_salvage` returns the good prefix + the diagnostic,
+  and the Spark surfaces use it — one bad record costs one error row,
+  never the shard.
 
 Spark surface: ``warc_to_pages`` maps (warc_id, warc binary) rows to
 the input_hint page shape (url, warc_ts, html) via ``mapInPandas`` —
@@ -60,10 +67,30 @@ def _gunzip_members(data: bytes, max_bytes: int = 1 << 31) -> bytes:
 
 def parse_warc(data: bytes) -> list[dict]:
     """Parse WARC bytes (plain or gzip) into records:
-    ``{"headers": {lower-name: value}, "payload": bytes}``."""
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
-    records = []
+    ``{"headers": {lower-name: value}, "payload": bytes}``. Raises on
+    the FIRST malformed record — the strict single-file contract; shard
+    processing should use :func:`parse_warc_salvage` instead, which
+    keeps the records parsed before the failure."""
+    records, error = parse_warc_salvage(data)
+    if error is not None:
+        raise ValueError(error)
+    return records
+
+
+def parse_warc_salvage(data: bytes) -> tuple[list[dict], str | None]:
+    """Parse WARC bytes, salvaging the prefix: returns ``(records,
+    error)`` where ``records`` are all records successfully parsed
+    before the first malformation and ``error`` is ``None`` (clean
+    file) or the diagnostic for the failure point. A ~1 GB crawl shard
+    with one truncated trailing record keeps its thousands of good
+    pages — the error rides alongside as one error row at the Spark
+    surface instead of discarding the shard."""
+    try:
+        if data[:2] == b"\x1f\x8b":
+            data = _gunzip_members(data)
+    except ValueError as exc:
+        return [], str(exc)
+    records: list[dict] = []
     pos = 0
     n = len(data)
     while pos < n:
@@ -74,32 +101,33 @@ def parse_warc(data: bytes) -> list[dict]:
             break
         head_end = data.find(_CRLF + _CRLF, pos, pos + _MAX_HEADER_BYTES)
         if head_end < 0:
-            raise ValueError(f"no header terminator after offset {pos}")
+            return records, f"no header terminator after offset {pos}"
         lines = data[pos:head_end].split(_CRLF)
         version = lines[0]
         if not version.startswith(b"WARC/"):
-            raise ValueError(f"bad version line at offset {pos}: {version[:40]!r}")
+            return records, f"bad version line at offset {pos}: {version[:40]!r}"
         headers: dict[str, str] = {}
         for line in lines[1:]:
             name, sep, value = line.partition(b":")
             if not sep:
-                raise ValueError(f"malformed header line: {line[:80]!r}")
+                return records, f"malformed header line: {line[:80]!r}"
             headers[name.strip().decode("ascii", "replace").lower()] = (
                 value.strip().decode("utf-8", "replace")
             )
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
-            raise ValueError(f"missing/bad Content-Length at offset {pos}") from None
+            return records, f"missing/bad Content-Length at offset {pos}"
         body_start = head_end + 4
         body_end = body_start + length
         if body_end > n:
-            raise ValueError(
-                f"truncated payload: need {length} bytes at {body_start}, have {n - body_start}"
+            return records, (
+                f"truncated payload: need {length} bytes at {body_start}, "
+                f"have {n - body_start}"
             )
         records.append({"headers": headers, "payload": data[body_start:body_end]})
         pos = body_end
-    return records
+    return records, None
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -183,10 +211,18 @@ PAGES_FROM_WARC_SCHEMA = "url string, warc_ts timestamp, html binary, error stri
 def warc_to_pages(warcs):
     """Spark surface: (warc_id long, warc binary) rows -> the
     input_hint page shape (url, warc_ts, html, error). ``response``
-    records become pages (HTTP envelope stripped); other record types
-    (warcinfo, request, metadata) are skipped; a malformed FILE yields
-    ONE error row carrying the parse error (the error-row contract —
-    one bad shard never fails the job)."""
+    records become pages (HTTP envelope stripped); a record carrying
+    the ``WARC-Truncated`` header (the crawler stored a PARTIAL
+    payload — length/time/disconnect cap) still becomes a page with
+    its partial bytes, flagged ``truncated: <reason>`` in the error
+    column rather than treated as a parse failure; ``revisit`` records
+    (the crawler's own dedup signal — no content stored) are skipped
+    here and surfaced by :func:`warc_revisits`; other record types
+    (warcinfo, request, metadata) are skipped. Shard parsing SALVAGES
+    (parse_warc_salvage): a malformed trailing record emits the good
+    pages parsed before it plus ONE error row carrying the diagnostic —
+    one bad record never discards a ~1 GB shard, and never fails the
+    job."""
     import pandas as pd
 
     def _naive_utc(s: str) -> "pd.Timestamp":
@@ -199,26 +235,31 @@ def warc_to_pages(warcs):
         for batch in batches:
             rows = []
             for _, r in batch.iterrows():
-                try:
-                    for rec in parse_warc(bytes(r["warc"])):
-                        h = rec["headers"]
-                        if h.get("warc-type") != "response":
-                            continue
-                        rows.append(
-                            {
-                                "url": h.get("warc-target-uri", ""),
-                                "warc_ts": _naive_utc(h.get("warc-date", "")),
-                                "html": http_body(rec["payload"]),
-                                "error": None,
-                            }
-                        )
-                except ValueError as exc:
+                records, error = parse_warc_salvage(bytes(r["warc"]))
+                for rec in records:
+                    h = rec["headers"]
+                    if h.get("warc-type") != "response":
+                        continue
+                    truncated = h.get("warc-truncated")
+                    rows.append(
+                        {
+                            "url": h.get("warc-target-uri", ""),
+                            "warc_ts": _naive_utc(h.get("warc-date", "")),
+                            "html": http_body(rec["payload"]),
+                            "error": (
+                                f"truncated: {truncated or 'unspecified'}"
+                                if truncated is not None
+                                else None
+                            ),
+                        }
+                    )
+                if error is not None:
                     rows.append(
                         {
                             "url": f"warc:{r['warc_id']}",
                             "warc_ts": pd.Timestamp("1970-01-01"),
                             "html": None,
-                            "error": f"warc parse error: {exc}",
+                            "error": f"warc parse error: {error}",
                         }
                     )
             yield pd.DataFrame(
@@ -226,3 +267,71 @@ def warc_to_pages(warcs):
             )
 
     return warcs.mapInPandas(gen, PAGES_FROM_WARC_SCHEMA)
+
+
+REVISITS_SCHEMA = (
+    "url string, warc_ts timestamp, refers_to string, "
+    "refers_to_uri string, profile string, payload_digest string, "
+    "error string"
+)
+
+
+def warc_revisits(warcs):
+    """Spark surface for ``WARC-Type: revisit`` records — the crawler's
+    OWN dedup signal (ISO 28500 / WARC 1.1 §6.7: a fetch whose payload
+    matched an earlier capture, stored WITHOUT content): rows keyed by
+    the original via ``WARC-Refers-To`` (record id) /
+    ``WARC-Refers-To-Target-URI``, plus ``WARC-Profile`` and
+    ``WARC-Payload-Digest`` (sha1 base32) so a corpus build can join
+    revisits against the page table and count/attribute duplicate
+    fetches WITHOUT hashing any payload bytes itself. Same salvage +
+    error-row contract as warc_to_pages; same narrow Scan->MapInPandas
+    plan shape."""
+    import pandas as pd
+
+    def _naive_utc(s: str) -> "pd.Timestamp":
+        ts = pd.Timestamp(s or "1970-01-01T00:00:00Z")
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts
+
+    cols = [
+        "url", "warc_ts", "refers_to", "refers_to_uri", "profile",
+        "payload_digest", "error",
+    ]
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                records, error = parse_warc_salvage(bytes(r["warc"]))
+                for rec in records:
+                    h = rec["headers"]
+                    if h.get("warc-type") != "revisit":
+                        continue
+                    rows.append(
+                        {
+                            "url": h.get("warc-target-uri", ""),
+                            "warc_ts": _naive_utc(h.get("warc-date", "")),
+                            "refers_to": h.get("warc-refers-to"),
+                            "refers_to_uri": h.get("warc-refers-to-target-uri"),
+                            "profile": h.get("warc-profile"),
+                            "payload_digest": h.get("warc-payload-digest"),
+                            "error": None,
+                        }
+                    )
+                if error is not None:
+                    rows.append(
+                        {
+                            "url": f"warc:{r['warc_id']}",
+                            "warc_ts": pd.Timestamp("1970-01-01"),
+                            "refers_to": None,
+                            "refers_to_uri": None,
+                            "profile": None,
+                            "payload_digest": None,
+                            "error": f"warc parse error: {error}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return warcs.mapInPandas(gen, REVISITS_SCHEMA)

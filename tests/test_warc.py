@@ -102,6 +102,59 @@ class TestWarcParser:
         with pytest.raises(ValueError, match="corrupt gzip"):
             parse_warc(b"\x1f\x8b\x08\x00" + b"\xff" * 32)
 
+    def test_salvage_keeps_prefix_before_malformation(self):
+        """A shard whose TRAILING record is truncated keeps every record
+        parsed before it (ADVICE r03: one bad trailing record must not
+        discard a ~1 GB shard). parse_warc stays strict; the salvage
+        variant returns (good_prefix, diagnostic)."""
+        from gocrd_spark.warc import parse_warc, parse_warc_salvage
+
+        data = _SPEC_FIXTURE + (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"Content-Length: 9999\r\n"
+            b"\r\n"
+            b"way too short"
+        )
+        with pytest.raises(ValueError, match="truncated payload"):
+            parse_warc(data)
+        records, error = parse_warc_salvage(data)
+        assert [r["headers"]["warc-type"] for r in records] == [
+            "warcinfo", "response", "response",
+        ]
+        assert error is not None and "truncated payload" in error
+        # clean input: full records, no error
+        records, error = parse_warc_salvage(_SPEC_FIXTURE)
+        assert len(records) == 3 and error is None
+        # corrupt gzip: nothing salvageable, diagnostic preserved
+        records, error = parse_warc_salvage(b"\x1f\x8b\x08\x00" + b"\xff" * 32)
+        assert records == [] and "corrupt gzip" in error
+
+    def test_revisit_spec_fixture(self):
+        """Hand-written WARC 1.1 revisit record (§6.7: stored without
+        content, keyed to the original capture) parses with its dedup
+        headers intact."""
+        from gocrd_spark.warc import parse_warc
+
+        data = (
+            b"WARC/1.1\r\n"
+            b"WARC-Type: revisit\r\n"
+            b"WARC-Target-URI: http://example.com/a\r\n"
+            b"WARC-Date: 2026-03-05T00:00:00Z\r\n"
+            b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest\r\n"
+            b"WARC-Refers-To: <urn:uuid:orig-1>\r\n"
+            b"WARC-Refers-To-Target-URI: http://example.com/a\r\n"
+            b"WARC-Payload-Digest: sha1:IDENTICALDIGESTBASE32VALUE\r\n"
+            b"Content-Length: 0\r\n"
+            b"\r\n\r\n"
+        )
+        (rec,) = parse_warc(data)
+        h = rec["headers"]
+        assert h["warc-type"] == "revisit"
+        assert h["warc-refers-to"] == "<urn:uuid:orig-1>"
+        assert h["warc-payload-digest"] == "sha1:IDENTICALDIGESTBASE32VALUE"
+        assert rec["payload"] == b""
+
     def test_negative_chunk_size_terminates(self):
         """int(b'-2', 16) parses — a negative chunked size must raise
         (tolerant fallback to raw bytes), never stall the cursor and
@@ -176,6 +229,96 @@ class TestWarcSparkSurface:
         )
         assert len(kant_text) == 1518
         assert "plain web text here" in out["http://crawl.test/html"].text
+
+
+class TestWarcMixedShard:
+    def test_response_revisit_truncated_mix(self, spark, tmp_path):
+        """A realistic crawl shard mixing response / revisit /
+        WARC-Truncated / a malformed trailing record (VERDICT r03 #4):
+        warc_to_pages salvages the good pages, flags the truncated one
+        (partial bytes KEPT), skips revisits, and appends exactly one
+        error row; warc_revisits surfaces the dedup-hint row; the clean
+        pages still reach the kernel golden."""
+        from gocrd_spark.pipeline import extract_pages
+        from gocrd_spark.warc import warc_revisits, warc_to_pages, write_warc
+
+        kant = open("tests/fixtures/kant_aufklaerung_1784_0020.xml", "rb").read()
+        shard = write_warc(
+            [
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": "http://crawl.test/kant",
+                        "WARC-Date": "2026-02-01T00:00:00Z",
+                    },
+                    "payload": b"HTTP/1.1 200 OK\r\n\r\n" + kant,
+                },
+                {
+                    "headers": {
+                        "WARC-Type": "revisit",
+                        "WARC-Target-URI": "http://crawl.test/kant",
+                        "WARC-Date": "2026-02-02T00:00:00Z",
+                        "WARC-Profile": "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                        "WARC-Refers-To": "<urn:uuid:kant-orig>",
+                        "WARC-Refers-To-Target-URI": "http://crawl.test/kant",
+                        "WARC-Payload-Digest": "sha1:KANTDIGEST",
+                    },
+                    "payload": b"",
+                },
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": "http://crawl.test/partial",
+                        "WARC-Date": "2026-02-03T00:00:00Z",
+                        "WARC-Truncated": "length",
+                    },
+                    "payload": b"HTTP/1.1 200 OK\r\n\r\n<html><body>cut off mid",
+                },
+            ],
+            gzip_members=True,
+        )
+        # malformed trailing record as its OWN gzip member (the real
+        # crawl failure mode: the crawler died mid-record, the tail
+        # member decompresses but the record inside is short)
+        import zlib as _zlib
+
+        c = _zlib.compressobj(6, _zlib.DEFLATED, _zlib.MAX_WBITS | 16)
+        shard += c.compress(b"WARC/1.0\r\nContent-Length: 9999\r\n\r\nshort")
+        shard += c.flush()
+
+        warcs = spark.createDataFrame(
+            [(7, bytearray(shard))], "warc_id long, warc binary"
+        )
+        pages = {r.url: r for r in warc_to_pages(warcs).collect()}
+        # 2 response pages + 1 salvage error row; the revisit emits none
+        assert set(pages) == {
+            "http://crawl.test/kant", "http://crawl.test/partial", "warc:7",
+        }
+        assert pages["http://crawl.test/kant"].error is None
+        assert pages["http://crawl.test/partial"].error == "truncated: length"
+        assert bytes(pages["http://crawl.test/partial"].html) == (
+            b"<html><body>cut off mid"
+        )
+        assert "warc parse error" in pages["warc:7"].error
+
+        revisits = warc_revisits(warcs).collect()
+        (rv,) = [r for r in revisits if r.error is None]
+        assert rv.url == "http://crawl.test/kant"
+        assert rv.refers_to == "<urn:uuid:kant-orig>"
+        assert rv.refers_to_uri == "http://crawl.test/kant"
+        assert rv.payload_digest == "sha1:KANTDIGEST"
+        assert "identical-payload-digest" in rv.profile
+
+        clean = (
+            warc_to_pages(warcs)
+            .filter("error IS NULL")
+            .select("url", "warc_ts", "html")
+        )
+        out = {r.url: r for r in extract_pages(clean).collect()}
+        assert (
+            hashlib.sha256(out["http://crawl.test/kant"].text.encode()).hexdigest()
+            == "7bac7349cf86baac9834073fbfd7e589efa9d716e28578d6940362a02c7ec065"
+        )
 
 
 class TestWarcJobPath:
