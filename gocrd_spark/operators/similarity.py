@@ -445,7 +445,11 @@ def ivf_index(
       params refuses rather than probing a mismatched quantizer.
 
     If the corpus ``_SUCCESS`` marker exists the build is SKIPPED
-    (write-once/resume, like the extraction commit log). Returns path.
+    (write-once/resume, like the extraction commit log). Marker/sidecar
+    probes are local-filesystem IO (``os.path``/``open``) — an
+    object-store URI needs the Hadoop FileSystem API for them
+    (environment-gated: no cloud connectors in this sandbox). Returns
+    path.
     """
     import json
     import os

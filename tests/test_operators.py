@@ -609,6 +609,106 @@ class TestSimhashSignatureTable:
         # no old-old pair leaked
         assert all(a >= cut or b >= cut for a, b, _ in inc)
 
+    def test_append_folds_batch_into_next_increment(self, spark, docs, tmp_path):
+        """VERDICT r03 #5: chain two increments — after
+        simhash_append(batch1), the batch2 increment must see batch1's
+        docs WITHOUT recomputing them (B–C pairs appear), the fold-in
+        must be idempotent (same batch_id re-appends as a no-op), and
+        the durable reader must serve base+batches."""
+        import os as _os
+
+        from gocrd_spark.operators.dedup import (
+            simhash_append,
+            simhash_incremental,
+            simhash_near_dups,
+            simhash_near_dups_from,
+            simhash_signatures,
+        )
+
+        ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+        cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+        a = docs.filter(F.col("doc_id") < cut1)
+        b = docs.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))
+        c = docs.filter(F.col("doc_id") >= cut2)
+
+        path = str(tmp_path / "sigs")
+        simhash_signatures(a, path, n=2, max_hamming=3)
+        simhash_append(b, path, "day1")
+
+        # idempotent: same batch_id re-appends without rewriting
+        marker = _os.path.join(path, "_batch_day1.json")
+        mtime = _os.path.getmtime(marker)
+        bdir_mtime = _os.path.getmtime(_os.path.join(path, "_batches", "day1"))
+        simhash_append(b, path, "day1")
+        assert _os.path.getmtime(marker) == mtime
+        assert _os.path.getmtime(_os.path.join(path, "_batches", "day1")) == bdir_mtime
+
+        full = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups(docs, n=2, max_hamming=3).collect()
+        }
+        # the folded table now covers A∪B: reading pairs from it must
+        # equal the direct computation over A∪B
+        ab_direct = {p for p in full if p[0] < cut2 and p[1] < cut2}
+        ab_table = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups_from(spark, path, max_hamming=3).collect()
+        }
+        assert ab_table == ab_direct
+
+        # increment C sees BOTH A and B without recompute: pairs = full
+        # pairs touching C — including C-B pairs, which only exist if
+        # day1's append is visible
+        inc = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_incremental(c, path, max_hamming=3).collect()
+        }
+        want = {p for p in full if p[0] >= cut2 or p[1] >= cut2}
+        assert inc == want
+        cb = {p for p in want if cut1 <= p[0] < cut2}
+        assert cb  # the corpus must actually plant C-B pairs
+        with pytest.raises(ValueError, match="filesystem-safe"):
+            simhash_append(b, path, "../evil")
+
+    def test_minhash_append_folds_batch(self, spark, docs, tmp_path):
+        """MinHash twin of the fold-in chain: append batch B, then the
+        C increment reports exactly the full-corpus verified pairs that
+        touch C."""
+        from gocrd_spark.operators.dedup import (
+            minhash_append,
+            minhash_incremental,
+            minhash_lsh,
+            minhash_signatures,
+        )
+
+        ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+        cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+        a = docs.filter(F.col("doc_id") < cut1)
+        b = docs.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))
+        c = docs.filter(F.col("doc_id") >= cut2)
+
+        path = str(tmp_path / "mh_sigs")
+        minhash_signatures(
+            a, path, n=3, num_hashes=32, bands=32, allow_quadratic=True
+        )
+        minhash_append(b, path, "day1")
+        minhash_append(b, path, "day1")  # idempotent no-op
+
+        inc = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_incremental(c, docs, path, threshold=0.12).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh(
+                docs, n=3, threshold=0.12, num_hashes=32, bands=32,
+                allow_quadratic=True,
+            ).collect()
+        }
+        want = {p: j for p, j in full.items() if p[0] >= cut2 or p[1] >= cut2}
+        assert inc == want
+        assert any(cut1 <= p[0] < cut2 for p in want)  # C-B pairs planted
+
 
 class TestSimilarity:
     def test_bruteforce_matches_numpy(self, emb):
