@@ -463,6 +463,35 @@ def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(_docs(spark, sf_dir), budget_tokens=2048, bucket_size=64)
 
 
+def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training_corpus chain (VERDICT r03 #6): exact dedup ->
+    MinHash-LSH near-dup clusters -> paragraph rewrite -> quality gate
+    (6dp fixed-point) -> domain reweighting -> shard packing. The DuckDB
+    oracle composes the already-independent stage oracles in one WITH
+    chain — exact all-pairs Jaccard + recursive-CTE components vs LSH +
+    iterative min-propagation, single-node window cumsum vs distributed
+    prefix sum."""
+    from gocrd_spark.operators.compose import training_corpus
+
+    out = training_corpus(
+        _docs(spark, sf_dir),
+        jaccard_threshold=0.5,
+        chunk_words=8,
+        rates={"src0": 0.25, "src1": 0.5, "src2": 0.0, "src3": 1.0},
+        default_rate=0.75,
+        seed="mix1",
+        budget_tokens=2048,
+        min_quality=0.3,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+    )
+
+
 def _q_pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-budgeted shard layout (VERDICT r03 #2): the budget unit is
     the GPT-2-shaped pre-tokenizer count, not whitespace tokens — real
@@ -775,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_weighted_sample": _q_source_sample,
         "pack_shards": _q_pack_shards,
         "pack_shards_bpe": _q_pack_shards_bpe,
+        "training_corpus": _q_training_corpus,
         "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
         "extracted_quality": _q_extracted_quality,
@@ -1224,6 +1254,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(cum_before / 2048.0) AS BIGINT) AS shard_id
             FROM c
         """,
+        "training_corpus": _training_corpus_oracle(),
         "pack_shards_bpe": """
             WITH t AS (
               SELECT doc_id,
@@ -1689,6 +1720,135 @@ def _multimodal_oracles() -> dict[str, str]:
             FROM f
         """,
     }
+
+
+def _training_corpus_oracle() -> str:
+    """DuckDB twin for the end-to-end training_corpus chain: the stage
+    oracles composed in one WITH RECURSIVE chain, each stage reading
+    the previous stage's CTE instead of `documents`. Independence is
+    inherited from the stages: exact all-pairs Jaccard (vs LSH
+    candidates), recursive-CTE transitive closure (vs iterative
+    min-propagation), single-node window cumsum (vs two-phase prefix
+    sum). Parameters mirror _q_training_corpus exactly: threshold 0.5,
+    chunk_words 8, the source_weighted_sample rate table, quality gate
+    round(q,6) >= 0.3, budget 2048."""
+    punct = " + ".join(
+        f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in [".", ",", "!", "?", ";", ":"]
+    )
+    digit = " + ".join(
+        f"(length(text) - length(replace(text, '{d}', '')))" for d in range(10)
+    )
+    return f"""
+        WITH RECURSIVE s1 AS (
+          SELECT d.doc_id, d.source, d.text FROM documents d
+          JOIN (SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) k
+          USING (doc_id)),
+        toks1 AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                             x -> x <> '') AS t
+          FROM s1),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [array_to_string(t, ' ')] END) AS shingles
+          FROM toks1),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+                 count(*) AS n_inter
+          FROM ex a JOIN ex b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        pr AS (
+          SELECT doc_a, doc_b FROM inter
+          WHERE round(n_inter::DOUBLE / (na + nb - n_inter), 6) >= 0.5),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pr
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM pr),
+        walk(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+        canon AS (
+          SELECT u AS doc_id, least(min(v), u) AS canonical_id
+          FROM walk GROUP BY u),
+        s2 AS (
+          SELECT s1.doc_id, s1.source, s1.text
+          FROM s1 LEFT JOIN canon c USING (doc_id)
+          WHERE coalesce(c.canonical_id, s1.doc_id) = s1.doc_id),
+        toks2 AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                             x -> x <> '') AS t
+          FROM s2),
+        idx AS (
+          SELECT doc_id, t,
+                 unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS chunk_idx
+          FROM toks2 WHERE len(t) > 0),
+        chunks AS (
+          SELECT doc_id, chunk_idx,
+                 array_to_string(t[(chunk_idx*8 + 1):(chunk_idx*8 + 8)], ' ') AS chunk
+          FROM idx),
+        ranked AS (
+          SELECT doc_id, chunk_idx, chunk,
+                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks),
+        kept AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+          FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        s3 AS (
+          SELECT s2.doc_id, s2.source, k.text_dedup AS text
+          FROM s2 JOIN kept k USING (doc_id)
+          WHERE k.n_kept > 0),
+        qin AS (
+          SELECT doc_id, length(text)::DOUBLE AS n_chars,
+                 ({punct})::DOUBLE AS n_punct,
+                 ({digit})::DOUBLE AS n_digit,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+          FROM s3),
+        qr AS (
+          SELECT doc_id,
+                 CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+                 CASE WHEN len(tk) > 0
+                      THEN len(list_filter(tk, x -> x IN ('the','a','and','of','to','in')))::DOUBLE / len(tk)
+                      ELSE 0.0 END AS stop_ratio
+          FROM qin),
+        s4 AS (
+          SELECT s3.doc_id, s3.source, s3.text
+          FROM s3 JOIN qr USING (doc_id)
+          WHERE round(greatest(0.0, least(1.0,
+                1.0 - qr.punct_ratio*2 - qr.digit_ratio*2
+                + least(qr.stop_ratio, 0.2))), 6) >= 0.3),
+        s5 AS (
+          SELECT doc_id, source, text FROM s4
+          WHERE substr(md5('mix1:' || doc_id), 1, 8) < CASE source
+                  WHEN 'src0' THEN '40000000'
+                  WHEN 'src1' THEN '80000000'
+                  WHEN 'src2' THEN '00000000'
+                  WHEN 'src3' THEN 'g'
+                  ELSE 'c0000000' END),
+        pt AS (
+          SELECT doc_id, source, text,
+                 len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+          FROM s5),
+        c6 AS (
+          SELECT doc_id, source, text, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM pt)
+        SELECT doc_id, source, text, n_tokens,
+               CAST(floor(cum_before / 2048.0) AS BIGINT) AS shard_id
+        FROM c6
+    """
 
 
 def _media_inline_sql(n: int, seed: int = 42) -> str:

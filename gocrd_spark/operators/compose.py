@@ -89,9 +89,13 @@ def training_corpus(
         rewritten.select("doc_id", F.col("text_dedup").alias("text")), "doc_id"
     )
 
-    # 4. quality gate over the REWRITTEN text
+    # 4. quality gate over the REWRITTEN text. The gate compares at 6dp
+    # (the suite's fixed-point convention): quality is a chain of double
+    # ops whose last bits an independent engine may not reproduce, so
+    # the keep/drop contract is defined on round(quality, 6) — both the
+    # DuckDB oracle and any reimplementation can hit it exactly.
     q_keep = quality_score(stage3).filter(
-        F.col("quality") >= min_quality
+        F.round(F.col("quality"), 6) >= min_quality
     ).select("doc_id")
     stage4 = stage3.join(q_keep, "doc_id", "left_semi")
 
