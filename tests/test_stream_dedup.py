@@ -149,3 +149,79 @@ class TestUrlDedupStream:
         # is not time-ordered, so WHICH one is not pinned), plus 2, 3, 4
         assert got & {0, 1, 5} and len(got & {0, 1, 5}) == 1
         assert {2, 3, 4} <= got and len(got) == 4
+
+    def test_stream_keepset_parity_with_batch_url_dedup(self, spark, tmp_path):
+        """VERDICT r03 #7: the drained stream keep-set must equal batch
+        url_dedup at the CANONICAL-GROUP level on the same data — the
+        stream collapses exactly the groups the batch operator
+        collapses, one representative per group, every malformed row
+        surviving in both. (Which representative differs BY DESIGN:
+        batch keeps latest-ts/lowest-id, the stream keeps
+        first-processed — so parity is group membership + group count,
+        the invariant both share.)"""
+        from gocrd_spark.operators.urls import canonical_url, url_dedup
+        from gocrd_spark.streaming.dedup_stream import (
+            run_available_now,
+            url_dedup_stream,
+        )
+        from pyspark.sql import functions as F
+
+        # 40 rows over 12 canonical groups (spelling variants: case,
+        # default port, query order, fragment) + 6 malformed
+        variants = [
+            "HTTP://Site{k}.com:80/p?b=2&a=1#f",
+            "http://site{k}.com/p?a=1&b=2",
+            "http://SITE{k}.COM/p?b=2&a=1",
+        ]
+        rows = []
+        doc_id = 0
+        for k in range(12):
+            for i in range(1 + (k % 3)):
+                rows.append(
+                    (doc_id, _ts(doc_id % 60), variants[i].format(k=k))
+                )
+                doc_id += 1
+        for j in range(6):
+            rows.append((doc_id, _ts(doc_id % 60), f"::malformed {j} :::"))
+            doc_id += 1
+
+        inp = str(tmp_path / "urls_parity")
+        df = spark.createDataFrame(rows, "doc_id long, ts timestamp, url string")
+        df.coalesce(1).write.mode("append").parquet(inp)
+
+        name = run_available_now(
+            url_dedup_stream(spark, inp), str(tmp_path / "ckpt_p"), "url_parity_s"
+        )
+        stream_rows = spark.sql(f"SELECT * FROM {name}").collect()
+
+        batch = url_dedup(df, ts_col="ts").collect()
+        batch_kept = [r for r in batch if r.keep == 1]
+
+        # group-level parity: same canonical key set on the kept rows
+        s_groups = {r.canonical_url for r in stream_rows if r.canonical_url}
+        b_groups = {r.canonical_url for r in batch_kept if r.canonical_url}
+        assert s_groups == b_groups and len(s_groups) == 12
+
+        # exactly one stream representative per canonical group
+        from collections import Counter
+
+        counts = Counter(r.canonical_url for r in stream_rows if r.canonical_url)
+        assert set(counts.values()) == {1}
+
+        # each stream representative belongs to the batch group it
+        # claims: its own canonicalization equals its group key
+        canon_of = {
+            r.doc_id: r.canonical_url
+            for r in df.select(
+                "doc_id", canonical_url(F.col("url")).alias("canonical_url")
+            ).collect()
+        }
+        for r in stream_rows:
+            assert canon_of[r.doc_id] == r.canonical_url
+
+        # malformed rows all survive in BOTH
+        s_bad = {r.doc_id for r in stream_rows if r.canonical_url is None}
+        b_bad = {r.doc_id for r in batch_kept if r.canonical_url is None}
+        assert s_bad == b_bad and len(s_bad) == 6
+        # and total keep-set sizes agree
+        assert len(stream_rows) == len(batch_kept) == 18
