@@ -65,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     # session, which must survive the call
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(master=args.master, app_name="gocrd-corpus")
+    out = None
     try:
         docs = spark.read.parquet(args.input)
         out = training_corpus(
@@ -76,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
             budget_tokens=args.budget_tokens,
             min_quality=args.min_quality,
-        )
+        ).persist()  # one chain execution feeds both the write and the stats
         writer = out.write.mode(
             "overwrite" if args.overwrite else "errorifexists"
         ).partitionBy("shard_id")
@@ -84,9 +85,11 @@ def main(argv: list[str] | None = None) -> int:
             writer.option("compression", "gzip").json(args.output)
         else:
             writer.parquet(args.output)
-        # stats from the (deterministic) chain itself, not a read-back:
-        # an all-filtered run writes only _SUCCESS and an empty
-        # partitioned dir cannot infer a schema on read
+        # stats from the (deterministic, now-cached) chain itself, not a
+        # read-back: an all-filtered run writes only _SUCCESS and an
+        # empty partitioned dir cannot infer a schema on read. The
+        # input_docs count remains a zero-column parquet scan of the
+        # input — cheap next to the chain, which now runs ONCE.
         stats = out.agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tokens").alias("tokens"),
@@ -105,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
     finally:
+        if out is not None:
+            out.unpersist(blocking=False)
         if owns_session:
             spark.stop()
 

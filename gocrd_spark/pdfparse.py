@@ -466,9 +466,13 @@ def _xref_stream_entries(objects: dict) -> Optional[dict[int, tuple[int, int, in
                     if pos + rowlen > len(data):
                         raise ValueError("xref stream truncated")
                     fields = []
-                    for width in w:
+                    for fi, width in enumerate(w):
+                        # zero-width defaults per PDF 1.5 §7.5.8.2:
+                        # field 1 (type) defaults to 1, fields 2/3 to 0
                         fields.append(
-                            int.from_bytes(data[pos : pos + width], "big") if width else 1
+                            int.from_bytes(data[pos : pos + width], "big")
+                            if width
+                            else (1 if fi == 0 else 0)
                         )
                         pos += width
                     entries[objnum] = (fields[0], fields[1], fields[2])

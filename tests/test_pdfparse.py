@@ -95,6 +95,25 @@ class TestXrefStreamLayout:
             got = [(b["page"], b["text"]) for b in pdf_text_blocks(data)]
             assert got == [(b["page"], b["text"]) for b in expected]
 
+    def test_xref_zero_width_field_defaults(self):
+        """PDF 1.5 §7.5.8.2: a W entry of 0 means the field is absent
+        and DEFAULTS — field 1 (type) to 1, fields 2/3 to 0. W=[1,3,0]
+        must yield f3=0 (not 1 — the ADVICE r03 latent trap: f3 is the
+        ObjStm index for type-2 entries, so defaulting it to 1 would
+        shift every packed object by one); W=[0,3,1] must default the
+        type to 1 (at-offset)."""
+        from gocrd_spark.pdfparse import _xref_stream_entries
+
+        data = b"\x01" + (300).to_bytes(3, "big") + b"\x02" + (12).to_bytes(3, "big")
+        objects = {5: ({"Type": "XRef", "W": [1, 3, 0], "Size": 2}, data)}
+        entries = _xref_stream_entries(objects)
+        assert entries == {0: (1, 300, 0), 1: (2, 12, 0)}
+
+        data2 = (300).to_bytes(3, "big") + b"\x07" + (12).to_bytes(3, "big") + b"\x00"
+        objects2 = {5: ({"Type": "XRef", "W": [0, 3, 1], "Size": 2}, data2)}
+        entries2 = _xref_stream_entries(objects2)
+        assert entries2 == {0: (1, 300, 7), 1: (1, 12, 0)}
+
     def test_png_unpredict_all_filters(self):
         """Property: predict-then-unpredict is identity for every PNG
         filter type over random rows."""
