@@ -463,6 +463,56 @@ def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(_docs(spark, sf_dir), budget_tokens=2048, bucket_size=64)
 
 
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic linked-HTML pages (linkgraph.synth_linked_html);
+    n matches the media-table convention (sf * 10_000)."""
+    from gocrd_spark.operators.linkgraph import synth_linked_html
+
+    n = max(int(_sf_of(sf_dir) * 10_000), 10)
+    rows = [(r["url"], bytearray(r["html"])) for r in synth_linked_html(n)]
+    return _reshape(
+        spark, spark.createDataFrame(rows, "url string, html binary")
+    )
+
+
+def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page outlink extraction: the DOM walker (stdlib html.parser,
+    script-CDATA-blind, urljoin-resolved relative hrefs) against an
+    oracle that regenerates the expected link set from the generating
+    formula — pure arithmetic, no HTML in the oracle at all."""
+    from gocrd_spark.operators.linkgraph import extract_outlinks
+
+    return extract_outlinks(_linked_pages(spark, sf_dir)).select(
+        "src_url", "dst_url", "href"
+    )
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank in exact BIGINT arithmetic (5 iterations,
+    damping 0.85 as integer ops on rank*1e12): partitioning- and
+    engine-independent by construction, so the DuckDB oracle replays
+    the identical recurrence over the formula-derived edge list and
+    hash-matches."""
+    from gocrd_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        host_pagerank,
+    )
+
+    edges = host_edges(extract_outlinks(_linked_pages(spark, sf_dir)))
+    return host_pagerank(edges, n_iters=5).select("host", "rank_e12")
+
+
+def _q_materialize_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed shards materialized to trainer input text: per-shard
+    doc_id-ordered concatenation. Oracle: DuckDB single-node cumsum +
+    string_agg ORDER BY — independent of the distributed prefix sum and
+    the array_sort/collect_list assembly."""
+    from gocrd_spark.operators.textstats import materialize_shards
+
+    return materialize_shards(_docs(spark, sf_dir), budget_tokens=2048, bucket_size=64)
+
+
 def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training_corpus chain (VERDICT r03 #6): exact dedup ->
     MinHash-LSH near-dup clusters -> paragraph rewrite -> quality gate
@@ -804,7 +854,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_weighted_sample": _q_source_sample,
         "pack_shards": _q_pack_shards,
         "pack_shards_bpe": _q_pack_shards_bpe,
+        "materialize_shards": _q_materialize_shards,
         "training_corpus": _q_training_corpus,
+        # web link graph (crawl-curation ranking)
+        "outlinks": _q_outlinks,
+        "host_pagerank": _q_host_pagerank,
         "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
         "extracted_quality": _q_extracted_quality,
@@ -1255,6 +1309,25 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "training_corpus": _training_corpus_oracle(),
+        "materialize_shards": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, text, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM t),
+            s AS (
+              SELECT doc_id, text, n_tokens,
+                     CAST(floor(cum_before / 2048.0) AS BIGINT) AS shard_id
+              FROM c)
+            SELECT shard_id, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS shard_text
+            FROM s GROUP BY shard_id
+        """,
         "pack_shards_bpe": """
             WITH t AS (
               SELECT doc_id,
@@ -1637,6 +1710,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         **_multimodal_oracles(),
+        **_linkgraph_oracles(),
+    }
+
+
+def _linkgraph_oracles() -> dict[str, str]:
+    """Formula-derived oracles for the linked-pages corpus (see
+    _linked_pages_links_sql) — self-contained SQL, no filesystem
+    reads, n matching _linked_pages (sf * 10_000)."""
+    n = max(int(_tools_import().oracle_sf() * 10_000), 10)
+    return {
+        "outlinks": (
+            "SELECT src_url, dst_url, href FROM ("
+            + _linked_pages_links_sql(n)
+            + ")"
+        ),
+        "host_pagerank": _host_pagerank_oracle(n, n_iters=5),
     }
 
 
@@ -1849,6 +1938,71 @@ def _training_corpus_oracle() -> str:
                CAST(floor(cum_before / 2048.0) AS BIGINT) AS shard_id
         FROM c6
     """
+
+
+def _linked_pages_links_sql(n: int) -> str:
+    """Expected outlink rows of the synth_linked_html(n) corpus,
+    derived from the GENERATING FORMULA (page i links to
+    (i*7 + j + 1) % n for j in range(i % 4); host = i % 20) — pure
+    arithmetic, no HTML parsing, so it is independent of the DOM
+    walker under test. Columns (i, dst, src_url, dst_url, href)."""
+    return f"""
+        SELECT i, dst,
+               'https://host' || (i % 20) || '.example.com/page/' || i AS src_url,
+               'https://host' || (dst % 20) || '.example.com/page/' || dst AS dst_url,
+               CASE WHEN dst % 20 = i % 20 THEN '/page/' || dst
+                    ELSE 'https://host' || (dst % 20) || '.example.com/page/' || dst
+               END AS href
+        FROM (
+          SELECT i, (i*7 + j + 1) % {n} AS dst
+          FROM (SELECT i, unnest(range(0, i % 4)) AS j
+                FROM range(0, {n}) t(i)
+                WHERE i % 4 > 0))
+    """
+
+
+def _host_pagerank_oracle(n: int, n_iters: int = 5) -> str:
+    """DuckDB twin of host_pagerank over the formula-derived edges:
+    the IDENTICAL integer recurrence (rank*1e12 BIGINT, integer
+    division everywhere), unrolled as chained CTEs (standard SQL
+    forbids aggregation in a recursive term). Exact integer arithmetic
+    makes the comparison bit-deterministic — no float tolerance."""
+    scale = 10**12
+    ctes = [
+        f"links AS ({_linked_pages_links_sql(n)})",
+        """e AS (
+          SELECT 'host' || (i % 20) || '.example.com' AS src_host,
+                 'host' || (dst % 20) || '.example.com' AS dst_host,
+                 count(*)::BIGINT AS n_links
+          FROM links GROUP BY 1, 2)""",
+        """hosts AS (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM e
+            UNION ALL SELECT dst_host FROM e))""",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM hosts)",
+        """deg AS (
+          SELECT src_host, sum(n_links)::BIGINT AS out_total
+          FROM e GROUP BY 1)""",
+        f"""r0 AS (
+          SELECT host, ({scale} // n)::BIGINT AS rank_e12
+          FROM hosts, nn)""",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(f"""r{k} AS (
+          SELECT h.host,
+                 (({15 * scale} // (100 * nn.n))
+                  + (85 * coalesce(x.inc, 0)) // 100)::BIGINT AS rank_e12
+          FROM hosts h CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst_host AS host,
+                   sum((r.rank_e12 * e.n_links) // d.out_total)::BIGINT AS inc
+            FROM r{k - 1} r
+            JOIN deg d ON r.host = d.src_host
+            JOIN e ON e.src_host = d.src_host
+            GROUP BY 1) x ON x.host = h.host)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT host, rank_e12 FROM r{n_iters}"
+    )
 
 
 def _media_inline_sql(n: int, seed: int = 42) -> str:

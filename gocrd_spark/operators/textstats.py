@@ -500,6 +500,43 @@ def pack_shards(
     )
 
 
+def materialize_shards(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    bucket_size: int = 1000,
+    token_mode: str = "whitespace",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialized training shards: the :func:`pack_shards` layout
+    turned into the actual trainer input — one row per shard with the
+    member documents concatenated in doc_id order (``sep`` between
+    docs, the doc-boundary marker a tokenizer maps to EOS/BOS).
+
+    Scale shape: the per-shard group is bounded by construction — a
+    shard holds ~``budget_tokens`` tokens no matter how large the
+    corpus, so the collect_list inside each group is O(budget), never
+    O(corpus); the only shuffle beyond pack_shards' own is the
+    (shard_id, doc_id, text) exchange that any shard writer pays.
+    array_sort on (doc_id, text) structs gives deterministic in-shard
+    order without a window.
+
+    Returns (shard_id, n_docs, n_tokens, shard_text).
+    """
+    packed = pack_shards(docs, budget_tokens, bucket_size, token_mode)
+    joined = docs.select("doc_id", "text").join(packed, "doc_id")
+    return joined.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            sep,
+        ).alias("shard_text"),
+    )
+
+
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     """Perplexity-proxy quality score: each document's mean unigram
     log-probability under the corpus's OWN unigram LM — the cheap,

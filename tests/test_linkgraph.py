@@ -1,0 +1,176 @@
+"""Link graph: DOM-walker outlink extraction (script-CDATA blindness,
+relative-href resolution, malformed tolerance), weighted host edges,
+and integer-exact PageRank (hand-computed planted graph, partitioning
+independence, mass accounting)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+PAGE = """
+<html><head><title>x</title>
+<script>var s = '<a href="https://fake.example.com/">not a link</a>';</script>
+</head><body>
+<p><a href="https://a.example.com/1">one</a></p>
+<p><a href="/rel/2">two</a></p>
+<p><a href="../up/3">three</a></p>
+<p><a name="anchor-without-href">none</a></p>
+<p><a href="https://a.example.com/1">one again</a></p>
+<!-- <a href="https://comment.example.com/">commented out</a> -->
+</body></html>
+"""
+
+
+class TestParseOutlinks:
+    def test_resolution_and_blind_spots(self):
+        """Relative hrefs resolve against the page URL; anchors without
+        href, script-string fakes and commented-out anchors are all
+        invisible; duplicates are KEPT (multiplicity feeds the weighted
+        graph)."""
+        from gocrd_spark.operators.linkgraph import parse_outlinks
+
+        got = parse_outlinks("https://b.example.com/dir/page.html", PAGE.encode())
+        assert [dst for dst, _ in got] == [
+            "https://a.example.com/1",
+            "https://b.example.com/rel/2",
+            "https://b.example.com/up/3",
+            "https://a.example.com/1",
+        ]
+        # raw hrefs preserved alongside
+        assert [href for _, href in got] == [
+            "https://a.example.com/1", "/rel/2", "../up/3",
+            "https://a.example.com/1",
+        ]
+
+    def test_garbage_and_empty(self):
+        from gocrd_spark.operators.linkgraph import parse_outlinks
+
+        assert parse_outlinks("https://x.com/", b"\xff\xfe not html at all") == []
+        assert parse_outlinks("https://x.com/", b"") == []
+        # tag soup: parser is tolerant, collects what it can
+        soup = b"<a href='https://y.com/1'><p><a href='https://y.com/2'"
+        dsts = [d for d, _ in parse_outlinks("https://x.com/", soup)]
+        assert "https://y.com/1" in dsts
+
+
+class TestHostGraph:
+    def test_edges_weighted_and_null_dropped(self, spark):
+        from gocrd_spark.operators.linkgraph import host_edges
+
+        links = spark.createDataFrame(
+            [
+                ("https://a.com/p1", "https://b.com/x", "x"),
+                ("https://a.com/p2", "https://b.com/y", "y"),
+                ("https://a.com/p1", "https://a.com/self", "self"),
+                ("https://a.com/p1", "not a url", "bad"),
+                ("garbage", "https://b.com/z", "bad-src"),
+            ],
+            "src_url string, dst_url string, href string",
+        )
+        got = {
+            (r.src_host, r.dst_host): r.n_links for r in host_edges(links).collect()
+        }
+        assert got == {("a.com", "b.com"): 2, ("a.com", "a.com"): 1}
+
+    def test_pagerank_planted_two_hosts(self, spark):
+        """Hand-computed recurrence on a 2-host graph (a -> b only):
+        N=2, scale=1e12. r0 = 5e11 each. Iter: a gets only base
+        (no inlinks); b gets base + 85% of a's full rank (a's single
+        outlink carries rank*1/1 = rank).
+
+        base = 15e12 // 200 = 75_000_000_000.
+        a1 = base. b1 = base + (85 * 5e11) // 100 = base + 425e9.
+        a2 = base. b2 = base + (85 * a1) // 100 = base + (85*75e9)//100
+           = 75e9 + 63_750_000_000 = 138_750_000_000.
+        """
+        from gocrd_spark.operators.linkgraph import host_pagerank
+
+        edges = spark.createDataFrame(
+            [("a.com", "b.com", 1)], "src_host string, dst_host string, n_links long"
+        )
+        got1 = {
+            r.host: r.rank_e12 for r in host_pagerank(edges, n_iters=1).collect()
+        }
+        base = (15 * 10**12) // 200
+        assert got1 == {
+            "a.com": base,
+            "b.com": base + (85 * (10**12 // 2)) // 100,
+        }
+        got2 = {
+            r.host: r.rank_e12 for r in host_pagerank(edges, n_iters=2).collect()
+        }
+        assert got2 == {"a.com": base, "b.com": base + (85 * base) // 100}
+
+    def test_pagerank_partitioning_independent(self, spark):
+        """The integer recurrence must give IDENTICAL ranks regardless
+        of input partitioning — the property that makes the DuckDB
+        hash-compare sound (BIGINT sums are order-independent; double
+        sums would not be)."""
+        from gocrd_spark.operators.linkgraph import (
+            extract_outlinks,
+            host_edges,
+            host_pagerank,
+            synth_linked_html,
+        )
+
+        rows = [(r["url"], bytearray(r["html"])) for r in synth_linked_html(80)]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        edges = host_edges(extract_outlinks(pages))
+        one = {
+            r.host: r.rank_e12
+            for r in host_pagerank(edges.coalesce(1), n_iters=5).collect()
+        }
+        many = {
+            r.host: r.rank_e12
+            for r in host_pagerank(edges.repartition(13), n_iters=5).collect()
+        }
+        assert one == many and len(one) == 20
+
+    def test_pagerank_mass_bounded(self, spark):
+        """Total rank never exceeds the scale (integer truncation and
+        dropped dangling mass only LOSE mass) and stays positive."""
+        from gocrd_spark.operators.linkgraph import (
+            extract_outlinks,
+            host_edges,
+            host_pagerank,
+            synth_linked_html,
+        )
+
+        rows = [(r["url"], bytearray(r["html"])) for r in synth_linked_html(60)]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        ranks = host_pagerank(host_edges(extract_outlinks(pages)), n_iters=5)
+        agg = ranks.agg(
+            F.sum("rank_e12").alias("total"), F.min("rank_e12").alias("mn")
+        ).collect()[0]
+        assert 0 < agg.total <= 10**12
+        assert agg.mn >= (15 * 10**12) // (100 * 20)  # every host >= base
+
+
+class TestSynthFormulaPin:
+    def test_dom_walk_equals_formula(self, spark):
+        """The Spark DOM-walk outlink set over synth_linked_html equals
+        the generating formula — the same independence the driver
+        oracle relies on, pinned here at a size the driver never runs."""
+        from gocrd_spark.operators.linkgraph import (
+            extract_outlinks,
+            synth_linked_html,
+        )
+
+        n = 53
+        rows = [(r["url"], bytearray(r["html"])) for r in synth_linked_html(n)]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        got = {
+            (r.src_url, r.dst_url)
+            for r in extract_outlinks(pages).collect()
+        }
+        want = set()
+        for i in range(n):
+            for j in range(i % 4):
+                d = (i * 7 + j + 1) % n
+                want.add(
+                    (
+                        f"https://host{i % 20}.example.com/page/{i}",
+                        f"https://host{d % 20}.example.com/page/{d}",
+                    )
+                )
+        assert got == want

@@ -1083,6 +1083,34 @@ class TestPackShards:
         }
         assert got == {0: (5, 0), 1: (5, 0), 2: (5, 1)}
 
+    def test_materialize_planted(self, spark):
+        """materialize_shards concatenates the pack_shards layout in
+        doc_id order with the separator: budget 10 over the planted
+        docs puts 0,1,2 in shard 0, 3 in shard 1, 4 in shard 2."""
+        from gocrd_spark.operators.textstats import materialize_shards
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d"),
+                (1, "a b c d e"),
+                (2, "a b c"),
+                (3, "a b c d e f g h i"),
+                (4, "a b"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.shard_id: (r.n_docs, r.n_tokens, r.shard_text)
+            for r in materialize_shards(
+                docs, budget_tokens=10, bucket_size=2
+            ).collect()
+        }
+        assert got == {
+            0: (3, 12, "a b c d\n\na b c d e\n\na b c"),
+            1: (1, 9, "a b c d e f g h i"),
+            2: (1, 2, "a b"),
+        }
+
     def test_bpe_mode_matches_token_stats_bpe_counts(self, docs):
         """The bpe budget unit must be EXACTLY token_stats_bpe's count
         (the wiring the verdict asked for), and unknown modes raise."""
