@@ -144,11 +144,19 @@ def host_pagerank(
 
     N (host count) rides a broadcast singleton — no driver count().
     Returns (host, rank_e12) for every host in the graph.
+
+    The edge lineage is localCheckpoint-truncated ONCE at entry: the
+    loop references hosts/weighted every iteration, and without the
+    cut Spark would replay the upstream plan (at crawl scale, the DOM
+    walk over every page) once per consumer per round — caught by the
+    plan audit, pinned by test_scale_plans.
     """
+    edges = edges.localCheckpoint(eager=True)
     hosts = (
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_df = hosts.agg(F.count(F.lit(1)).alias("n_hosts"))
     base = F.expr(f"{15 * PAGERANK_SCALE} div (100 * n_hosts)")
@@ -156,7 +164,7 @@ def host_pagerank(
         "host", F.expr(f"{PAGERANK_SCALE} div n_hosts").alias("rank_e12")
     )
     deg = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
-    weighted = edges.join(deg, "src_host")
+    weighted = edges.join(deg, "src_host").localCheckpoint(eager=True)
     for i in range(n_iters):
         inc = (
             ranks.join(weighted, ranks.host == weighted.src_host)

@@ -315,3 +315,23 @@ class TestRound3PlanShapes:
 
         plan = _plan(pack_shards(docs, budget_tokens=2048, bucket_size=64))
         assert "windowspecdefinition(bucket#" in plan
+
+    def test_host_pagerank_never_replays_extraction(self, spark):
+        """The PageRank loop's final plan must source from the
+        checkpointed edge tables (Scan ExistingRDD), NEVER re-running
+        the upstream DOM-walk lineage — without the entry checkpoint
+        the plan contained one MapInPandas per consumer per iteration
+        (caught by the round-4 plan audit)."""
+        from gocrd_spark.operators.linkgraph import (
+            extract_outlinks,
+            host_edges,
+            host_pagerank,
+            synth_linked_html,
+        )
+
+        rows = [(r["url"], bytearray(r["html"])) for r in synth_linked_html(40)]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        ranks = host_pagerank(host_edges(extract_outlinks(pages)), n_iters=5)
+        plan = _plan(ranks)
+        assert "MapInPandas" not in plan
+        assert "ExistingRDD" in plan
