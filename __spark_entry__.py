@@ -503,6 +503,39 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges, n_iters=5).select("host", "rank_e12")
 
 
+def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist cut over formula-derived URLs (deep subdomains
+    exercise the parent-domain suffix match; every 5th URL is malformed
+    and must never be blocked). Oracle: the same formula in pure SQL
+    arithmetic — no URL parsing, independent of try_parse_url and the
+    suffix-explode join."""
+    from gocrd_spark.operators.urls import url_blocklist_filter
+
+    d = F.col("doc_id")
+    mod10 = (d % 10).cast("string")
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(d % 5 == 4, F.concat(F.lit("not a url "), d.cast("string")))
+        .when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("https://sub.host"), mod10, F.lit(".example.com/p/"),
+                d.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://host"), mod10, F.lit(".example.com/p/"),
+                d.cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    return url_blocklist_filter(
+        urls, ["host3.example.com", "host7.example.com", "unused.org"]
+    )
+
+
 def _q_materialize_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed shards materialized to trainer input text: per-shard
     doc_id-ordered concatenation. Oracle: DuckDB single-node cumsum +
@@ -859,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web link graph (crawl-curation ranking)
         "outlinks": _q_outlinks,
         "host_pagerank": _q_host_pagerank,
+        "url_blocklist": _q_url_blocklist,
         "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
         "extracted_quality": _q_extracted_quality,
@@ -1726,6 +1760,23 @@ def _linkgraph_oracles() -> dict[str, str]:
             + ")"
         ),
         "host_pagerank": _host_pagerank_oracle(n, n_iters=5),
+        "url_blocklist": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 4 THEN 'not a url ' || doc_id
+                          WHEN doc_id % 5 = 0 THEN 'https://sub.host' || (doc_id % 10) || '.example.com/p/' || doc_id
+                          ELSE 'https://host' || (doc_id % 10) || '.example.com/p/' || doc_id
+                     END AS url
+              FROM documents)
+            SELECT doc_id, url,
+                   CASE WHEN doc_id % 5 = 4 THEN NULL
+                        WHEN doc_id % 5 = 0 THEN 'sub.host' || (doc_id % 10) || '.example.com'
+                        ELSE 'host' || (doc_id % 10) || '.example.com'
+                   END AS host,
+                   CASE WHEN doc_id % 5 <> 4 AND (doc_id % 10) IN (3, 7)
+                        THEN 1 ELSE 0 END::BIGINT AS blocked
+            FROM u
+        """,
     }
 
 

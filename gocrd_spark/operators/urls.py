@@ -114,3 +114,72 @@ def url_dedup(
             .alias("keep"),
         )
     )
+
+
+def host_suffixes(host: Column) -> Column:
+    """Array of registrable suffixes of a lowercased host, most-specific
+    first: ``a.b.c.com`` -> [a.b.c.com, b.c.com, c.com, com]. Pure
+    built-ins (split + transform over the label array); a NULL host
+    yields an empty array."""
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+    return F.when(host.isNull(), F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
+        )
+    )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocked_hosts: list[str],
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain blocklist filtering — the spam/adult/SEO-farm domain cut
+    every crawl-curation pipeline runs before content-level quality
+    scoring. A row is blocked when its URL's host OR ANY parent domain
+    of it is on the list (``blocked_hosts`` entries are exact
+    registrable domains: listing ``evil.com`` blocks ``a.evil.com``).
+
+    Scale shape: the host explodes into its <=|labels| suffixes (a
+    bounded explode — hosts have a handful of labels) and left-semi
+    joins the BROADCAST blocklist, so the candidate path shuffles ids
+    only (the distinct on hit ids); the final label-back join carries
+    (id, url, host) — the URL table, never document content — and is
+    AQE-broadcastable when hits are rare (the typical blocklist case).
+    The blocklist itself rides as broadcast DATA, not plan literals
+    (same plan-size rule as the sampling rate table and the LSH
+    planes), so a million-domain list leaves the plan constant.
+    Malformed URLs (NULL host) are never blocked — they flow to the
+    malformed handling of downstream operators instead of being
+    silently eaten here.
+
+    Returns every input row labeled: (id, url, host, blocked 0/1).
+    """
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(b.lower(),) for b in sorted(set(blocked_hosts))], "suffix string"
+    )
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(url_col).alias("_url"),
+        host.alias("host"),
+    )
+    hits = (
+        keyed.select("_id", F.explode(host_suffixes(F.col("host"))).alias("suffix"))
+        .join(F.broadcast(bl), "suffix", "left_semi")
+        .select("_id")
+        .distinct()
+    )
+    return (
+        keyed.join(hits.withColumn("_hit", F.lit(1)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_url").alias(url_col),
+            "host",
+            F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("blocked"),
+        )
+    )

@@ -393,6 +393,57 @@ class TestRemoveDuplicateSpans:
         assert got[0] == "a b c d e f x y z" and got[1] == "p q r"
 
 
+class TestUrlBlocklist:
+    def test_suffix_semantics(self, spark):
+        """Blocked: exact host AND any subdomain of a listed domain;
+        NOT blocked: sibling domains, partial-label overlaps
+        ('notevil.com' vs 'evil.com'), malformed URLs (NULL host)."""
+        from gocrd_spark.operators.urls import url_blocklist_filter
+
+        rows = [
+            (0, "https://evil.com/x"),             # exact -> blocked
+            (1, "https://a.b.evil.com/x"),         # subdomain -> blocked
+            (2, "https://EVIL.com:8080/x"),        # case/port -> blocked
+            (3, "https://notevil.com/x"),          # label boundary -> kept
+            (4, "https://evil.com.safe.org/x"),    # suffix ends .org -> kept
+            (5, "not a url"),                      # malformed -> kept
+            (6, "https://fine.example.net/x"),     # unrelated -> kept
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {
+            r.doc_id: (r.blocked, r.host)
+            for r in url_blocklist_filter(df, ["evil.com"]).collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == {
+            0: 1, 1: 1, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0,
+        }
+        assert got[5][1] is None and got[1][1] == "a.b.evil.com"
+
+    def test_host_suffixes(self, spark):
+        from gocrd_spark.operators.urls import host_suffixes
+
+        df = spark.createDataFrame(
+            [("a.b.c.com",), (None,)], "h string"
+        ).select(host_suffixes(F.col("h")).alias("s"))
+        got = [r.s for r in df.collect()]
+        assert got[0] == ["a.b.c.com", "b.c.com", "c.com", "com"]
+        assert got[1] == []
+
+    def test_blocklist_rides_as_data(self, spark):
+        """A 5000-domain blocklist must not blow up the plan (broadcast
+        DATA, not literals) — same rule as the sampling rate table."""
+        from gocrd_spark.operators.urls import url_blocklist_filter
+
+        df = spark.createDataFrame(
+            [(0, "https://x.com/")], "doc_id long, url string"
+        )
+        small = url_blocklist_filter(df, ["a.com"])
+        big = url_blocklist_filter(df, [f"d{i}.com" for i in range(5000)])
+        p_small = small._jdf.queryExecution().executedPlan().toString()
+        p_big = big._jdf.queryExecution().executedPlan().toString()
+        assert abs(len(p_big) - len(p_small)) < 400
+
+
 class TestUrlDedup:
     def test_canonicalization_rules(self, spark):
         """Scheme/host case, default ports, empty path, query order,
