@@ -503,6 +503,23 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges, n_iters=5).select("host", "rank_e12")
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher quality rules, exact-integer thresholds (3n <=
+    chars <= 10n etc. — no float in any keep decision)."""
+    from gocrd_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning: terminal-punctuation + >=5-word lines
+    kept, lorem-ipsum/brace documents flagged, rewritten text
+    compared verbatim."""
+    from gocrd_spark.operators.textstats import c4_line_filter
+
+    return c4_line_filter(_docs(spark, sf_dir))
+
+
 def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist cut over formula-derived URLs (deep subdomains
     exercise the parent-domain suffix match; every 5th URL is malformed
@@ -893,6 +910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": _q_outlinks,
         "host_pagerank": _q_host_pagerank,
         "url_blocklist": _q_url_blocklist,
+        # published-standard quality filters
+        "gopher_rules": _q_gopher_rules,
+        "c4_line_filter": _q_c4_line_filter,
         "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
         "extracted_quality": _q_extracted_quality,
@@ -1760,6 +1780,66 @@ def _linkgraph_oracles() -> dict[str, str]:
             + ")"
         ),
         "host_pagerank": _host_pagerank_oracle(n, n_iters=5),
+        "gopher_rules": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+                     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                 l -> l <> '') AS ln
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(w)::BIGINT AS n_words,
+                     len(ln)::BIGINT AS n_lines,
+                     coalesce(list_sum(list_transform(w, x -> length(x))), 0)::BIGINT AS chars,
+                     ((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3
+                      + (length(text) - length(replace(text, '…', ''))))::BIGINT AS symbols,
+                     len(list_filter(ln, l -> regexp_matches(l, '^[-*•]')))::BIGINT AS bullets,
+                     len(list_filter(ln, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::BIGINT AS ellipsis,
+                     len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha,
+                     len(list_filter(w, x -> lower(x) IN
+                       ('the','be','to','of','and','that','have','with')))::BIGINT AS stops
+              FROM t)
+            SELECT doc_id, n_words, n_lines,
+                   (n_words >= 50 AND n_words <= 100000)::BIGINT AS flag_word_count,
+                   (3*n_words <= chars AND chars <= 10*n_words)::BIGINT AS flag_mean_word_len,
+                   (10*symbols <= n_words)::BIGINT AS flag_symbol_ratio,
+                   (10*bullets <= 9*n_lines)::BIGINT AS flag_bullet_lines,
+                   (10*ellipsis <= 3*n_lines)::BIGINT AS flag_ellipsis_lines,
+                   (5*alpha >= 4*n_words)::BIGINT AS flag_alpha_words,
+                   (stops >= 2)::BIGINT AS flag_stopwords,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND 3*n_words <= chars AND chars <= 10*n_words
+                    AND 10*symbols <= n_words
+                    AND 10*bullets <= 9*n_lines
+                    AND 10*ellipsis <= 3*n_lines
+                    AND 5*alpha >= 4*n_words
+                    AND stops >= 2)::BIGINT AS keep
+            FROM m
+        """,
+        "c4_line_filter": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                 l -> l <> '') AS ln
+              FROM documents),
+            k AS (
+              SELECT doc_id, ln,
+                     list_filter(ln, l -> regexp_matches(l, '[.!?"]$')
+                       AND len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5
+                       AND NOT contains(lower(l), 'javascript')) AS kept,
+                     contains(lower(text), 'lorem ipsum') AS lorem,
+                     contains(text, '{') AS brace
+              FROM t)
+            SELECT doc_id, len(ln)::BIGINT AS n_lines,
+                   len(kept)::BIGINT AS n_kept_lines,
+                   lorem::BIGINT AS has_lorem, brace::BIGINT AS has_brace,
+                   (len(kept) >= 3 AND NOT lorem AND NOT brace)::BIGINT AS keep,
+                   -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                   coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+            FROM k
+        """,
         "url_blocklist": """
             WITH u AS (
               SELECT doc_id,

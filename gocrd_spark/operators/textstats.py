@@ -500,6 +500,163 @@ def pack_shards(
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Table A1 shape): the
+    published doc-level heuristics a production web corpus applies
+    before model-based filtering. Every threshold compares EXACT
+    integers (cross-multiplied ratios — ``mean word length in [3,10]``
+    is ``3n <= total_chars <= 10n`` — never a float), so keep/drop is
+    bit-deterministic across engines and partitionings.
+
+    Rules (each its own flag; ``keep`` = all pass):
+    - 50 <= word count <= 100_000
+    - mean word length in [3, 10]            (3n <= chars <= 10n)
+    - symbol-to-word ratio <= 0.1            (10 * symbols <= words;
+      symbols = '#' chars + '...' + '…' occurrences)
+    - lines starting with a bullet <= 90%    (10 * bullets <= 9 * lines)
+    - lines ending with an ellipsis <= 30%   (10 * ellipsis <= 3 * lines)
+    - words containing an alphabetic char >= 80%  (5 * alpha >= 4 * n)
+    - >= 2 stopwords of a fixed 8-word list
+
+    All JVM expressions (splits + HOF filters + replace-count), one
+    narrow map — no shuffle, no UDF. Returns (doc_id, n_words,
+    n_lines, flag_* 0/1 each, keep 0/1).
+    """
+    toks = _tokens(F.col("text"))
+    t = F.col("_t")
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    ln = F.col("_lines")
+    base = docs.select(
+        "doc_id",
+        "text",
+        toks.alias("_t"),
+        lines.alias("_lines"),
+    ).select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_words"),
+        F.size(ln).cast("long").alias("n_lines"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("_chars"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", r"#", "")))
+            + (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+            )
+            / 3
+            + (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "…", ""))
+            )
+        )
+        .cast("long")
+        .alias("_symbols"),
+        F.size(
+            F.filter(ln, lambda l: l.rlike(r"^[-*•]"))
+        )
+        .cast("long")
+        .alias("_bullets"),
+        F.size(
+            F.filter(ln, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        )
+        .cast("long")
+        .alias("_ellipsis"),
+        F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("_alpha"),
+        F.size(
+            F.filter(
+                t, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS)
+            )
+        )
+        .cast("long")
+        .alias("_stops"),
+    )
+    flags = {
+        "flag_word_count": (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000),
+        "flag_mean_word_len": (3 * F.col("n_words") <= F.col("_chars"))
+        & (F.col("_chars") <= 10 * F.col("n_words")),
+        "flag_symbol_ratio": 10 * F.col("_symbols") <= F.col("n_words"),
+        "flag_bullet_lines": 10 * F.col("_bullets") <= 9 * F.col("n_lines"),
+        "flag_ellipsis_lines": 10 * F.col("_ellipsis") <= 3 * F.col("n_lines"),
+        "flag_alpha_words": 5 * F.col("_alpha") >= 4 * F.col("n_words"),
+        "flag_stopwords": F.col("_stops") >= 2,
+    }
+    out = base
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond.cast("long"))
+    keep_cond = None
+    for name in flags:
+        c = F.col(name) == 1
+        keep_cond = c if keep_cond is None else keep_cond & c
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        *[F.col(n) for n in flags],
+        keep_cond.cast("long").alias("keep"),
+    )
+
+
+def c4_line_filter(docs: DataFrame) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in a terminal punctuation mark (.!?") and contain
+    >= 5 words; flag documents carrying boilerplate markers ('lorem
+    ipsum', '{' — code leakage, 'javascript' warnings in a dropped
+    line is C4's rule, here the doc flag counts any line mentioning
+    it); a document survives when >= 3 lines remain and no marker
+    fired. Rewritten text = kept lines joined by newline.
+
+    Exact string/integer ops only — both engines agree bit-for-bit.
+    Returns (doc_id, n_lines, n_kept_lines, has_lorem, has_brace,
+    keep, text_clean).
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda l: l.rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+            >= 5
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    return (
+        docs.select("doc_id", "text", lines.alias("_lines"))
+        .select(
+            "doc_id",
+            F.size("_lines").cast("long").alias("n_lines"),
+            kept.alias("_kept"),
+            F.lower(F.col("text")).contains("lorem ipsum").alias("_lorem"),
+            F.col("text").contains("{").alias("_brace"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.size("_kept").cast("long").alias("n_kept_lines"),
+            F.col("_lorem").cast("long").alias("has_lorem"),
+            F.col("_brace").cast("long").alias("has_brace"),
+            (
+                (F.size("_kept") >= 3) & ~F.col("_lorem") & ~F.col("_brace")
+            )
+            .cast("long")
+            .alias("keep"),
+            F.array_join("_kept", "\n").alias("text_clean"),
+        )
+    )
+
+
 def materialize_shards(
     docs: DataFrame,
     budget_tokens: int = 2048,

@@ -393,6 +393,82 @@ class TestRemoveDuplicateSpans:
         assert got[0] == "a b c d e f x y z" and got[1] == "p q r"
 
 
+class TestGopherRules:
+    def test_planted_rules(self, spark):
+        from gocrd_spark.operators.textstats import gopher_rules
+
+        good = " ".join(
+            ["the", "be", "to", "of"] + [f"word{i:02d}" for i in range(56)]
+        )  # 60 words, stopwords present, mean len ~5.5, no symbols
+        short = "only three words"
+        bullets = "\n".join(f"- item {i} here" for i in range(10))
+        symbols = " ".join(["woo###"] * 60)
+        docs = spark.createDataFrame(
+            [(0, good), (1, short), (2, bullets), (3, symbols)],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+        assert got[0].keep == 1 and all(
+            getattr(got[0], f) == 1
+            for f in (
+                "flag_word_count", "flag_mean_word_len", "flag_symbol_ratio",
+                "flag_bullet_lines", "flag_ellipsis_lines",
+                "flag_alpha_words", "flag_stopwords",
+            )
+        )
+        assert got[1].flag_word_count == 0 and got[1].keep == 0
+        assert got[2].flag_bullet_lines == 0  # 10/10 bullet lines > 90%
+        assert got[3].flag_symbol_ratio == 0  # 3 '#' per word
+
+    def test_integer_boundaries(self, spark):
+        """Thresholds are EXACT: mean word length exactly 3.0 passes
+        (3n == chars), exactly 10.0 passes, one char outside fails."""
+        from gocrd_spark.operators.textstats import gopher_rules
+
+        exactly3 = " ".join(["the"] * 50)  # 50 words x 3 chars: 3n == chars
+        docs = spark.createDataFrame(
+            [(0, exactly3)], "doc_id long, text string"
+        )
+        r = gopher_rules(docs).collect()[0]
+        assert r.flag_mean_word_len == 1 and r.n_words == 50
+
+
+class TestC4LineFilter:
+    def test_planted_lines(self, spark):
+        from gocrd_spark.operators.textstats import c4_line_filter
+
+        text = "\n".join(
+            [
+                "This line has exactly five words.",   # kept
+                "Four words no good.",                  # < 5 words
+                "this line has five words no punct",   # no terminal punct
+                'Please enable javascript to view this.',  # javascript
+                "Another proper sentence with enough words!",  # kept
+                'A third proper sentence with plenty of words?',  # kept
+            ]
+        )
+        docs = spark.createDataFrame(
+            [
+                (0, text),
+                (1, text + "\nlorem ipsum dolor"),
+                (2, text + "\nif (x) { return; }"),
+                (3, "too short.\nno."),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+        assert got[0].n_lines == 6 and got[0].n_kept_lines == 3
+        assert got[0].keep == 1
+        assert got[0].text_clean.split("\n") == [
+            "This line has exactly five words.",
+            "Another proper sentence with enough words!",
+            "A third proper sentence with plenty of words?",
+        ]
+        assert got[1].has_lorem == 1 and got[1].keep == 0
+        assert got[2].has_brace == 1 and got[2].keep == 0
+        assert got[3].n_kept_lines == 0 and got[3].text_clean == ""
+
+
 class TestUrlBlocklist:
     def test_suffix_semantics(self, spark):
         """Blocked: exact host AND any subdomain of a listed domain;
