@@ -503,6 +503,46 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges, n_iters=5).select("host", "rank_e12")
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-set containment (|A∩B|/|A|) — the near-subset
+    duplication Jaccard misses. Exact co-occurrence mode (the
+    certification path; the crawl-scale candidate mode's LSH-recall
+    caveat is documented on the operator)."""
+    from gocrd_spark.operators.dedup import containment_pairs
+
+    out = containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return out.select(
+        "doc_id",
+        "other_id",
+        F.round(F.col("containment") * 1_000_000).cast("long").alias(
+            "containment_e6"
+        ),
+    )
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff over two formula-derived snapshots of the
+    documents table (every 10th doc gone, every 10th new, every 3rd
+    changed). Oracle classifies from the generating formula via text
+    equality — independent of the digest comparison under test."""
+    from gocrd_spark.operators.urls import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    old = docs.filter(d % 10 != 9).select(
+        d.cast("string").alias("url"), F.col("text").alias("html")
+    )
+    new = docs.filter(d % 10 != 0).select(
+        d.cast("string").alias("url"),
+        F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("html"),
+    )
+    return snapshot_diff(old, new).select(
+        "url", "status", "old_digest", "new_digest"
+    )
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Published Gopher quality rules, exact-integer thresholds (3n <=
     chars <= 10n etc. — no float in any keep decision)."""
@@ -913,6 +953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # published-standard quality filters
         "gopher_rules": _q_gopher_rules,
         "c4_line_filter": _q_c4_line_filter,
+        # asymmetric dedup + crawl increments
+        "containment_pairs": _q_containment,
+        "snapshot_diff": _q_snapshot_diff,
         "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
         "extracted_quality": _q_extracted_quality,
@@ -1780,6 +1823,51 @@ def _linkgraph_oracles() -> dict[str, str]:
             + ")"
         ),
         "host_pagerank": _host_pagerank_oracle(n, n_iters=5),
+        "containment_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 3
+                       THEN list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE [array_to_string(t, ' ')] END) AS shingles
+              FROM toks),
+            ex AS (
+              SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+                     count(*) AS n_inter
+              FROM ex a JOIN ex b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4),
+            d AS (
+              SELECT doc_a AS doc_id, doc_b AS other_id,
+                     round(n_inter::DOUBLE / na, 6) AS c
+              FROM inter
+              UNION ALL
+              SELECT doc_b, doc_a, round(n_inter::DOUBLE / nb, 6) FROM inter)
+            SELECT doc_id, other_id,
+                   CAST(round(c * 1000000) AS BIGINT) AS containment_e6
+            FROM d WHERE c >= 0.5
+        """,
+        "snapshot_diff": """
+            WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+            n AS (SELECT doc_id,
+                         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+                  FROM documents WHERE doc_id % 10 <> 0)
+            SELECT CAST(coalesce(o.doc_id, n.doc_id) AS VARCHAR) AS url,
+                   CASE WHEN o.doc_id IS NULL THEN 'new'
+                        WHEN n.doc_id IS NULL THEN 'gone'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   md5(o.text) AS old_digest,
+                   md5(n.text) AS new_digest
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
         "gopher_rules": """
             WITH t AS (
               SELECT doc_id, text,

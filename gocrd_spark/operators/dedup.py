@@ -204,6 +204,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """DIRECTED shingle-set containment: C(A→B) = |A∩B| / |A| — the
+    near-SUBSET duplication Jaccard misses (a short article embedded in
+    an aggregator page has containment ~1 but Jaccard ~|A|/|B| ~ 0).
+    Returns (doc_id, other_id, containment) rows for every ORDERED pair
+    with round(containment, 6) >= threshold; mutual near-dups emit both
+    directions.
+
+    ``candidates=None`` (exact mode): the ngram_jaccard_pairs
+    co-occurrence join, emitting both directions. ``candidates`` given:
+    verify only those (doc_a, doc_b) pairs — O(|candidates|) like
+    verify_jaccard_pairs. SCALE CAVEAT, documented loudly: banded
+    MinHash candidates recall by JACCARD, so high-containment /
+    low-Jaccard pairs (tiny doc inside huge doc) are NOT reliably
+    recalled by minhash_candidates — a crawl-scale containment pass
+    needs an asymmetric scheme (LSH Ensemble / partition-by-set-size)
+    or a rare-shingle candidate join; exact mode is the certification
+    path the driver oracle pins."""
+    if candidates is not None:
+        sh = shingle_docs(docs, n).select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("shingles"),
+        )
+        both = (
+            candidates.select("doc_a", "doc_b")
+            .distinct()
+            .join(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+                "doc_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+                "doc_b",
+            )
+            .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .select(
+                "doc_a", "doc_b", "n_inter",
+                F.size("sh_a").alias("na"), F.size("sh_b").alias("nb"),
+            )
+        )
+    else:
+        sh = shingle_docs(docs, n).withColumn("n_sh", F.size("shingles"))
+        exploded = sh.select(
+            "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+        )
+        a = exploded.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+        )
+        b = exploded.select(
+            F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+        )
+        both = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    fwd = both.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("other_id"),
+        F.round(F.col("n_inter").cast("double") / F.col("na"), 6).alias(
+            "containment"
+        ),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("other_id"),
+        F.round(F.col("n_inter").cast("double") / F.col("nb"), 6).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def minhash_signature(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
     """MinHash signature per document: for permutation i, the min of
     xxhash64(shingle, seed=i) over the shingle set. Pure built-ins —

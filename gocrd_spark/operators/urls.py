@@ -116,6 +116,49 @@ def url_dedup(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    payload_col: str = "html",
+) -> DataFrame:
+    """Crawl-snapshot diff: classify every key across two snapshots as
+    ``new`` (only in the new snapshot), ``gone`` (only in the old),
+    ``changed`` (both, payload digest differs) or ``unchanged`` — the
+    incremental-processing frontier a recurring crawl pipeline feeds to
+    downstream stages (reprocess new+changed, skip unchanged, retire
+    gone).
+
+    One full-outer equi-join on the key, comparing md5 digests computed
+    map-side — payload bytes never shuffle, only (key, 16-byte digest).
+    Returns (``key_col``, status, old_digest, new_digest).
+    """
+    def dig(df: DataFrame, alias: str) -> DataFrame:
+        # NULL payload gets a sentinel digest: presence in a snapshot
+        # must read as presence, or a failed-fetch row would classify
+        # its key as new/gone instead of changed/unchanged
+        d = F.coalesce(
+            F.md5(F.col(payload_col).cast("binary")), F.lit("__null__")
+        )
+        return df.select(F.col(key_col).alias("_k"), d.alias(alias))
+
+    joined = dig(old, "old_digest").join(
+        dig(new, "new_digest"), "_k", "full_outer"
+    )
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("new"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("_k").alias(key_col),
+        status.alias("status"),
+        "old_digest",
+        "new_digest",
+    )
+
+
 def host_suffixes(host: Column) -> Column:
     """Array of registrable suffixes of a lowercased host, most-specific
     first: ``a.b.c.com`` -> [a.b.c.com, b.c.com, c.com, com]. Pure

@@ -393,6 +393,89 @@ class TestRemoveDuplicateSpans:
         assert got[0] == "a b c d e f x y z" and got[1] == "p q r"
 
 
+class TestContainment:
+    def test_subset_case_jaccard_misses(self, spark):
+        """A short doc embedded verbatim in a long doc: containment
+        A→B = 1.0 while Jaccard is tiny — the exact case this operator
+        exists for."""
+        from gocrd_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        small = "alpha beta gamma delta epsilon"
+        big = small + " " + " ".join(f"filler{i} pad{i} text{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(0, small), (1, big), (2, "totally different words here")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id, r.other_id): r.containment
+            for r in containment_pairs(docs, n=3, threshold=0.9).collect()
+        }
+        assert got == {(0, 1): 1.0}  # directed: only A→B, not B→A
+        # and Jaccard at the same bar sees nothing
+        assert ngram_jaccard_pairs(docs, n=3, threshold=0.9).count() == 0
+
+    def test_candidate_mode_equals_exact_on_candidates(self, docs):
+        """Candidate mode must equal exact mode restricted to the given
+        pairs (the verify-only contract)."""
+        from gocrd_spark.operators.dedup import containment_pairs
+
+        exact = {
+            (r.doc_id, r.other_id): r.containment
+            for r in containment_pairs(docs, n=3, threshold=0.3).collect()
+        }
+        assert exact  # corpus plants qualifying pairs
+        cand_pairs = sorted(
+            {(min(a, b), max(a, b)) for a, b in exact}
+        )
+        cands = docs.sparkSession.createDataFrame(
+            cand_pairs, "doc_a long, doc_b long"
+        )
+        from_cands = {
+            (r.doc_id, r.other_id): r.containment
+            for r in containment_pairs(
+                docs, n=3, threshold=0.3, candidates=cands
+            ).collect()
+        }
+        assert from_cands == exact
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses_and_null_payload(self, spark):
+        from gocrd_spark.operators.urls import snapshot_diff
+
+        old = spark.createDataFrame(
+            [
+                ("a", b"same"),
+                ("b", b"v1"),
+                ("c", b"bye"),
+                ("d", None),
+            ],
+            "url string, html binary",
+        )
+        new = spark.createDataFrame(
+            [
+                ("a", b"same"),
+                ("b", b"v2"),
+                ("e", b"hello"),
+                ("d", None),
+            ],
+            "url string, html binary",
+        )
+        got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+        assert got == {
+            "a": "unchanged",
+            "b": "changed",
+            "c": "gone",
+            "e": "new",
+            # NULL payload present in both -> sentinel digest -> unchanged,
+            # NOT misclassified as new/gone
+            "d": "unchanged",
+        }
+
+
 class TestGopherRules:
     def test_planted_rules(self, spark):
         from gocrd_spark.operators.textstats import gopher_rules
