@@ -503,6 +503,44 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges, n_iters=5).select("host", "rank_e12")
 
 
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list:
+    """Train-once cache per sf_dir: bpe_merges and bpe_encode share the
+    same deterministic 24-merge training run (training is the expensive
+    half; the result is a tiny pure-Python list, safe to memoize)."""
+    from gocrd_spark.operators.bpe import bpe_train
+
+    m = _BPE_MERGES_CACHE.get(sf_dir)
+    if m is None:
+        m = bpe_train(_docs(spark, sf_dir), n_merges=24, min_pair_count=2)
+        _BPE_MERGES_CACHE[sf_dir] = m
+    return m
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: 24 merges learned from the
+    corpus word table (explode-pairs -> global top -> sequential-fold
+    apply per iteration). Golden: an independent single-node dict-
+    counter trainer (tools/oracle_twins.bpe_train) — same spec, fully
+    separate implementation."""
+    from gocrd_spark.operators.bpe import merges_df
+
+    return merges_df(spark, _bpe_merges_for(spark, sf_dir))
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE encoding of every document (GPT-2 lowest-rank-first
+    apply in an Arrow kernel with a per-batch word cache). Golden: the
+    twin encoder over the twin trainer's merges."""
+    from gocrd_spark.operators.bpe import bpe_encode
+
+    return bpe_encode(
+        _docs(spark, sf_dir), _bpe_merges_for(spark, sf_dir)
+    )
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle-set containment (|A∩B|/|A|) — the near-subset
     duplication Jaccard misses. Exact co-occurrence mode (the
@@ -956,6 +994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asymmetric dedup + crawl increments
         "containment_pairs": _q_containment,
         "snapshot_diff": _q_snapshot_diff,
+        # corpus-learned tokenizer
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
         "extracted_quality": _q_extracted_quality,
@@ -1654,6 +1695,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "winnowing_fingerprints": _ops_golden(
             "winnowing_fingerprints", "doc_id, n_fingerprints, min_fingerprint"
+        ),
+        "bpe_merges": _ops_golden("bpe_merges", "rank, left_sym, right_sym"),
+        "bpe_encode": _ops_golden(
+            "bpe_encode", "doc_id, n_tokens, n_unique_tokens"
         ),
         "ann_topk_brute": """
             WITH q AS (

@@ -1,0 +1,211 @@
+"""Distributed BPE tokenizer training + encoding — the
+learn-the-tokenizer-from-the-corpus step of an LLM data pipeline
+(Sennrich et al. 2016 word-level BPE; GPT-2-style rank-greedy apply).
+
+Design:
+
+- **Training works on the DISTINCT-WORD table, not the corpus**: the
+  classic trainer trick — pre-tokenize (whitespace, optional
+  lowercase), groupBy word -> frequency, and every merge iteration
+  touches |vocab| rows instead of |corpus| tokens. At crawl scale the
+  word table is still a DataFrame (1e8 distinct words is a small
+  shuffle of (word, freq, symbols)); the corpus itself is read ONCE.
+- **Each merge iteration** explodes adjacent symbol pairs (weighted by
+  word frequency), takes the global top pair (one-row driver collect —
+  O(n_merges) tiny actions, the same budget as the component loop's
+  convergence counts), and applies the merge map-side as a SEQUENTIAL
+  left fold over the symbol array (F.aggregate — greedy left-to-right,
+  exactly the single-node reference semantics). Lineage is
+  localCheckpoint-truncated per iteration: without the cut the symbol
+  column would nest one fold expression per merge and the planner
+  would blow up (same failure mode as connected_components).
+- **Encoding** is the one justified Pandas kernel: GPT-2's
+  lowest-rank-first merge loop per word, with a per-batch word cache
+  (real corpora repeat words heavily), Arrow-batched via mapInPandas.
+- Ties in pair counts break to the LEXICOGRAPHICALLY SMALLEST pair —
+  deterministic across engines and partitionings (counts are exact
+  BIGINTs; UTF-8 binary order == code-point order).
+
+Scope note: character splitting uses a regex position split, which
+operates on UTF-16 code units JVM-side — astral-plane characters
+(outside the BMP) would split into surrogate halves and differ from
+the pure-Python twin; the contract is BMP text (web-corpus pipelines
+normalize first). The twin (tools/oracle_twins.py) implements the same
+spec single-node with dict counters — an independent implementation,
+never this module.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker: lets BPE learn whole-word tokens
+
+MERGES_SCHEMA = "rank long, left_sym string, right_sym string"
+ENCODE_SCHEMA = "doc_id long, n_tokens long, n_unique_tokens long"
+
+
+def _word_table(docs: DataFrame, lowercase: bool) -> DataFrame:
+    text = F.lower(F.col("text")) if lowercase else F.col("text")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(text, r"\s+"), lambda x: x != "")
+        ).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # split keeps a trailing "" (zero-width match at end-of-string,
+    # limit=-1 semantics) — filter it or END attaches to a phantom char
+    chars = F.filter(F.split(F.col("word"), r"(?!^)"), lambda c: c != "")
+    n = F.size(chars)
+    symbols = F.concat(
+        F.slice(chars, 1, n - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(END))),
+    )
+    return freq.select("word", "freq", symbols.alias("symbols"))
+
+
+def _apply_merge(symbols, left: str, right: str):
+    """Greedy left-to-right merge of adjacent (left, right) into
+    left+right — a sequential F.aggregate fold, matching the reference
+    single-node semantics exactly ('aaa' under (a,a) -> [aa, a])."""
+    merged = left + right
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        # try_element_at: ANSI mode (Spark 4 default) makes plain
+        # element_at THROW on the empty accumulator's index -1
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 24,
+    min_pair_count: int = 2,
+    lowercase: bool = True,
+) -> list[tuple[int, str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    ordered merge list [(rank, left, right), ...] — small by
+    construction (vocab-building output, thousands of rows at most),
+    so it returns driver-side; persist it yourself or feed it straight
+    to :func:`bpe_encode` / :func:`merges_df`. Stops early when the
+    best remaining pair's corpus count drops below
+    ``min_pair_count``."""
+    words = _word_table(docs, lowercase).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("symbols") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("symbols") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("symbols"), i).alias("a"),
+                            F.element_at(F.col("symbols"), i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        left, right = top[0]["a"], top[0]["b"]
+        merges.append((rank, left, right))
+        words = words.withColumn(
+            "symbols", _apply_merge(F.col("symbols"), left, right)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def merges_df(spark, merges: list[tuple[int, str, str]]) -> DataFrame:
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """GPT-2-style apply: repeatedly merge ALL occurrences of the
+    lowest-rank adjacent pair until none of the pairs are ranked."""
+    if not word:
+        return []
+    sym = list(word[:-1]) + [word[-1] + END]
+    while len(sym) >= 2:
+        best = None
+        best_rank = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (sym[i], sym[i + 1]), r
+        if best is None:
+            break
+        a, b = best
+        out: list[str] = []
+        for x in sym:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        sym = out
+    return sym
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str]],
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize every document with a learned merge list. The merge
+    table ships inside the Arrow kernel closure (it is vocabulary-
+    sized); per batch a word->tokens cache collapses the heavy repeat
+    structure of real text. Returns (doc_id, n_tokens,
+    n_unique_tokens)."""
+    import re
+
+    import pandas as pd
+
+    ranks = {(left, right): rank for rank, left, right in merges}
+    # re.ASCII: match the JVM training side's \s (Java \s is ASCII-only;
+    # Python str.split() would also split on U+00A0 etc.)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[str, list[str]] = {}
+        for batch in batches:
+            out = {"doc_id": [], "n_tokens": [], "n_unique_tokens": []}
+            for _, r in batch.iterrows():
+                text = r["text"] or ""
+                if lowercase:
+                    text = text.lower()
+                n_tokens = 0
+                uniq: set[str] = set()
+                for word in ws.split(text):
+                    if not word:
+                        continue
+                    toks = cache.get(word)
+                    if toks is None:
+                        toks = _encode_word(word, ranks)
+                        cache[word] = toks
+                    n_tokens += len(toks)
+                    uniq.update(toks)
+                out["doc_id"].append(r["doc_id"])
+                out["n_tokens"].append(n_tokens)
+                out["n_unique_tokens"].append(len(uniq))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, ENCODE_SCHEMA)

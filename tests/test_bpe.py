@@ -1,0 +1,112 @@
+"""Distributed BPE: hand-computed merges on the classic toy corpus,
+Spark-vs-twin parity (independent implementations), greedy-merge edge
+cases, early stop, and encode determinism."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture()
+def toy(spark):
+    # the classic Sennrich example corpus: low x5, lower x2, newest x6,
+    # widest x3 — written as documents
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    return spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+
+
+class TestBpeTrain:
+    def test_classic_corpus_first_merges(self, spark, toy):
+        """Hand-derivable: 'est</w>' dominates (newest 6 + widest 3 = 9
+        pairs of (e,s) and (s,t</w>)); the first merges must build it.
+        Pair counts at rank 0: (e,s)=9, (s,t</w>)=9, (w,e)=8(lower?) —
+        count: newest has (n,e)(e,w)(w,e)(e,s)(s,t</w>) x6; widest
+        (w,i)(i,d)(d,e)(e,s)(s,t</w>) x3; low (l,o)(o,w</w>) x5; lower
+        (l,o)(o,w)(w,e)(e,r</w>) x2. So (e,s)=9, (s,t</w>)=9, (w,e)=8,
+        (l,o)=7 ... tie 9/9 breaks lexicographically: ('e','s') first."""
+        from gocrd_spark.operators.bpe import bpe_train
+
+        merges = bpe_train(toy, n_merges=4, min_pair_count=2)
+        assert merges[0] == (0, "e", "s")
+        assert merges[1] == (1, "es", "t</w>")
+        # rank 2: after est</w> forms, (w,e) survives only in lower (2);
+        # (l,o) = low 5 + lower 2 = 7 wins
+        assert merges[2] == (2, "l", "o")
+
+    def test_spark_equals_twin_on_fixture(self, docs):
+        """The distributed trainer and the single-node dict-counter twin
+        must produce the IDENTICAL ordered merge list on the shared docs
+        fixture — the same independence the driver golden relies on."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import oracle_twins as tw
+
+        from gocrd_spark.operators.bpe import bpe_train
+
+        rows = sorted(
+            (r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()
+        )
+        spark_merges = bpe_train(docs, n_merges=12, min_pair_count=2)
+        twin_merges = tw.bpe_train(rows, n_merges=12, min_pair_count=2)
+        assert spark_merges == twin_merges
+
+    def test_early_stop_below_min_count(self, spark):
+        from gocrd_spark.operators.bpe import bpe_train
+
+        docs = spark.createDataFrame(
+            [(0, "ab cd ef")], "doc_id long, text string"
+        )  # every pair occurs once
+        assert bpe_train(docs, n_merges=10, min_pair_count=2) == []
+
+    def test_greedy_overlap_semantics(self, spark):
+        """'aaaa' under merge (a,a): greedy left-to-right gives
+        [aa, aa, ...] — the fold must not re-merge across a fresh
+        merge result."""
+        from gocrd_spark.operators.bpe import bpe_train
+
+        docs = spark.createDataFrame(
+            [(0, "aaaa aaaa aaaa")], "doc_id long, text string"
+        )
+        merges = bpe_train(docs, n_merges=1, min_pair_count=2)
+        # pairs of 'aaaa' = (a,a)x2 + (a,a</w>): top pair is (a,a) 6x
+        assert merges == [(0, "a", "a")]
+
+
+class TestBpeEncode:
+    def test_encode_matches_twin(self, docs):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import oracle_twins as tw
+
+        from gocrd_spark.operators.bpe import bpe_encode, bpe_train
+
+        rows = sorted(
+            (r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()
+        )
+        merges = bpe_train(docs, n_merges=8, min_pair_count=2)
+        got = sorted(
+            (r.doc_id, r.n_tokens, r.n_unique_tokens)
+            for r in bpe_encode(docs, merges).collect()
+        )
+        assert got == tw.bpe_encode(rows, merges)
+
+    def test_no_merges_is_char_count(self, spark):
+        """With zero merges every word tokenizes to its characters
+        (last char carrying </w>)."""
+        from gocrd_spark.operators.bpe import bpe_encode
+
+        docs = spark.createDataFrame(
+            [(0, "abc de")], "doc_id long, text string"
+        )
+        (r,) = bpe_encode(docs, []).collect()
+        # abc -> [a, b, c</w>]; de -> [d, e</w>] = 5 tokens, all unique
+        assert (r.n_tokens, r.n_unique_tokens) == (5, 5)

@@ -263,7 +263,24 @@ def build_operator_tables(
             {n: pa.array([r[i] for r in rows], i64) for i, n in enumerate(names)}
         )
 
+    bpe_merges = tw.bpe_train(docs, n_merges=24, min_pair_count=2)
+    bpe_enc = tw.bpe_encode(docs, bpe_merges)
+
     return {
+        "bpe_merges": pa.table(
+            {
+                "rank": pa.array([r[0] for r in bpe_merges], pa.int64()),
+                "left_sym": pa.array([r[1] for r in bpe_merges], pa.string()),
+                "right_sym": pa.array([r[2] for r in bpe_merges], pa.string()),
+            }
+        ),
+        "bpe_encode": pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in bpe_enc], pa.int64()),
+                "n_tokens": pa.array([r[1] for r in bpe_enc], pa.int64()),
+                "n_unique_tokens": pa.array([r[2] for r in bpe_enc], pa.int64()),
+            }
+        ),
         "pdf_extract_text": pa.table(
             {
                 "doc_id": pa.array([r[0] for r in pdf_rows], i64),

@@ -396,3 +396,104 @@ def load_embeddings(path: str) -> dict[int, list[float]]:
         int(v): [float(x) for x in e]
         for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
     }
+
+
+# --- BPE twins (independent single-node trainer/encoder) --------------------
+
+BPE_END = "</w>"
+
+
+def _bpe_split_words(text: str, lowercase: bool = True) -> list[str]:
+    """ASCII-\\s split matching the JVM side's Java \\s semantics."""
+    import re
+
+    if lowercase:
+        text = text.lower()
+    return [w for w in re.split(r"\s+", text, flags=re.ASCII) if w]
+
+
+def _bpe_merge(sym: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    for x in sym:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def bpe_train(
+    docs: list[tuple[int, str]],
+    n_merges: int = 24,
+    min_pair_count: int = 2,
+    lowercase: bool = True,
+) -> list[tuple[int, str, str]]:
+    """Single-node Sennrich-style trainer over dict counters — the
+    independent twin of operators.bpe.bpe_train (distinct-word table,
+    greedy left-to-right merge, ties to the lexicographically smallest
+    pair)."""
+    from collections import Counter
+
+    freqs: Counter = Counter()
+    for _, text in docs:
+        for w in _bpe_split_words(text, lowercase):
+            freqs[w] += 1
+    words: dict[str, list[str]] = {
+        w: list(w[:-1]) + [w[-1] + BPE_END] for w in freqs
+    }
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        stats: Counter = Counter()
+        for w, sym in words.items():
+            f = freqs[w]
+            for i in range(len(sym) - 1):
+                stats[(sym[i], sym[i + 1])] += f
+        if not stats:
+            break
+        (a, b), n = sorted(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if n < min_pair_count:
+            break
+        merges.append((rank, a, b))
+        words = {w: _bpe_merge(sym, a, b) for w, sym in words.items()}
+    return merges
+
+
+def bpe_encode(
+    docs: list[tuple[int, str]],
+    merges: list[tuple[int, str, str]],
+    lowercase: bool = True,
+) -> list[tuple[int, int, int]]:
+    """Twin of operators.bpe.bpe_encode: GPT-2-style lowest-rank-first
+    apply. Returns (doc_id, n_tokens, n_unique_tokens) rows."""
+    ranks = {(a, b): r for r, a, b in merges}
+
+    def encode_word(word: str) -> list[str]:
+        sym = list(word[:-1]) + [word[-1] + BPE_END]
+        while len(sym) >= 2:
+            best = None
+            best_rank = None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (sym[i], sym[i + 1]), r
+            if best is None:
+                break
+            sym = _bpe_merge(sym, *best)
+        return sym
+
+    cache: dict[str, list[str]] = {}
+    out = []
+    for doc_id, text in docs:
+        n_tokens = 0
+        uniq: set[str] = set()
+        for w in _bpe_split_words(text, lowercase):
+            toks = cache.get(w)
+            if toks is None:
+                toks = encode_word(w)
+                cache[w] = toks
+            n_tokens += len(toks)
+            uniq.update(toks)
+        out.append((doc_id, n_tokens, len(uniq)))
+    return out
