@@ -626,8 +626,14 @@ def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("url"),
     )
+    # host5 rows only ever appear as sub.host5.example.com (doc_id%10==5
+    # implies doc_id%5==0 -> the deep-subdomain branch), so blocking
+    # host5.example.com is matched EXCLUSIVELY via the parent-domain
+    # suffix path — a suffix-match regression now breaks this oracle row
     return url_blocklist_filter(
-        urls, ["host3.example.com", "host7.example.com", "unused.org"]
+        urls,
+        ["host3.example.com", "host5.example.com", "host7.example.com",
+         "unused.org"],
     )
 
 
@@ -1986,7 +1992,7 @@ def _linkgraph_oracles() -> dict[str, str]:
                         WHEN doc_id % 5 = 0 THEN 'sub.host' || (doc_id % 10) || '.example.com'
                         ELSE 'host' || (doc_id % 10) || '.example.com'
                    END AS host,
-                   CASE WHEN doc_id % 5 <> 4 AND (doc_id % 10) IN (3, 7)
+                   CASE WHEN doc_id % 5 <> 4 AND (doc_id % 10) IN (3, 5, 7)
                         THEN 1 ELSE 0 END::BIGINT AS blocked
             FROM u
         """,

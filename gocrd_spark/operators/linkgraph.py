@@ -61,11 +61,8 @@ class _LinkParser(HTMLParser):
 def parse_outlinks(url: str, html: bytes) -> list[tuple[str, str]]:
     """Pure-Python kernel: (resolved absolute dst_url, raw href) per
     anchor. Malformed HTML degrades gracefully (stdlib parser is
-    tolerant); a decode failure yields no links, never an exception."""
-    try:
-        text = html.decode("utf-8", "replace")
-    except Exception:
-        return []
+    tolerant; bytes decode with errors='replace' cannot fail)."""
+    text = html.decode("utf-8", "replace")
     p = _LinkParser()
     try:
         p.feed(text)
@@ -170,7 +167,17 @@ def host_pagerank(
             ranks.join(weighted, ranks.host == weighted.src_host)
             .select(
                 F.col("dst_host").alias("host"),
-                F.expr("(rank_e12 * n_links) div out_total").alias("contrib"),
+                # identity (rank*n) div d == (rank div d)*n + ((rank mod d)*n) div d
+                # for nonnegative ints — same values, far wider overflow
+                # headroom: the naive product overflows int64 once
+                # rank_e12*n_links > 9.2e18 (a hub at 1% global mass with a
+                # ~1e9-link edge); the split form only overflows when a
+                # single host carries > ~3e9 weighted outlinks
+                # ((rank mod d) < d and n <= d, so the product is < d*n).
+                F.expr(
+                    "(rank_e12 div out_total) * n_links"
+                    " + ((rank_e12 % out_total) * n_links) div out_total"
+                ).alias("contrib"),
             )
             .groupBy("host")
             .agg(F.sum("contrib").alias("inc"))

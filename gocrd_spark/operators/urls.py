@@ -131,7 +131,12 @@ def snapshot_diff(
 
     One full-outer equi-join on the key, comparing md5 digests computed
     map-side — payload bytes never shuffle, only (key, 16-byte digest).
-    Returns (``key_col``, status, old_digest, new_digest).
+    Duplicate captures of a key WITHIN one snapshot collapse to the
+    lexicographically smallest digest before the join (map-side
+    combinable min) — without the collapse, k_old x k_new contradictory
+    status rows would come out per duplicated key.
+    Returns (``key_col``, status, old_digest, new_digest), one row per
+    distinct key.
     """
     def dig(df: DataFrame, alias: str) -> DataFrame:
         # NULL payload gets a sentinel digest: presence in a snapshot
@@ -140,7 +145,11 @@ def snapshot_diff(
         d = F.coalesce(
             F.md5(F.col(payload_col).cast("binary")), F.lit("__null__")
         )
-        return df.select(F.col(key_col).alias("_k"), d.alias(alias))
+        return (
+            df.select(F.col(key_col).alias("_k"), d.alias(alias))
+            .groupBy("_k")
+            .agg(F.min(alias).alias(alias))
+        )
 
     joined = dig(old, "old_digest").join(
         dig(new, "new_digest"), "_k", "full_outer"

@@ -208,6 +208,23 @@ def write_warc(records: list[dict], gzip_members: bool = False) -> bytes:
 PAGES_FROM_WARC_SCHEMA = "url string, warc_ts timestamp, html binary, error string"
 
 
+def _warc_ts(s: str):
+    """Parse a WARC-Date into a tz-naive UTC pandas Timestamp. Returns
+    (timestamp, None), or (epoch, diagnostic) when the header is
+    malformed — a bad DATE is metadata damage on one record and must
+    never escape the kernel as a task failure (the row is kept,
+    flagged)."""
+    import pandas as pd
+
+    try:
+        ts = pd.Timestamp(s or "1970-01-01T00:00:00Z")
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts, None
+    except (ValueError, TypeError):
+        return pd.Timestamp("1970-01-01"), f"bad warc-date: {s!r}"
+
+
 def warc_to_pages(warcs):
     """Spark surface: (warc_id long, warc binary) rows -> the
     input_hint page shape (url, warc_ts, html, error). ``response``
@@ -225,12 +242,6 @@ def warc_to_pages(warcs):
     job."""
     import pandas as pd
 
-    def _naive_utc(s: str) -> "pd.Timestamp":
-        ts = pd.Timestamp(s or "1970-01-01T00:00:00Z")
-        if ts.tzinfo is not None:
-            ts = ts.tz_convert("UTC").tz_localize(None)
-        return ts
-
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for batch in batches:
             rows = []
@@ -241,16 +252,18 @@ def warc_to_pages(warcs):
                     if h.get("warc-type") != "response":
                         continue
                     truncated = h.get("warc-truncated")
+                    ts, date_err = _warc_ts(h.get("warc-date", ""))
+                    flag = (
+                        f"truncated: {truncated or 'unspecified'}"
+                        if truncated is not None
+                        else date_err
+                    )
                     rows.append(
                         {
                             "url": h.get("warc-target-uri", ""),
-                            "warc_ts": _naive_utc(h.get("warc-date", "")),
+                            "warc_ts": ts,
                             "html": http_body(rec["payload"]),
-                            "error": (
-                                f"truncated: {truncated or 'unspecified'}"
-                                if truncated is not None
-                                else None
-                            ),
+                            "error": flag,
                         }
                     )
                 if error is not None:
@@ -289,12 +302,6 @@ def warc_revisits(warcs):
     plan shape."""
     import pandas as pd
 
-    def _naive_utc(s: str) -> "pd.Timestamp":
-        ts = pd.Timestamp(s or "1970-01-01T00:00:00Z")
-        if ts.tzinfo is not None:
-            ts = ts.tz_convert("UTC").tz_localize(None)
-        return ts
-
     cols = [
         "url", "warc_ts", "refers_to", "refers_to_uri", "profile",
         "payload_digest", "error",
@@ -309,15 +316,16 @@ def warc_revisits(warcs):
                     h = rec["headers"]
                     if h.get("warc-type") != "revisit":
                         continue
+                    ts, date_err = _warc_ts(h.get("warc-date", ""))
                     rows.append(
                         {
                             "url": h.get("warc-target-uri", ""),
-                            "warc_ts": _naive_utc(h.get("warc-date", "")),
+                            "warc_ts": ts,
                             "refers_to": h.get("warc-refers-to"),
                             "refers_to_uri": h.get("warc-refers-to-target-uri"),
                             "profile": h.get("warc-profile"),
                             "payload_digest": h.get("warc-payload-digest"),
-                            "error": None,
+                            "error": date_err,
                         }
                     )
                 if error is not None:

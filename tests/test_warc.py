@@ -321,6 +321,56 @@ class TestWarcMixedShard:
         )
 
 
+class TestWarcBadDate:
+    def test_malformed_warc_date_flags_row_not_task(self, spark):
+        """A record with an unparseable WARC-Date must stay a page row
+        (epoch ts, flagged) — review r04 found the salvage rewrite had
+        dropped the guard, turning one bad date header into a task
+        failure; both kernels share _warc_ts now."""
+        from gocrd_spark.warc import warc_revisits, warc_to_pages, write_warc
+
+        shard = write_warc(
+            [
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": "http://x.test/ok",
+                        "WARC-Date": "2026-02-01T00:00:00Z",
+                    },
+                    "payload": b"<html>fine</html>",
+                },
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": "http://x.test/baddate",
+                        "WARC-Date": "not a date at all",
+                    },
+                    "payload": b"<html>still here</html>",
+                },
+                {
+                    "headers": {
+                        "WARC-Type": "revisit",
+                        "WARC-Target-URI": "http://x.test/rv",
+                        "WARC-Date": "also garbage",
+                        "WARC-Refers-To": "<urn:uuid:orig>",
+                    },
+                    "payload": b"",
+                },
+            ]
+        )
+        warcs = spark.createDataFrame(
+            [(1, bytearray(shard))], "warc_id long, warc binary"
+        )
+        pages = {r.url: r for r in warc_to_pages(warcs).collect()}
+        assert pages["http://x.test/ok"].error is None
+        bad = pages["http://x.test/baddate"]
+        assert bad.error and "bad warc-date" in bad.error
+        assert bytes(bad.html) == b"<html>still here</html>"
+        (rv,) = warc_revisits(warcs).collect()
+        assert rv.refers_to == "<urn:uuid:orig>"
+        assert rv.error and "bad warc-date" in rv.error
+
+
 class TestWarcJobPath:
     def test_resumable_job_over_warc_shards(self, spark, tmp_path):
         """run_extract_job(input_format='warc'): raw shard dir in,
