@@ -114,6 +114,41 @@ def _probe(master: str, path: str, ops: list[str]) -> dict[str, float]:
     timed("winnowing", lambda: winnowing_fingerprints(docs))
     timed("paragraph_dedup", lambda: paragraph_dedup(docs, chunk_words=8))
     timed("duplicate_spans", lambda: duplicate_spans(docs, n=13))
+
+    if "bpe_train" in ops:
+        # iterative trainer: report wall for 8 merges over the corpus
+        from gocrd_spark.operators.bpe import bpe_train
+
+        t0 = time.time()
+        merges = bpe_train(docs, n_merges=8, min_pair_count=2)
+        out["bpe_train_8_merges"] = round(time.time() - t0, 2)
+        out["bpe_merges_learned"] = float(len(merges))
+    if "host_pagerank" in ops:
+        # synthetic host graph at corpus scale: one page per doc over
+        # n_docs/50 hosts, formula links (same shape as synth_linked_html
+        # but generated in Spark — no driver materialization)
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.operators.linkgraph import host_pagerank
+
+        n_hosts = 2000
+        base = docs.select(
+            (F.col("doc_id") % n_hosts).alias("s"),
+            ((F.col("doc_id") * 7 + 1) % n_hosts).alias("d1"),
+            ((F.col("doc_id") * 13 + 3) % n_hosts).alias("d2"),
+        )
+        edges = (
+            base.select("s", F.explode(F.array("d1", "d2")).alias("d"))
+            .select(
+                F.concat(F.lit("h"), F.col("s")).alias("src_host"),
+                F.concat(F.lit("h"), F.col("d")).alias("dst_host"),
+            )
+            .groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links"))
+        )
+        t0 = time.time()
+        _noop(host_pagerank(edges, n_iters=5))
+        out["host_pagerank_5_iters"] = round(time.time() - t0, 2)
     spark.stop()
     return out
 
@@ -131,6 +166,7 @@ def main() -> int:
     full = _probe("local[32]", path, [
         "exact_dedup", "minhash_verified_pairs", "simhash_near_dups",
         "dedup_clusters", "winnowing", "paragraph_dedup", "duplicate_spans",
+        "bpe_train", "host_pagerank",
     ])
     # scale pair on a 1/5 corpus so the 2-core sample stays in minutes
     n_pair = max(n_docs // 5, 1000)
