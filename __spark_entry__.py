@@ -541,6 +541,38 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt evaluation over formula-derived URLs + per-
+    host robots files (wildcards, $ anchors, longest-match, allow-tie
+    all exercised). Oracle: the decision table replayed as pure CASE
+    arithmetic — no parsing, independent of the parser/matcher."""
+    from gocrd_spark.operators.robots import robots_filter
+
+    d = F.col("doc_id")
+    k = (d % 10).cast("string")
+    i = d.cast("string")
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://host"), k, F.lit(".example.com"),
+            F.when(d % 4 == 0, F.concat(F.lit("/page/"), i))
+            .when(d % 4 == 1, F.concat(F.lit("/blocked/x"), i))
+            .when(d % 4 == 2, F.concat(F.lit("/blocked/except/y"), i))
+            .otherwise(F.concat(F.lit("/doc"), i, F.lit(".pdf"))),
+        ).alias("url"),
+    )
+    rows = []
+    for kk in range(10):
+        text = "User-agent: *\nDisallow: /blocked/\nAllow: /blocked/except/\n"
+        if kk % 2 == 0:
+            text += "Disallow: /*.pdf$\n"
+        rows.append((f"host{kk}.example.com", bytearray(text.encode())))
+    robots = spark.createDataFrame(rows, "host string, robots binary")
+    return robots_filter(urls, robots).select(
+        F.col("id").alias("doc_id"), "url", "allowed", "matched_rule"
+    )
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle-set containment (|A∩B|/|A|) — the near-subset
     duplication Jaccard misses. Exact co-occurrence mode (the
@@ -1000,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asymmetric dedup + crawl increments
         "containment_pairs": _q_containment,
         "snapshot_diff": _q_snapshot_diff,
+        "robots_filter": _q_robots_filter,
         # corpus-learned tokenizer
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -1874,6 +1907,25 @@ def _linkgraph_oracles() -> dict[str, str]:
             + ")"
         ),
         "host_pagerank": _host_pagerank_oracle(n, n_iters=5),
+        "robots_filter": """
+            SELECT doc_id,
+                   'https://host' || (doc_id % 10) || '.example.com' ||
+                   CASE doc_id % 4
+                     WHEN 0 THEN '/page/' || doc_id
+                     WHEN 1 THEN '/blocked/x' || doc_id
+                     WHEN 2 THEN '/blocked/except/y' || doc_id
+                     ELSE '/doc' || doc_id || '.pdf' END AS url,
+                   CASE
+                     WHEN doc_id % 4 = 1 THEN 0
+                     WHEN doc_id % 4 = 3 AND doc_id % 10 % 2 = 0 THEN 0
+                     ELSE 1 END::BIGINT AS allowed,
+                   CASE
+                     WHEN doc_id % 4 = 1 THEN '/blocked/'
+                     WHEN doc_id % 4 = 2 THEN '/blocked/except/'
+                     WHEN doc_id % 4 = 3 AND doc_id % 10 % 2 = 0 THEN '/*.pdf$'
+                     ELSE NULL END AS matched_rule
+            FROM documents
+        """,
         "containment_pairs": """
             WITH toks AS (
               SELECT doc_id,

@@ -1,0 +1,121 @@
+"""robots.txt (RFC 9309): parser group selection, wildcard/$ matching,
+longest-match + allow-tie decisions, and the Spark filter surface."""
+
+import pytest
+
+RFC_EXAMPLE = b"""
+# comment line
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+Disallow: /blocked/
+Allow: /blocked/except/
+Disallow: /*.gif$
+
+Sitemap: https://x.com/sitemap.xml
+"""
+
+
+class TestParse:
+    def test_group_selection(self):
+        from gocrd_spark.operators.robots import parse_robots
+
+        star = parse_robots(RFC_EXAMPLE, "*")
+        assert star == [
+            (False, "/blocked/"),
+            (True, "/blocked/except/"),
+            (False, "/*.gif$"),
+        ]
+        goog = parse_robots(RFC_EXAMPLE, "GoogleBot")  # case-insensitive
+        assert goog == [(False, "/private/")]
+        # unknown agent falls back to *
+        assert parse_robots(RFC_EXAMPLE, "otherbot") == star
+
+    def test_merged_groups_and_empty_disallow(self):
+        from gocrd_spark.operators.robots import parse_robots
+
+        data = (
+            b"User-agent: *\nDisallow: /a/\n\n"
+            b"User-agent: *\nDisallow: /b/\nDisallow:\n"
+        )
+        assert parse_robots(data, "*") == [(False, "/a/"), (False, "/b/")]
+
+    def test_shared_group_header(self):
+        """Two User-agent lines before one rule block: both agents get
+        the rules (RFC 9309 group formation)."""
+        from gocrd_spark.operators.robots import parse_robots
+
+        data = b"User-agent: a\nUser-agent: b\nDisallow: /x/\n"
+        assert parse_robots(data, "a") == [(False, "/x/")]
+        assert parse_robots(data, "b") == [(False, "/x/")]
+
+    def test_garbage_tolerance(self):
+        from gocrd_spark.operators.robots import parse_robots
+
+        data = b"\xff\xfe not utf8 \n no colon line \n Disallow: /early/\nUser-agent: *\nDisallow: /ok/\n"
+        # rule before any User-agent is ignored; the rest parses
+        assert parse_robots(data, "*") == [(False, "/ok/")]
+
+
+class TestEvaluate:
+    def test_longest_match_and_allow_tie(self):
+        from gocrd_spark.operators.robots import evaluate
+
+        rules = [
+            (False, "/blocked/"),
+            (True, "/blocked/except/"),
+            (False, "/*.gif$"),
+        ]
+        assert evaluate(rules, "/page/1") == (True, None)
+        assert evaluate(rules, "/blocked/secret") == (False, "/blocked/")
+        assert evaluate(rules, "/blocked/except/ok") == (True, "/blocked/except/")
+        assert evaluate(rules, "/img/cat.gif") == (False, "/*.gif$")
+        assert evaluate(rules, "/img/cat.gif.html") == (True, None)  # $ anchors
+        # allow wins an exact length tie
+        tie = [(False, "/p/"), (True, "/p*")]
+        assert evaluate(tie, "/p/x")[0] is True
+
+    def test_wildcard_positions(self):
+        from gocrd_spark.operators.robots import evaluate
+
+        rules = [(False, "/a/*/c")]
+        assert evaluate(rules, "/a/b/c")[0] is False
+        assert evaluate(rules, "/a/b/cd")[0] is False  # prefix, no anchor
+        assert evaluate(rules, "/a/c")[0] is True
+
+
+class TestSparkSurface:
+    def test_filter_labels_and_missing_robots(self, spark):
+        from gocrd_spark.operators.robots import robots_filter
+
+        urls = spark.createDataFrame(
+            [
+                (0, "https://a.com/page"),
+                (1, "https://a.com/blocked/x"),
+                (2, "https://a.com/blocked/except/y"),
+                (3, "https://norobots.com/anything"),
+                (4, "https://A.COM/blocked/case"),   # host case-folds
+            ],
+            "doc_id long, url string",
+        )
+        robots = spark.createDataFrame(
+            [
+                (
+                    "a.com",
+                    bytearray(
+                        b"User-agent: *\nDisallow: /blocked/\n"
+                        b"Allow: /blocked/except/\n"
+                    ),
+                )
+            ],
+            "host string, robots binary",
+        )
+        got = {r.id: (r.allowed, r.matched_rule) for r in robots_filter(urls, robots).collect()}
+        assert got == {
+            0: (1, None),
+            1: (0, "/blocked/"),
+            2: (1, "/blocked/except/"),
+            3: (1, None),       # no robots row -> allowed
+            4: (0, "/blocked/"),
+        }
