@@ -524,10 +524,14 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus word table (explode-pairs -> global top -> sequential-fold
     apply per iteration). Golden: an independent single-node dict-
     counter trainer (tools/oracle_twins.bpe_train) — same spec, fully
-    separate implementation."""
-    from gocrd_spark.operators.bpe import merges_df
+    separate implementation. Always trains fresh (training IS the
+    measured operation — a memoized repeat would bench as retrieval);
+    the result refreshes the cache bpe_encode reads."""
+    from gocrd_spark.operators.bpe import bpe_train, merges_df
 
-    return merges_df(spark, _bpe_merges_for(spark, sf_dir))
+    merges = bpe_train(_docs(spark, sf_dir), n_merges=24, min_pair_count=2)
+    _BPE_MERGES_CACHE[sf_dir] = merges
+    return merges_df(spark, merges)
 
 
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
