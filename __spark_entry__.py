@@ -673,6 +673,28 @@ def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_shards_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated shard layout: global order = md5(seed:doc_id) —
+    the packing order training actually wants. Spark buckets by the
+    hash's 3-hex prefix for the distributed prefix sum; the oracle is
+    one single-node window cumsum ORDER BY the full hash — independent
+    algorithms, identical order."""
+    from gocrd_spark.operators.textstats import pack_shards
+
+    return pack_shards(
+        _docs(spark, sf_dir), budget_tokens=2048, order="shuffled", seed="shuf1"
+    )
+
+
+def _q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-word page flagging (token-level, broadcast list)."""
+    from gocrd_spark.operators.textstats import wordlist_flags
+
+    return wordlist_flags(
+        _docs(spark, sf_dir), ["vector", "slow", "nonexistentword"]
+    )
+
+
 def _q_materialize_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed shards materialized to trainer input text: per-shard
     doc_id-ordered concatenation. Oracle: DuckDB single-node cumsum +
@@ -1024,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_weighted_sample": _q_source_sample,
         "pack_shards": _q_pack_shards,
         "pack_shards_bpe": _q_pack_shards_bpe,
+        "pack_shards_shuffled": _q_pack_shards_shuffled,
+        "wordlist_flags": _q_wordlist_flags,
         "materialize_shards": _q_materialize_shards,
         "training_corpus": _q_training_corpus,
         # web link graph (crawl-curation ranking)
@@ -1508,6 +1532,34 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_tokens)::BIGINT AS n_tokens,
                    string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS shard_text
             FROM s GROUP BY shard_id
+        """,
+        "pack_shards_shuffled": """
+            WITH t AS (
+              SELECT doc_id,
+                     md5('shuf1:' || doc_id) AS h,
+                     len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(floor(cum_before / 2048.0) AS BIGINT) AS shard_id
+            FROM c
+        """,
+        "wordlist_flags": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS w
+              FROM documents),
+            hits AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE w IN ('vector', 'slow', 'nonexistentword'))
+            SELECT d.doc_id,
+                   CAST(h.doc_id IS NOT NULL AS BIGINT) AS flagged
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "pack_shards_bpe": """
             WITH t AS (

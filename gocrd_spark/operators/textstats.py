@@ -433,11 +433,21 @@ def pack_shards(
     budget_tokens: int = 2048,
     bucket_size: int = 1000,
     token_mode: str = "whitespace",
+    order: str = "id",
+    seed: str = "shuf1",
 ) -> DataFrame:
-    """Token-budget shard assignment: lay the corpus out in doc_id order
-    and cut it into training shards of ~``budget_tokens`` tokens each
-    (shard_id = cumulative-tokens-before // budget) — the step that
-    turns a filtered corpus into fixed-size training inputs.
+    """Token-budget shard assignment: lay the corpus out in a global
+    order and cut it into training shards of ~``budget_tokens`` tokens
+    each (shard_id = cumulative-tokens-before // budget) — the step
+    that turns a filtered corpus into fixed-size training inputs.
+
+    ``order`` selects the layout: ``'id'`` (doc_id order — stable,
+    debuggable) or ``'shuffled'`` (md5(seed:doc_id) order — the
+    DECORRELATED layout training actually wants: id-ordered packing
+    puts same-source/same-crawl neighbors in the same shard, and a
+    data loader reading shards sequentially then sees correlated
+    batches). The shuffle is deterministic and seed-parameterized, no
+    RNG state — same trick as corpus_split/source_weighted_sample.
 
     ``token_mode`` selects the budget unit: ``'whitespace'`` (cheap
     proxy) or ``'bpe'`` (the GPT-2-shaped pre-tokenizer of
@@ -471,7 +481,27 @@ def pack_shards(
             f"token_mode must be 'whitespace' or 'bpe', got {token_mode!r}"
         )
     toks = docs.select("doc_id", tok_count.cast("long").alias("n_tokens"))
-    b = toks.withColumn("bucket", F.floor(F.col("doc_id") / bucket_size))
+    if order == "id":
+        b = toks.withColumn("bucket", F.floor(F.col("doc_id") / bucket_size))
+        intra_order = [F.col("doc_id")]
+    elif order == "shuffled":
+        # global order = md5(seed:doc_id) asc, doc_id tiebreak. The
+        # prefix-sum bucket is the hash's first 3 hex chars (4096
+        # buckets) — a string PREFIX, so bucket asc + hash asc inside
+        # equals global hash order, and the two-phase sum stays exact.
+        h = F.md5(
+            F.encode(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")
+                ),
+                "utf-8",
+            )
+        )
+        toks = toks.withColumn("_h", h)
+        b = toks.withColumn("bucket", F.substring("_h", 1, 3))
+        intra_order = [F.col("_h"), F.col("doc_id")]
+    else:
+        raise ValueError(f"order must be 'id' or 'shuffled', got {order!r}")
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         b.groupBy("bucket")
@@ -481,7 +511,7 @@ def pack_shards(
     )
     wi = (
         Window.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy(*intra_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
@@ -653,6 +683,43 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
             .cast("long")
             .alias("keep"),
             F.array_join("_kept", "\n").alias("text_clean"),
+        )
+    )
+
+
+def wordlist_flags(
+    docs: DataFrame, words: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Word-list page flagging — the C4 'bad words' page drop (Raffel
+    et al. §2.2 removed pages containing any word from a public
+    blocklist). Matching is TOKEN-level on lowercased whitespace
+    tokens, not substring (so listing 'ass' does not flag 'class'),
+    which is also what the public C4 implementation does.
+
+    Scale shape: per-doc DISTINCT tokens explode (bounded by vocab per
+    doc) and left-semi join the BROADCAST word list; the candidate path
+    shuffles doc_ids only, and the list rides as data — a 10^5-word
+    list leaves the plan constant (same rule as the domain blocklist).
+
+    Returns every doc labeled: (doc_id, flagged 0/1).
+    """
+    spark = docs.sparkSession
+    wl = spark.createDataFrame(
+        [(w.lower(),) for w in sorted(set(words))], "w string"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_tokens(F.lower(F.col(text_col))))
+        ).alias("w"),
+    )
+    hits = toks.join(F.broadcast(wl), "w", "left_semi").select("doc_id").distinct()
+    return (
+        docs.select("doc_id")
+        .join(hits.withColumn("_hit", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("flagged"),
         )
     )
 

@@ -1321,6 +1321,70 @@ class TestPackShards:
             2: (1, 2, "a b"),
         }
 
+    def test_shuffled_order_matches_naive_hash_window(self, docs):
+        """order='shuffled' (3-hex-prefix buckets + intra-bucket hash
+        order) must equal a naive single global window ordered by the
+        FULL hash — the prefix-bucket decomposition is exact because a
+        string prefix ordering is a coarsening of the full-string
+        ordering."""
+        from pyspark.sql import Window
+
+        from gocrd_spark.operators.textstats import _tokens, pack_shards
+
+        h = F.md5(
+            F.encode(
+                F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string")),
+                "utf-8",
+            )
+        )
+        w = Window.orderBy("h", "doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        naive = {
+            r.doc_id: r.shard_id
+            for r in docs.select(
+                "doc_id",
+                h.alias("h"),
+                F.size(_tokens(F.col("text"))).cast("long").alias("n"),
+            )
+            .withColumn("cb", F.coalesce(F.sum("n").over(w), F.lit(0)))
+            .select(
+                "doc_id",
+                F.floor(F.col("cb") / 2048.0).cast("long").alias("shard_id"),
+            )
+            .collect()
+        }
+        got = {
+            r.doc_id: r.shard_id
+            for r in pack_shards(docs, order="shuffled", seed="shuf1").collect()
+        }
+        assert got == naive
+        # and the layout genuinely differs from id order
+        id_order = {
+            r.doc_id: r.shard_id for r in pack_shards(docs).collect()
+        }
+        assert got != id_order
+        with pytest.raises(ValueError, match="order must be"):
+            pack_shards(docs, order="random")
+
+    def test_wordlist_token_boundaries(self, spark):
+        from gocrd_spark.operators.textstats import wordlist_flags
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox"),
+                (1, "attending CLASS today"),   # 'class' contains 'ass'
+                (2, "what an ass he was"),
+                (3, "Ass at line start"),       # case-folded token hit
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.flagged
+            for r in wordlist_flags(docs, ["ass"]).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
     def test_materialize_conserves_every_document(self, docs):
         """Every document's text appears in exactly one shard, and
         per-shard doc/token counts agree with pack_shards."""
