@@ -686,6 +686,27 @@ def _q_pack_shards_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents carrying formula-planted PII (every
+    4th doc gets an email / IP / US-phone appended, so all three
+    pattern families and the untouched path are exercised). Oracle runs
+    the identical shared-subset regexes in DuckDB's RE2."""
+    from gocrd_spark.operators.textstats import pii_scrub
+
+    d = F.col("doc_id")
+    i = d.cast("string")
+    planted = (
+        F.when(d % 4 == 1, F.concat(F.lit(" contact user"), i, F.lit("@example-mail.com now")))
+        .when(d % 4 == 2, F.concat(F.lit(" from 10.0."), (d % 200).cast("string"), F.lit(".7 today")))
+        .when(d % 4 == 3, F.concat(F.lit(" call 555-01"), F.lpad(d % 10, 1, "0"), F.lit("-"), F.lpad(d % 10000, 4, "0"), F.lit(" now")))
+        .otherwise(F.lit(""))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), planted).alias("text")
+    )
+    return pii_scrub(docs)
+
+
 def _q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style bad-word page flagging (token-level, broadcast list)."""
     from gocrd_spark.operators.textstats import wordlist_flags
@@ -1048,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards_bpe": _q_pack_shards_bpe,
         "pack_shards_shuffled": _q_pack_shards_shuffled,
         "wordlist_flags": _q_wordlist_flags,
+        "pii_scrub": _q_pii_scrub,
         "materialize_shards": _q_materialize_shards,
         "training_corpus": _q_training_corpus,
         # web link graph (crawl-curation ranking)
@@ -1532,6 +1554,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_tokens)::BIGINT AS n_tokens,
                    string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS shard_text
             FROM s GROUP BY shard_id
+        """,
+        "pii_scrub": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 4 = 1 THEN ' contact user' || doc_id || '@example-mail.com now'
+                       WHEN doc_id % 4 = 2 THEN ' from 10.0.' || (doc_id % 200) || '.7 today'
+                       WHEN doc_id % 4 = 3 THEN ' call 555-01' || lpad((doc_id % 10)::VARCHAR, 1, '0')
+                            || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now'
+                       ELSE '' END AS text
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM t),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ips,
+                     regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+              FROM s1)
+            SELECT doc_id, n_emails, n_ips,
+                   len(regexp_extract_all(t2, '\+\d{7,15}\b|\b\d{3}[- ]\d{3}[- ]\d{4}\b'))::BIGINT AS n_phones,
+                   regexp_replace(t2, '\+\d{7,15}\b|\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS text_scrubbed
+            FROM s2
         """,
         "pack_shards_shuffled": """
             WITH t AS (

@@ -687,6 +687,42 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}"
+PII_IP = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}\b|\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the privacy pass public training pipelines run
+    (Dolma/C4 class): emails, IPv4 addresses and phone numbers replaced
+    by ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` placeholder tokens, with
+    per-type counts for audit.
+
+    Patterns are the shared Java-regex/RE2 subset (no lookaround, no
+    backrefs) so the DuckDB oracle runs the IDENTICAL expressions;
+    scrubbing is SEQUENTIAL — emails first, then IPs on the
+    email-scrubbed text, then phones — and each count is taken on the
+    text the pattern actually sees (an IP inside an email's domain
+    counts as email, not IP). Phone scope, documented: international
+    ``+digits`` and US ``ddd-ddd-dddd`` shapes only — a full phone
+    grammar is locale policy, not an engine feature.
+
+    Pure JVM regexp_count/regexp_replace — one narrow map, no UDF, no
+    shuffle. Returns (doc_id, n_emails, n_ips, n_phones, text_scrubbed).
+    """
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IP, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t0, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        t3.alias("text_scrubbed"),
+    )
+
+
 def wordlist_flags(
     docs: DataFrame, words: list[str], text_col: str = "text"
 ) -> DataFrame:

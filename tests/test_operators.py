@@ -1367,6 +1367,36 @@ class TestPackShards:
         with pytest.raises(ValueError, match="order must be"):
             pack_shards(docs, order="random")
 
+    def test_pii_scrub_planted(self, spark):
+        """All three pattern families redact; sequencing means an IP
+        inside an email's domain counts as EMAIL; near-misses (bare
+        digits, no-TLD at-signs) survive."""
+        from gocrd_spark.operators.textstats import pii_scrub
+
+        docs = spark.createDataFrame(
+            [
+                (0, "mail me at bob.smith+x@corp-mail.co.uk thanks"),
+                (1, "server 192.168.1.254 and backup 10.0.0.1"),
+                (2, "call +4930123456 or 555-123-4567 today"),
+                (3, "weird user@1.2.3.4 embedded ip-in-email"),
+                (4, "no pii: 1234 plain @ words 1.2 here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+        assert got[0].n_emails == 1
+        assert got[0].text_scrubbed == "mail me at <EMAIL> thanks"
+        assert (got[1].n_ips, got[1].text_scrubbed) == (
+            2, "server <IP> and backup <IP>"
+        )
+        assert got[2].n_phones == 2
+        assert got[2].text_scrubbed == "call <PHONE> or <PHONE> today"
+        # email pattern eats user@1.2.3.4? no TLD letters -> NOT an
+        # email; the IP inside then scrubs as IP
+        assert got[3].n_emails == 0 and got[3].n_ips == 1
+        assert got[4].n_emails == got[4].n_ips == got[4].n_phones == 0
+        assert got[4].text_scrubbed == "no pii: 1234 plain @ words 1.2 here"
+
     def test_wordlist_token_boundaries(self, spark):
         from gocrd_spark.operators.textstats import wordlist_flags
 
