@@ -504,17 +504,26 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_MERGES_CACHE: dict[str, list] = {}
+# single source of truth for BOTH bpe queries — drift between the
+# fresh-train path and the memo path would make bpe_encode's output
+# depend on query execution order
+_BPE_PARAMS = {"n_merges": 24, "min_pair_count": 2}
 
 
-def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list:
+def _bpe_merges_for(
+    spark: SparkSession, sf_dir: str, force_retrain: bool = False
+) -> list:
     """Train-once cache per sf_dir: bpe_merges and bpe_encode share the
-    same deterministic 24-merge training run (training is the expensive
-    half; the result is a tiny pure-Python list, safe to memoize)."""
+    same deterministic training run (training is the expensive half;
+    the result is a tiny pure-Python list, safe to memoize).
+    ``force_retrain`` re-runs training and refreshes the memo — the
+    bpe_merges query uses it so the benched operation is training, not
+    retrieval."""
     from gocrd_spark.operators.bpe import bpe_train
 
-    m = _BPE_MERGES_CACHE.get(sf_dir)
+    m = None if force_retrain else _BPE_MERGES_CACHE.get(sf_dir)
     if m is None:
-        m = bpe_train(_docs(spark, sf_dir), n_merges=24, min_pair_count=2)
+        m = bpe_train(_docs(spark, sf_dir), **_BPE_PARAMS)
         _BPE_MERGES_CACHE[sf_dir] = m
     return m
 
@@ -527,11 +536,9 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate implementation. Always trains fresh (training IS the
     measured operation — a memoized repeat would bench as retrieval);
     the result refreshes the cache bpe_encode reads."""
-    from gocrd_spark.operators.bpe import bpe_train, merges_df
+    from gocrd_spark.operators.bpe import merges_df
 
-    merges = bpe_train(_docs(spark, sf_dir), n_merges=24, min_pair_count=2)
-    _BPE_MERGES_CACHE[sf_dir] = merges
-    return merges_df(spark, merges)
+    return merges_df(spark, _bpe_merges_for(spark, sf_dir, force_retrain=True))
 
 
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,10 +572,17 @@ def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.concat(F.lit("/doc"), i, F.lit(".pdf"))),
         ).alias("url"),
     )
+    # review r04: .pdf URLs (doc_id%4==3, always ODD ids) land only on
+    # odd hosts — the wildcard/$ rule must live on ODD hosts or its
+    # oracle branch is dead. /page/ vs /page* is an exact 6-octet
+    # LENGTH TIE on every %4==0 URL, exercising the Allow-wins rule.
     rows = []
     for kk in range(10):
-        text = "User-agent: *\nDisallow: /blocked/\nAllow: /blocked/except/\n"
-        if kk % 2 == 0:
+        text = (
+            "User-agent: *\nDisallow: /blocked/\nAllow: /blocked/except/\n"
+            "Disallow: /page/\nAllow: /page*\n"
+        )
+        if kk % 2 == 1:
             text += "Disallow: /*.pdf$\n"
         rows.append((f"host{kk}.example.com", bytearray(text.encode())))
     robots = spark.createDataFrame(rows, "host string, robots binary")
@@ -2020,12 +2034,13 @@ def _linkgraph_oracles() -> dict[str, str]:
                      ELSE '/doc' || doc_id || '.pdf' END AS url,
                    CASE
                      WHEN doc_id % 4 = 1 THEN 0
-                     WHEN doc_id % 4 = 3 AND doc_id % 10 % 2 = 0 THEN 0
+                     WHEN doc_id % 4 = 3 AND doc_id % 10 % 2 = 1 THEN 0
                      ELSE 1 END::BIGINT AS allowed,
                    CASE
+                     WHEN doc_id % 4 = 0 THEN '/page*'
                      WHEN doc_id % 4 = 1 THEN '/blocked/'
                      WHEN doc_id % 4 = 2 THEN '/blocked/except/'
-                     WHEN doc_id % 4 = 3 AND doc_id % 10 % 2 = 0 THEN '/*.pdf$'
+                     WHEN doc_id % 4 = 3 AND doc_id % 10 % 2 = 1 THEN '/*.pdf$'
                      ELSE NULL END AS matched_rule
             FROM documents
         """,

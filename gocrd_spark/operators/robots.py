@@ -56,15 +56,19 @@ def parse_robots(data: bytes, user_agent: str = "*") -> list[tuple[bool, str]]:
             if not in_group_header:
                 current_agents = []
                 in_group_header = True
-            current_agents.append(value.lower())
-            for a in (value.lower(),):
-                groups.setdefault(a, [])
+            ua = value.lower()
+            if ua not in current_agents:  # repeated identical UA lines
+                current_agents.append(ua)
+            groups.setdefault(ua, [])
         elif field in ("allow", "disallow"):
             in_group_header = False
             if not current_agents:
                 continue  # rule before any User-agent line: ignored
-            if field == "disallow" and value == "":
-                continue  # empty Disallow = unrestricted
+            if value == "":
+                # empty Disallow = unrestricted (RFC); empty Allow is
+                # skipped symmetrically — '' would otherwise match
+                # every path at length 0 and surface as matched_rule=''
+                continue
             for a in current_agents:
                 groups.setdefault(a, []).append((field == "allow", value))
         # unknown directives (Sitemap, Crawl-delay, ...) are skipped
@@ -83,16 +87,29 @@ def _pattern_regex(pattern: str) -> "re.Pattern":
     return re.compile("^" + rx + ("$" if anchored else ""))
 
 
-def evaluate(
-    rules: list[tuple[bool, str]], path: str
-) -> tuple[bool, str | None]:
+def compile_rules(
+    rules: list[tuple[bool, str]]
+) -> list[tuple[bool, str, "re.Pattern"]]:
+    """Pre-compile a rule list once (the kernel caches this per distinct
+    robots text, so a 10k-row batch never recompiles a pattern)."""
+    return [(a, p, _pattern_regex(p)) for a, p in rules]
+
+
+def evaluate(rules, path: str) -> tuple[bool, str | None]:
     """Most-specific-match decision (§2.2.2): longest matching pattern
-    in octets wins; ties go to Allow; no match = allowed. Returns
+    in OCTETS (UTF-8 bytes, per the RFC — not characters) wins; ties go
+    to Allow; no match = allowed. Accepts (is_allow, pattern) pairs or
+    the pre-compiled triples from :func:`compile_rules`. Returns
     (allowed, matched_pattern_or_None)."""
-    best: tuple[int, int, str] | None = None  # (len, is_allow, pattern)
-    for is_allow, pattern in rules:
-        if _pattern_regex(pattern).match(path):
-            key = (len(pattern), 1 if is_allow else 0, pattern)
+    best: tuple[int, int, str] | None = None  # (octets, is_allow, pattern)
+    for rule in rules:
+        if len(rule) == 3:
+            is_allow, pattern, rx = rule
+        else:
+            is_allow, pattern = rule
+            rx = _pattern_regex(pattern)
+        if rx.match(path):
+            key = (len(pattern.encode("utf-8")), 1 if is_allow else 0, pattern)
             if best is None or key[:2] > best[:2]:
                 best = key
     if best is None:
@@ -121,7 +138,9 @@ def robots_filter(
     from urllib.parse import urlsplit
 
     keyed = urls.select(
-        F.col(id_col).alias("id"),
+        # the kernel's output schema pins id to BIGINT — cast here so a
+        # non-long id column fails loudly at plan time, not mid-task
+        F.col(id_col).cast("long").alias("id"),
         F.col(url_col).alias("url"),
         F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
     ).join(
@@ -131,7 +150,7 @@ def robots_filter(
     )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        rules_cache: dict[bytes, list[tuple[bool, str]]] = {}
+        rules_cache: dict[bytes, list] = {}
         for batch in batches:
             out = {"id": [], "url": [], "allowed": [], "matched_rule": []}
             for _, r in batch.iterrows():
@@ -143,7 +162,7 @@ def robots_filter(
                     blob = bytes(blob)
                     rules = rules_cache.get(blob)
                     if rules is None:
-                        rules = parse_robots(blob, user_agent)
+                        rules = compile_rules(parse_robots(blob, user_agent))
                         rules_cache[blob] = rules
                     try:
                         split = urlsplit(url)

@@ -448,6 +448,10 @@ def pack_shards(
     data loader reading shards sequentially then sees correlated
     batches). The shuffle is deterministic and seed-parameterized, no
     RNG state — same trick as corpus_split/source_weighted_sample.
+    NOTE: ``bucket_size`` applies to the ``'id'`` layout only; the
+    shuffled layout buckets by the hash's 3-hex prefix (4096 fixed,
+    uniformly loaded buckets — per-bucket rows = n_docs/4096, and the
+    offsets window sorts at most 4096 rows at any corpus size).
 
     ``token_mode`` selects the budget unit: ``'whitespace'`` (cheap
     proxy) or ``'bpe'`` (the GPT-2-shaped pre-tokenizer of

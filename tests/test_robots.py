@@ -50,6 +50,45 @@ class TestParse:
         assert parse_robots(data, "a") == [(False, "/x/")]
         assert parse_robots(data, "b") == [(False, "/x/")]
 
+    def test_empty_allow_skipped_and_duplicate_ua_deduped(self):
+        """Empty Allow: is skipped like empty Disallow (a '' pattern
+        would match every path at length 0 and leak matched_rule='');
+        repeated identical User-agent header lines must not
+        double-append rules."""
+        from gocrd_spark.operators.robots import evaluate, parse_robots
+
+        data = b"User-agent: *\nAllow:\nDisallow: /x/\n"
+        rules = parse_robots(data, "*")
+        assert rules == [(False, "/x/")]
+        assert evaluate(rules, "/free") == (True, None)
+
+        dup = b"User-agent: *\nUser-agent: *\nDisallow: /a\n"
+        assert parse_robots(dup, "*") == [(False, "/a")]
+
+    def test_octet_length_specificity(self):
+        """RFC 9309 measures specificity in OCTETS: '/café' is 5 chars
+        but 6 UTF-8 octets — it must outrank a 5-octet ASCII pattern."""
+        from gocrd_spark.operators.robots import evaluate
+
+        rules = [(True, "/café"), (False, "/caf")]  # 6 vs 4 octets
+        assert evaluate(rules, "/café-menu") == (True, "/café")
+        # and a 5-char/6-octet disallow beats a 5-octet allow
+        rules2 = [(False, "/café"), (True, "/caf9x")]  # 6 vs 6: tie -> allow
+        assert evaluate(rules2, "/café")[0] is False  # only one matches
+        rules3 = [(False, "/aé"), (True, "/ab")]  # 3 octets vs 2
+        assert evaluate(rules3, "/aéb") == (False, "/aé")
+
+    def test_compiled_rules_equivalent(self):
+        from gocrd_spark.operators.robots import (
+            compile_rules,
+            evaluate,
+            parse_robots,
+        )
+
+        rules = parse_robots(RFC_EXAMPLE, "*")
+        for path in ("/page", "/blocked/x", "/blocked/except/y", "/a.gif"):
+            assert evaluate(rules, path) == evaluate(compile_rules(rules), path)
+
     def test_garbage_tolerance(self):
         from gocrd_spark.operators.robots import parse_robots
 
