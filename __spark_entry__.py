@@ -541,6 +541,14 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_df(spark, _bpe_merges_for(spark, sf_dir, force_retrain=True))
 
 
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned vocab table (alphabet + merged tokens with
+    deterministic ids). Golden: the twin derivation."""
+    from gocrd_spark.operators.bpe import bpe_vocab
+
+    return bpe_vocab(_docs(spark, sf_dir), _bpe_merges_for(spark, sf_dir))
+
+
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-BPE encoding of every document (GPT-2 lowest-rank-first
     apply in an Arrow kernel with a per-batch word cache). Golden: the
@@ -1099,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         # corpus-learned tokenizer
         "bpe_merges": _q_bpe_merges,
+        "bpe_vocab": _q_bpe_vocab,
         "bpe_encode": _q_bpe_encode,
         "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
@@ -1853,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
             "winnowing_fingerprints", "doc_id, n_fingerprints, min_fingerprint"
         ),
         "bpe_merges": _ops_golden("bpe_merges", "rank, left_sym, right_sym"),
+        "bpe_vocab": _ops_golden("bpe_vocab", "token_id, token"),
         "bpe_encode": _ops_golden(
             "bpe_encode", "doc_id, n_tokens, n_unique_tokens"
         ),

@@ -139,6 +139,45 @@ def merges_df(spark, merges: list[tuple[int, str, str]]) -> DataFrame:
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
+VOCAB_SCHEMA = "token_id long, token string"
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str]],
+    lowercase: bool = True,
+) -> DataFrame:
+    """The learned vocabulary table (token_id, token) — what sizes the
+    embedding matrix: the corpus's base ALPHABET (every initial symbol:
+    single characters plus last-char+``</w>`` forms actually observed)
+    with ids 0..A-1 in lexicographic order, then one merged token per
+    merge at id A+rank. Ids are deterministic given (corpus, merges).
+    The alphabet distinct+sort runs over a tiny table (|alphabet| is
+    hundreds); the global row_number window there is O(alphabet), never
+    O(corpus)."""
+    from pyspark.sql import Window
+
+    alpha = (
+        _word_table(docs, lowercase)
+        .select(F.explode("symbols").alias("token"))
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    alpha_ids = alpha.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"), "token"
+    )
+    n_alpha = alpha.agg(F.count(F.lit(1)).alias("n"))
+    spark = docs.sparkSession
+    merged = (
+        spark.createDataFrame(
+            [(r, a + b) for r, a, b in merges], "rank long, token string"
+        )
+        .crossJoin(F.broadcast(n_alpha))
+        .select((F.col("n") + F.col("rank")).cast("long").alias("token_id"), "token")
+    )
+    return alpha_ids.unionByName(merged)
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """GPT-2-style apply: repeatedly merge ALL occurrences of the
     lowest-rank adjacent pair until none of the pairs are ranked."""

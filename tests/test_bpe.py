@@ -99,6 +99,37 @@ class TestBpeEncode:
         )
         assert got == tw.bpe_encode(rows, merges)
 
+    def test_vocab_structure_and_twin_parity(self, spark, toy, docs):
+        """Vocab = sorted alphabet at ids 0..A-1, merged tokens at
+        A+rank; Spark == twin on the shared fixture."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import oracle_twins as tw
+
+        from gocrd_spark.operators.bpe import bpe_train, bpe_vocab
+
+        merges = bpe_train(toy, n_merges=3, min_pair_count=2)
+        rows = sorted(
+            (r.token_id, r.token) for r in bpe_vocab(toy, merges).collect()
+        )
+        alpha = [t for i, t in rows if i < len(rows) - 3]
+        assert alpha == sorted(alpha)  # lexicographic id order
+        merged_tail = [t for i, t in rows[-3:]]
+        assert merged_tail == [a + b for _, a, b in merges]
+        # ids contiguous from 0
+        assert [i for i, _ in rows] == list(range(len(rows)))
+
+        drows = sorted(
+            (r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()
+        )
+        dmerges = bpe_train(docs, n_merges=6, min_pair_count=2)
+        got = sorted(
+            (r.token_id, r.token)
+            for r in bpe_vocab(docs, dmerges).collect()
+        )
+        assert got == tw.bpe_vocab(drows, dmerges)
+
     def test_no_merges_is_char_count(self, spark):
         """With zero merges every word tokenizes to its characters
         (last char carrying </w>)."""

@@ -498,6 +498,30 @@ class TestWarcProperties:
             for name, value in orig["headers"].items():
                 assert got["headers"][name.lower()] == value
 
+    from hypothesis import given as _given
+    from hypothesis import settings as _settings
+    from hypothesis import strategies as _st
+
+    @_given(records=_records, cut=_st.integers(min_value=0, max_value=10_000))
+    @_settings(max_examples=60, deadline=None)
+    def test_salvage_prefix_property(self, records, cut):
+        """For a PLAIN shard truncated at ANY byte offset, salvage
+        returns a clean PREFIX of the full record list: every salvaged
+        record equals its counterpart in the untruncated parse, and a
+        mid-record cut reports an error instead of raising."""
+        from gocrd_spark.warc import parse_warc, parse_warc_salvage, write_warc
+
+        data = write_warc(records, gzip_members=False)
+        cut = min(cut, len(data))
+        full = parse_warc(data)
+        got, error = parse_warc_salvage(data[:cut])
+        assert len(got) <= len(full)
+        for orig, g in zip(full, got):
+            assert g["payload"] == orig["payload"]
+            assert g["headers"] == orig["headers"]
+        if cut == len(data):
+            assert error is None and len(got) == len(full)
+
 
 class TestHttpTransferEncodings:
     def test_chunked_and_gzip_bodies(self):

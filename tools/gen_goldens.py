@@ -265,8 +265,15 @@ def build_operator_tables(
 
     bpe_merges = tw.bpe_train(docs, n_merges=24, min_pair_count=2)
     bpe_enc = tw.bpe_encode(docs, bpe_merges)
+    bpe_voc = tw.bpe_vocab(docs, bpe_merges)
 
     return {
+        "bpe_vocab": pa.table(
+            {
+                "token_id": pa.array([r[0] for r in bpe_voc], pa.int64()),
+                "token": pa.array([r[1] for r in bpe_voc], pa.string()),
+            }
+        ),
         "bpe_merges": pa.table(
             {
                 "rank": pa.array([r[0] for r in bpe_merges], pa.int64()),

@@ -497,3 +497,23 @@ def bpe_encode(
             uniq.update(toks)
         out.append((doc_id, n_tokens, len(uniq)))
     return out
+
+
+def bpe_vocab(
+    docs: list[tuple[int, str]],
+    merges: list[tuple[int, str, str]],
+    lowercase: bool = True,
+) -> list[tuple[int, str]]:
+    """Twin of operators.bpe.bpe_vocab: base alphabet (initial symbols
+    of the distinct-word table) lexicographically id'd, merged tokens
+    appended at alphabet_size + rank."""
+    words = set()
+    for _, text in docs:
+        words.update(_bpe_split_words(text, lowercase))
+    alphabet = set()
+    for w in words:
+        alphabet.update(list(w[:-1]) + [w[-1] + BPE_END])
+    out = [(i, tok) for i, tok in enumerate(sorted(alphabet))]
+    base = len(out)
+    out.extend((base + r, a + b) for r, a, b in merges)
+    return out
