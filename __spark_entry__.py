@@ -708,6 +708,14 @@ def _q_pack_shards_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-size quality signal; exact integer outputs
+    (twin-golden: same zlib, independent plumbing)."""
+    from gocrd_spark.operators.textstats import compression_stats
+
+    return compression_stats(_docs(spark, sf_dir))
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents carrying formula-planted PII (every
     4th doc gets an email / IP / US-phone appended, so all three
@@ -1092,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards_shuffled": _q_pack_shards_shuffled,
         "wordlist_flags": _q_wordlist_flags,
         "pii_scrub": _q_pii_scrub,
+        "compression_stats": _q_compression_stats,
         "materialize_shards": _q_materialize_shards,
         "training_corpus": _q_training_corpus,
         # web link graph (crawl-curation ranking)
@@ -1863,6 +1872,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_merges": _ops_golden("bpe_merges", "rank, left_sym, right_sym"),
         "bpe_vocab": _ops_golden("bpe_vocab", "token_id, token"),
+        "compression_stats": _ops_golden(
+            "compression_stats", "doc_id, n_bytes, n_bytes_zlib"
+        ),
         "bpe_encode": _ops_golden(
             "bpe_encode", "doc_id, n_tokens, n_unique_tokens"
         ),

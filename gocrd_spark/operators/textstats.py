@@ -691,6 +691,38 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+def compression_stats(
+    docs: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """zlib compression-size quality signal (the RefinedWeb/MassiveText
+    class: highly templated or repetitive text compresses far better
+    than natural prose, so the ratio flags boilerplate/spam tails).
+
+    Emits EXACT integers only — (doc_id, n_bytes, n_bytes_zlib) — and
+    lets callers derive the ratio, per the suite's no-rounded-quotients
+    rule. Deterministic for a fixed zlib level (the kernel and the
+    pure-Python twin run the same zlib); vectorized pandas_udf, Arrow
+    batches, no per-row Python UDF."""
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _zsize(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), level))
+        )
+
+    return docs.select(
+        "doc_id",
+        F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias(
+            "n_bytes"
+        ),
+        _zsize(F.col(text_col)).alias("n_bytes_zlib"),
+    )
+
+
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}"
 PII_IP = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 PII_PHONE = r"\+\d{7,15}\b|\b\d{3}[- ]\d{3}[- ]\d{4}\b"

@@ -1367,6 +1367,32 @@ class TestPackShards:
         with pytest.raises(ValueError, match="order must be"):
             pack_shards(docs, order="random")
 
+    def test_compression_stats_signal(self, spark):
+        """Repetitive text compresses far smaller than high-entropy
+        text of the same length — the signal the operator exists for;
+        sizes match a direct zlib call exactly."""
+        import zlib
+
+        from gocrd_spark.operators.textstats import compression_stats
+
+        rep = "spam " * 200
+        import random as _r
+
+        rng = _r.Random(7)
+        noise = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(4))
+            for _ in range(200)
+        )
+        docs = spark.createDataFrame(
+            [(0, rep), (1, noise), (2, "")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in compression_stats(docs).collect()}
+        for i, t in ((0, rep), (1, noise), (2, "")):
+            assert got[i].n_bytes == len(t.encode())
+            assert got[i].n_bytes_zlib == len(zlib.compress(t.encode(), 6))
+        # the signal: repetition compresses much harder
+        assert got[0].n_bytes_zlib * 10 < got[1].n_bytes_zlib
+
     def test_pii_scrub_planted(self, spark):
         """All three pattern families redact; sequencing means an IP
         inside an email's domain counts as EMAIL; near-misses (bare

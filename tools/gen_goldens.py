@@ -266,8 +266,12 @@ def build_operator_tables(
     bpe_merges = tw.bpe_train(docs, n_merges=24, min_pair_count=2)
     bpe_enc = tw.bpe_encode(docs, bpe_merges)
     bpe_voc = tw.bpe_vocab(docs, bpe_merges)
+    comp = tw.compression_stats(docs)
 
     return {
+        "compression_stats": _t(
+            comp, ["doc_id", "n_bytes", "n_bytes_zlib"]
+        ),
         "bpe_vocab": pa.table(
             {
                 "token_id": pa.array([r[0] for r in bpe_voc], pa.int64()),

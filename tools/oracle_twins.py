@@ -517,3 +517,19 @@ def bpe_vocab(
     base = len(out)
     out.extend((base + r, a + b) for r, a, b in merges)
     return out
+
+
+def compression_stats(docs: list[tuple[int, str]], level: int = 6):
+    """Twin of textstats.compression_stats: same zlib, independent
+    plumbing (a plumbing-parity twin like the cosine folds — zlib IS
+    the spec here)."""
+    import zlib
+
+    return [
+        (
+            doc_id,
+            len(text.encode("utf-8")),
+            len(zlib.compress(text.encode("utf-8"), level)),
+        )
+        for doc_id, text in docs
+    ]
