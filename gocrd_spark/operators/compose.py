@@ -34,10 +34,22 @@ def training_corpus(
     seed: str = "mix1",
     budget_tokens: int = 2048,
     min_quality: float = 0.3,
+    stage_cache: bool = True,
 ) -> DataFrame:
     """Run the full cleaning chain over ``docs`` (doc_id, text, source).
     Returns the training-ready corpus:
-    (doc_id, source, text, n_tokens, shard_id)."""
+    (doc_id, source, text, n_tokens, shard_id).
+
+    ``stage_cache`` (default True) localCheckpoints the two survivor
+    sets each consumed by multiple later stages: without the cut,
+    every consumer of stage2 re-executes the ENTIRE upstream chain —
+    MinHash LSH, exact verify, connected components — once more
+    (measured 4x the whole-chain wall at sf0.1: 47-52 s -> 11.5-12.5 s,
+    identical output). Cost: executor storage for two (id, text,
+    source) survivor tables — the same corpus-sized materialization a
+    production pipeline pays anyway by writing stage outputs to durable
+    storage between stages; pass False to trade recompute for zero
+    storage."""
     from gocrd_spark.operators.dedup import (
         choose_bands,
         dedup_clusters,
@@ -54,6 +66,8 @@ def training_corpus(
     # 1. exact dedup: canonical doc per normalized-text hash
     exact_keep = exact_dedup(docs).select("doc_id")
     stage1 = docs.join(exact_keep, "doc_id", "left_semi")
+    if stage_cache:
+        stage1 = stage1.localCheckpoint(eager=True)
 
     # 2. near-dup clusters -> keep the canonical of each cluster.
     # Banding DERIVED from the threshold (choose_bands) — the default
@@ -80,6 +94,8 @@ def training_corpus(
     )
     keep2 = dedup_clusters(stage1, pairs).filter(F.col("keep") == 1).select("doc_id")
     stage2 = stage1.join(keep2, "doc_id", "left_semi")
+    if stage_cache:
+        stage2 = stage2.localCheckpoint(eager=True)
 
     # 3. paragraph-level dedup: rewrite text, drop docs left empty
     rewritten = paragraph_dedup(stage2, chunk_words=chunk_words).filter(
