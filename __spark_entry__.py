@@ -616,6 +616,45 @@ def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify the crawl-scale containment path (VERDICT r04 #3): run
+    containment_pairs in CANDIDATE mode over the rare-shingle candidate
+    generator and compare per-pair against the exact co-occurrence
+    answer — the same recall-certification pattern ngram_jaccard_pairs
+    applies to MinHash. One row per EXACT pair at the driver threshold;
+    ``found`` = 1 iff candidate mode produced that pair with the
+    identical containment value. The DuckDB oracle recomputes BOTH
+    sides independently (exact containment + the deterministic
+    (df, shingle)-ordered rare-k selection), so a hash-match pins the
+    candidate scheme's measured recall on this corpus."""
+    from gocrd_spark.operators.dedup import (
+        containment_candidates,
+        containment_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    exact = containment_pairs(docs, n=3, threshold=0.5)
+    approx = containment_pairs(
+        docs, n=3, threshold=0.5,
+        candidates=containment_candidates(docs, n=3, k=5),
+    ).withColumnRenamed("containment", "c_approx")
+    return (
+        exact.join(approx, ["doc_id", "other_id"], "left")
+        .select(
+            "doc_id",
+            "other_id",
+            F.round(F.col("containment") * 1_000_000).cast("long").alias(
+                "containment_e6"
+            ),
+            F.when(
+                F.col("c_approx").isNotNull()
+                & (F.col("c_approx") == F.col("containment")),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long").alias("found"),
+        )
+    )
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-snapshot diff over two formula-derived snapshots of the
     documents table (every 10th doc gone, every 10th new, every 3rd
@@ -1063,66 +1102,18 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
+    # records only the FIRST 50 entries. The front of this dict therefore
+    # carries (a) queries never/least-recently driver-verified and (b)
+    # queries whose implementation churned this round; the long-stable
+    # extraction/text suite (50/50 green in r04) rotates to the back.
     return {
-        # gocrd extraction surface (XML kernel — oracle = independently
-        # generated golden parquet; byte-identity also gated by pytest,
-        # FIXTURES.md §3)
-        "extract_text": _q_extract_text,
-        "extract_spans": _q_extract_spans,
-        "mets_files_alto": _q_mets_files,
-        "pdf_extract_text": _q_pdf_extract,
-        # dedup suite (documents)
-        "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_near_dups": _q_minhash_dups,
-        "simhash_near_dups": _q_simhash_dups,
-        "dedup_clusters": _q_dedup_clusters,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "duplicate_spans": _q_duplicate_spans,
-        "remove_duplicate_spans": _q_remove_spans,
-        "url_dedup": _q_url_dedup,
-        "contamination_flags": _q_contamination,
-        "repetition_stats": _q_repetition,
-        # text analysis (documents)
-        "token_stats": _q_token_stats,
-        "quality_score": _q_quality,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        "nfc_fingerprint": _q_nfc_fingerprint,
-        "vocab_top_terms": _q_vocab,
-        "tfidf_top_terms": _q_tfidf,
-        "doclen_histogram": _q_doclen_hist,
-        "source_stats": _q_source_stats,
-        "corpus_split": _q_corpus_split,
-        "source_weighted_sample": _q_source_sample,
-        "pack_shards": _q_pack_shards,
-        "pack_shards_bpe": _q_pack_shards_bpe,
-        "pack_shards_shuffled": _q_pack_shards_shuffled,
-        "wordlist_flags": _q_wordlist_flags,
-        "pii_scrub": _q_pii_scrub,
-        "compression_stats": _q_compression_stats,
-        "materialize_shards": _q_materialize_shards,
-        "training_corpus": _q_training_corpus,
-        # web link graph (crawl-curation ranking)
-        "outlinks": _q_outlinks,
-        "host_pagerank": _q_host_pagerank,
-        "url_blocklist": _q_url_blocklist,
-        # published-standard quality filters
-        "gopher_rules": _q_gopher_rules,
-        "c4_line_filter": _q_c4_line_filter,
-        # asymmetric dedup + crawl increments
-        "containment_pairs": _q_containment,
-        "snapshot_diff": _q_snapshot_diff,
-        "robots_filter": _q_robots_filter,
-        # corpus-learned tokenizer
-        "bpe_merges": _q_bpe_merges,
-        "bpe_vocab": _q_bpe_vocab,
-        "bpe_encode": _q_bpe_encode,
-        "unigram_logprob": _q_unigram_logprob,
-        "length_quantiles": _q_length_quantiles,
-        "extracted_quality": _q_extracted_quality,
-        "token_stats_bpe": _q_token_stats_bpe,
-        "winnowing_fingerprints": _q_winnowing,
+        # --- never driver-green in ANY round: multimodal trio first ---
+        "multimodal_features": _q_multimodal,
+        "multimodal_resize": _q_multimodal_resize,
+        "video_frame_sample": _q_frame_sample,
+        # --- r03-green but absent from the r04 window (code churned) ---
+        "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
         # similarity search (embeddings) — the flagship near-dup entry is
         # the bucketed LSH path; the crossJoin survives only as the
@@ -1145,12 +1136,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "segment_order_stats": _q_segment_stats,
         "order_priority": _q_order_priority,
-        # multimodal plumbing (stubbed decode, deterministic fake) +
-        # byte-tier media dedup (no decode involved — pure JVM)
-        "media_dedup": _q_media_dedup,
-        "multimodal_features": _q_multimodal,
-        "multimodal_resize": _q_multimodal_resize,
-        "video_frame_sample": _q_frame_sample,
+        # --- round-5 touched code: re-verify this round ---
+        "containment_pairs": _q_containment,
+        "containment_candidates_recall": _q_containment_recall,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_vocab": _q_bpe_vocab,
+        "bpe_encode": _q_bpe_encode,
+        "token_stats_bpe": _q_token_stats_bpe,
+        "host_pagerank": _q_host_pagerank,
+        "outlinks": _q_outlinks,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_near_dups": _q_minhash_dups,
+        "simhash_near_dups": _q_simhash_dups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "compression_stats": _q_compression_stats,
+        "url_dedup": _q_url_dedup,
+        "training_corpus": _q_training_corpus,
+        # --- extraction surface (golden-parquet oracles; also pytest-gated
+        # byte identity, FIXTURES.md §3) ---
+        "extract_text": _q_extract_text,
+        "extract_spans": _q_extract_spans,
+        "mets_files_alto": _q_mets_files,
+        "pdf_extract_text": _q_pdf_extract,
+        "extracted_quality": _q_extracted_quality,
+        # --- remaining dedup suite ---
+        "dedup_exact": _q_dedup_exact,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "duplicate_spans": _q_duplicate_spans,
+        "remove_duplicate_spans": _q_remove_spans,
+        "contamination_flags": _q_contamination,
+        "repetition_stats": _q_repetition,
+        "winnowing_fingerprints": _q_winnowing,
+        "snapshot_diff": _q_snapshot_diff,
+        # === driver 50-row window boundary is ~here; everything below was
+        # === 50/50 green in r04 and is stable code
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "nfc_fingerprint": _q_nfc_fingerprint,
+        "vocab_top_terms": _q_vocab,
+        "tfidf_top_terms": _q_tfidf,
+        "doclen_histogram": _q_doclen_hist,
+        "source_stats": _q_source_stats,
+        "corpus_split": _q_corpus_split,
+        "source_weighted_sample": _q_source_sample,
+        "pack_shards": _q_pack_shards,
+        "pack_shards_bpe": _q_pack_shards_bpe,
+        "pack_shards_shuffled": _q_pack_shards_shuffled,
+        "wordlist_flags": _q_wordlist_flags,
+        "pii_scrub": _q_pii_scrub,
+        "materialize_shards": _q_materialize_shards,
+        "url_blocklist": _q_url_blocklist,
+        "gopher_rules": _q_gopher_rules,
+        "c4_line_filter": _q_c4_line_filter,
+        "robots_filter": _q_robots_filter,
+        "unigram_logprob": _q_unigram_logprob,
+        "length_quantiles": _q_length_quantiles,
     }
 
 
@@ -2097,6 +2139,59 @@ def _linkgraph_oracles() -> dict[str, str]:
                    CAST(round(c * 1000000) AS BIGINT) AS containment_e6
             FROM d WHERE c >= 0.5
         """,
+        # independent recomputation of BOTH the exact answer and the
+        # rare-shingle candidate selection ((df, shingle)-ordered top-k
+        # is deterministic and engine-independent); `found` certifies
+        # the candidate path's recall — see _q_containment_recall
+        "containment_candidates_recall": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 3
+                       THEN list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE [array_to_string(t, ' ')] END) AS shingles
+              FROM toks),
+            ex AS (
+              SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+            dfreq AS (
+              SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+            rare AS (
+              SELECT doc_id, shingle FROM (
+                SELECT e.doc_id, e.shingle,
+                       row_number() OVER (PARTITION BY e.doc_id
+                                          ORDER BY d.df, e.shingle) AS rn
+                FROM ex e JOIN dfreq d USING (shingle))
+              WHERE rn <= 5),
+            cand AS (
+              SELECT DISTINCT least(r.doc_id, e.doc_id) AS ca,
+                              greatest(r.doc_id, e.doc_id) AS cb
+              FROM rare r JOIN ex e USING (shingle)
+              WHERE r.doc_id <> e.doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+                     count(*) AS n_inter
+              FROM ex a JOIN ex b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4),
+            d AS (
+              SELECT doc_a AS doc_id, doc_b AS other_id,
+                     round(n_inter::DOUBLE / na, 6) AS c
+              FROM inter
+              UNION ALL
+              SELECT doc_b, doc_a, round(n_inter::DOUBLE / nb, 6) FROM inter)
+            SELECT d.doc_id, d.other_id,
+                   CAST(round(c * 1000000) AS BIGINT) AS containment_e6,
+                   CAST(CASE WHEN cand.ca IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS found
+            FROM d LEFT JOIN cand
+              ON cand.ca = least(d.doc_id, d.other_id)
+             AND cand.cb = greatest(d.doc_id, d.other_id)
+            WHERE c >= 0.5
+        """,
         "snapshot_diff": """
             WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
             n AS (SELECT doc_id,
@@ -2456,8 +2551,15 @@ def _host_pagerank_oracle(n: int, n_iters: int = 5) -> str:
                   + (85 * coalesce(x.inc, 0)) // 100)::BIGINT AS rank_e12
           FROM hosts h CROSS JOIN nn
           LEFT JOIN (
+            -- widened split identity, SAME form as the operator
+            -- ((q*n + (r mod d)*n div d) == (q*d + r mod d)*n div d):
+            -- the naive (rank*n)//d product overflows int64 once
+            -- rank*n > 9.2e18, i.e. far before the operator does
+            -- (ADVICE r04)
             SELECT e.dst_host AS host,
-                   sum((r.rank_e12 * e.n_links) // d.out_total)::BIGINT AS inc
+                   sum((r.rank_e12 // d.out_total) * e.n_links
+                       + ((r.rank_e12 % d.out_total) * e.n_links)
+                         // d.out_total)::BIGINT AS inc
             FROM r{k - 1} r
             JOIN deg d ON r.host = d.src_host
             JOIN e ON e.src_host = d.src_host

@@ -252,7 +252,17 @@ def containment_pairs(
             )
         )
     else:
-        sh = shingle_docs(docs, n).withColumn("n_sh", F.size("shingles"))
+        # exact mode shares candidates mode's xxhash64(shingle)
+        # convention (one set-size definition across modes, and the
+        # co-occurrence join shuffles int64s, not n-gram strings —
+        # ~16x fewer bytes per 3-gram); set sizes are 64-bit-exact,
+        # see verify_jaccard_pairs for the collision arithmetic
+        sh = shingle_docs(docs, n).select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("shingles"),
+        ).withColumn("n_sh", F.size("shingles"))
         exploded = sh.select(
             "doc_id", "n_sh", F.explode("shingles").alias("shingle")
         )
@@ -283,6 +293,71 @@ def containment_pairs(
         ),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def containment_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Crawl-scale candidate pairs for DIRECTED containment via a
+    rare-shingle join — the asymmetric recall scheme containment needs
+    and Jaccard-banded MinHash can't provide (a tiny doc inside a huge
+    doc has containment ~1 but Jaccard ~|A|/|B|, below every band
+    threshold; see :func:`containment_pairs`'s scale caveat).
+
+    Per document, its ``k`` globally RAREST shingles — smallest corpus
+    document frequency, ties broken by shingle string, so the selection
+    is deterministic and engine-independent — are joined against the
+    full shingle posting list. A directed pair A→B with containment
+    ``c`` is missed only if ALL k rare shingles of A land in the
+    missing ``(1-c)``-fraction of A's shingle set, so recall rises
+    steeply with both c and k; the driver's
+    ``containment_candidates_recall`` row pins the measured recall
+    against the exact co-occurrence answer (the same certification
+    pattern ``ngram_jaccard_pairs`` applies to MinHash).
+
+    Cost: |output| = Σ_docs Σ_{k rarest} (df(shingle) − 1); rare
+    shingles have small df BY CONSTRUCTION (a frequent shingle is only
+    selected when the doc has nothing rarer), so the join output is
+    ~O(k·N·df_rare), never the Σdf² of the full co-occurrence join.
+    Skew valve for boilerplate corpora (docs whose EVERY shingle is
+    frequent): ``max_df`` drops shingles with df > max_df from
+    selection — such docs lose candidate coverage (documented recall
+    trade), but they are template near-copies that exact/minhash dedup
+    already catches upstream.
+
+    Returns distinct unordered (doc_a, doc_b), doc_a < doc_b — feed to
+    ``containment_pairs(docs, candidates=...)``, which verifies both
+    directions of each pair exactly.
+    """
+    from pyspark.sql import Window
+
+    ex = shingle_docs(docs, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    # shingles are distinct per doc (shingle_docs), so count(*) IS the
+    # document frequency
+    df_tab = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_tab = df_tab.filter(F.col("df") <= max_df)
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    rare = (
+        ex.join(df_tab, "shingle")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(F.col("doc_id").alias("_rare_doc"), "shingle")
+    )
+    return (
+        rare.join(ex.select(F.col("doc_id").alias("_post_doc"), "shingle"), "shingle")
+        .filter(F.col("_rare_doc") != F.col("_post_doc"))
+        .select(
+            F.least("_rare_doc", "_post_doc").alias("doc_a"),
+            F.greatest("_rare_doc", "_post_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
 
 
 def minhash_signature(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
@@ -745,25 +820,26 @@ def simhash_signatures(
     through :func:`simhash_near_dups_from` refuse a parameter mismatch
     rather than silently joining bands built for a different radius.
 
-    Contract note: the marker/sidecar probes use local-filesystem IO
-    (``os.path``/``open``), so the write-once/param-pin semantics hold
-    for local and NFS-style paths only — an object-store URI
-    (``s3://…``) needs the Hadoop FileSystem API for the sidecars
-    (environment-gated here: no cloud connectors in this sandbox).
+    Marker/sidecar IO goes through the Hadoop FileSystem API resolved
+    from the path's scheme (:mod:`gocrd_spark.fsio`), so write-once /
+    param-pin / resume semantics hold on any filesystem Spark can
+    reach — local paths, ``file://``, ``hdfs://``, and object stores
+    once their connector jars are present.
 
     Returns ``path``.
     """
     import json
-    import os
 
+    from gocrd_spark import fsio
+
+    spark = docs.sparkSession
     params = {"n": n, "max_hamming": max_hamming, "version": 1}
-    marker = os.path.join(path, "_SUCCESS")
-    sidecar = os.path.join(path, "_PARAMS.json")
+    marker = f"{path.rstrip('/')}/_SUCCESS"
+    sidecar = f"{path.rstrip('/')}/_PARAMS.json"
     # sidecar written LAST: marker-without-sidecar = crash between the
     # parquet commit and the params pin -> rebuild, don't die forever
-    if os.path.exists(marker) and os.path.exists(sidecar):
-        with open(sidecar) as fh:
-            existing = json.load(fh)
+    if fsio.exists(spark, marker) and fsio.exists(spark, sidecar):
+        existing = json.loads(fsio.read_text(spark, sidecar))
         if existing != params:
             raise ValueError(
                 f"existing signature table at {path} was built with "
@@ -771,17 +847,16 @@ def simhash_signatures(
             )
         return path
     _banded_signatures(docs, n, max_hamming).write.mode("overwrite").parquet(path)
-    with open(sidecar, "w") as fh:
-        json.dump(params, fh)
+    fsio.write_text(spark, sidecar, json.dumps(params))
     return path
 
 
-def _load_sig_params(path: str) -> dict:
+def _load_sig_params(spark, path: str) -> dict:
     import json
-    import os
 
-    with open(os.path.join(path, "_PARAMS.json")) as fh:
-        return json.load(fh)
+    from gocrd_spark import fsio
+
+    return json.loads(fsio.read_text(spark, f"{path.rstrip('/')}/_PARAMS.json"))
 
 
 def _read_sig_table(spark, path: str) -> DataFrame:
@@ -793,14 +868,13 @@ def _read_sig_table(spark, path: str) -> DataFrame:
     is added explicitly from its ``_batch_<id>.json`` commit marker;
     a batch dir without its marker (crash mid-append) is invisible,
     which is what makes the append idempotent/re-runnable."""
-    import glob
     import json
-    import os
+
+    from gocrd_spark import fsio
 
     dirs = [path]
-    for marker in sorted(glob.glob(os.path.join(path, "_batch_*.json"))):
-        with open(marker) as fh:
-            dirs.append(json.load(fh)["dir"])
+    for marker in fsio.glob(spark, f"{path.rstrip('/')}/_batch_*.json"):
+        dirs.append(json.loads(fsio.read_text(spark, marker))["dir"])
     return spark.read.parquet(*dirs)
 
 
@@ -813,18 +887,19 @@ def _append_sig_batch(banded: DataFrame, path: str, batch_id: str) -> str:
     same write-then-mark shape as the extraction commit log). A batch
     whose marker already exists is skipped without recompute."""
     import json
-    import os
     import re
+
+    from gocrd_spark import fsio
 
     if not re.fullmatch(r"[A-Za-z0-9_.-]+", batch_id):
         raise ValueError(f"batch_id must be filesystem-safe, got {batch_id!r}")
-    marker = os.path.join(path, f"_batch_{batch_id}.json")
-    if os.path.exists(marker):
+    spark = banded.sparkSession
+    marker = f"{path.rstrip('/')}/_batch_{batch_id}.json"
+    if fsio.exists(spark, marker):
         return path
-    bdir = os.path.join(path, "_batches", batch_id)
+    bdir = f"{path.rstrip('/')}/_batches/{batch_id}"
     banded.write.mode("overwrite").parquet(bdir)
-    with open(marker, "w") as fh:
-        json.dump({"batch_id": batch_id, "dir": bdir}, fh)
+    fsio.write_text(spark, marker, json.dumps({"batch_id": batch_id, "dir": bdir}))
     return path
 
 
@@ -838,7 +913,7 @@ def simhash_append(new_docs: DataFrame, path: str, batch_id: str) -> str:
     with the same ``batch_id`` is a no-op (commit marker), so the daily
     job stays re-runnable end to end. Banding params come from the
     table's ``_PARAMS.json``. Returns ``path``."""
-    params = _load_sig_params(path)
+    params = _load_sig_params(new_docs.sparkSession, path)
     return _append_sig_batch(
         _banded_signatures(new_docs, params["n"], params["max_hamming"]),
         path,
@@ -856,7 +931,7 @@ def simhash_near_dups_from(
     :func:`simhash_signatures` — validates the _PARAMS.json radius, then
     runs the same band-bucket join + hamming filter as
     simhash_near_dups, with the signature cost already paid."""
-    params = _load_sig_params(path)
+    params = _load_sig_params(spark, path)
     if params["max_hamming"] != max_hamming:
         raise ValueError(
             f"signature table at {path} banded for max_hamming="
@@ -887,7 +962,7 @@ def simhash_incremental(
     increments stay idempotent/re-runnable; fold the batch in for the
     NEXT increment with :func:`simhash_append` (commit-marker
     idempotent) after consuming the pairs."""
-    params = _load_sig_params(path)
+    params = _load_sig_params(new_docs.sparkSession, path)
     if params["max_hamming"] != max_hamming:
         raise ValueError(
             f"signature table at {path} banded for max_hamming="
@@ -1132,21 +1207,22 @@ def minhash_signatures(
 
     Write-once/resume + ``_PARAMS.json`` (n, num_hashes, bands) pin,
     refusing a parameter mismatch — the same contract as the SimHash
-    table and the IVF index, including its local-filesystem-only
-    marker/sidecar IO (see :func:`simhash_signatures`). Returns
+    table and the IVF index, with scheme-agnostic marker/sidecar IO via
+    the Hadoop FileSystem API (see :func:`simhash_signatures`). Returns
     ``path``.
     """
     import json
-    import os
+
+    from gocrd_spark import fsio
 
     _guard_banding(num_hashes, bands, allow_quadratic)
+    spark = docs.sparkSession
     params = {"n": n, "num_hashes": num_hashes, "bands": bands, "version": 1}
-    marker = os.path.join(path, "_SUCCESS")
-    sidecar = os.path.join(path, "_PARAMS.json")
+    marker = f"{path.rstrip('/')}/_SUCCESS"
+    sidecar = f"{path.rstrip('/')}/_PARAMS.json"
     # sidecar written LAST: marker-without-sidecar = crashed build -> rebuild
-    if os.path.exists(marker) and os.path.exists(sidecar):
-        with open(sidecar) as fh:
-            existing = json.load(fh)
+    if fsio.exists(spark, marker) and fsio.exists(spark, sidecar):
+        existing = json.loads(fsio.read_text(spark, sidecar))
         if existing != params:
             raise ValueError(
                 f"existing MinHash table at {path} was built with "
@@ -1154,8 +1230,7 @@ def minhash_signatures(
             )
         return path
     _minhash_banded(docs, n, num_hashes, bands).write.mode("overwrite").parquet(path)
-    with open(sidecar, "w") as fh:
-        json.dump(params, fh)
+    fsio.write_text(spark, sidecar, json.dumps(params))
     return path
 
 
@@ -1182,8 +1257,8 @@ def minhash_incremental(
     re-runnable); fold the batch in for the next increment with
     :func:`minhash_append` after consuming the pairs.
     """
-    params = _load_sig_params(path)
     spark = new_docs.sparkSession
+    params = _load_sig_params(spark, path)
     new_banded = _register_persisted(
         _minhash_banded(
             new_docs, params["n"], params["num_hashes"], params["bands"]
@@ -1209,7 +1284,7 @@ def minhash_append(new_docs: DataFrame, path: str, batch_id: str) -> str:
     :func:`simhash_append` (same commit-marker machinery, same
     run-increment-then-append daily shape). Banding params come from
     the table's ``_PARAMS.json``. Returns ``path``."""
-    params = _load_sig_params(path)
+    params = _load_sig_params(new_docs.sparkSession, path)
     return _append_sig_batch(
         _minhash_banded(
             new_docs, params["n"], params["num_hashes"], params["bands"]

@@ -446,24 +446,25 @@ def ivf_index(
 
     If the corpus ``_SUCCESS`` marker exists the build is SKIPPED
     (write-once/resume, like the extraction commit log). Marker/sidecar
-    probes are local-filesystem IO (``os.path``/``open``) — an
-    object-store URI needs the Hadoop FileSystem API for them
-    (environment-gated: no cloud connectors in this sandbox). Returns
-    path.
+    IO goes through the Hadoop FileSystem API resolved from the path's
+    scheme (:mod:`gocrd_spark.fsio`), so the write-once/param-pin
+    contract holds on any filesystem Spark can reach. Returns path.
     """
     import json
-    import os
 
+    from gocrd_spark import fsio
+
+    spark = embeddings.sparkSession
     params = {"n_cells": n_cells, "n_iters": n_iters, "version": 1}
-    marker = os.path.join(path, "corpus", "_SUCCESS")
-    sidecar = os.path.join(path, "_PARAMS.json")
+    base = path.rstrip("/")
+    marker = f"{base}/corpus/_SUCCESS"
+    sidecar = f"{base}/_PARAMS.json"
     # the sidecar is written LAST, so marker-without-sidecar means a
     # crash between the parquet commit and the params pin: rebuild
     # (mode=overwrite clears the partial state) instead of dying on a
     # missing file forever
-    if os.path.exists(marker) and os.path.exists(sidecar):
-        with open(sidecar) as fh:
-            existing = json.load(fh)
+    if fsio.exists(spark, marker) and fsio.exists(spark, sidecar):
+        existing = json.loads(fsio.read_text(spark, sidecar))
         if existing != params:
             raise ValueError(
                 f"existing IVF index at {path} was built with "
@@ -471,19 +472,17 @@ def ivf_index(
             )
         return path
     cent = kmeans_centroids_df(embeddings, n_cells, n_iters)
-    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    spark = embeddings.sparkSession
-    cent_back = spark.read.parquet(os.path.join(path, "centroids"))
+    cent.write.mode("overwrite").parquet(f"{base}/centroids")
+    cent_back = spark.read.parquet(f"{base}/centroids")
     (
         assign_cells(embeddings, cent_back)
         .join(embeddings, "vec_id")
         .select("vec_id", "embedding", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(path, "corpus"))
+        .parquet(f"{base}/corpus")
     )
-    with open(sidecar, "w") as fh:
-        json.dump(params, fh)
+    fsio.write_text(spark, sidecar, json.dumps(params))
     return path
 
 
@@ -505,10 +504,9 @@ def topk_ivf_from(
     unprobed inverted lists are never read. Results are identical to
     :func:`topk_ivf` at the same params (parity is pytest-gated).
     """
-    import os
-
-    cent = spark.read.parquet(os.path.join(path, "centroids"))
-    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    base = path.rstrip("/")
+    cent = spark.read.parquet(f"{base}/centroids")
+    corpus = spark.read.parquet(f"{base}/corpus")
     queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )

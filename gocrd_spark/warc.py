@@ -253,11 +253,14 @@ def warc_to_pages(warcs):
                         continue
                     truncated = h.get("warc-truncated")
                     ts, date_err = _warc_ts(h.get("warc-date", ""))
-                    flag = (
+                    # both diagnostics survive a record that is truncated
+                    # AND carries a malformed date (ADVICE r04)
+                    trunc_flag = (
                         f"truncated: {truncated or 'unspecified'}"
                         if truncated is not None
-                        else date_err
+                        else None
                     )
+                    flag = "; ".join(filter(None, [trunc_flag, date_err])) or None
                     rows.append(
                         {
                             "url": h.get("warc-target-uri", ""),

@@ -441,6 +441,68 @@ class TestContainment:
         }
         assert from_cands == exact
 
+    def test_rare_shingle_candidates_full_recall_on_corpus(self, docs):
+        """The crawl-scale path (VERDICT r04 #3): rare-shingle
+        candidates + verify must reproduce the exact co-occurrence
+        answer on the test corpus — measured recall 100% here, pinned
+        per-round by the containment_candidates_recall driver row."""
+        from gocrd_spark.operators.dedup import (
+            containment_candidates,
+            containment_pairs,
+        )
+
+        exact = {
+            (r.doc_id, r.other_id): r.containment
+            for r in containment_pairs(docs, n=3, threshold=0.3).collect()
+        }
+        assert exact
+        approx = {
+            (r.doc_id, r.other_id): r.containment
+            for r in containment_pairs(
+                docs, n=3, threshold=0.3,
+                candidates=containment_candidates(docs, n=3, k=5),
+            ).collect()
+        }
+        assert approx == exact
+
+    def test_rare_shingle_candidates_recall_asymmetric_pair(self, spark):
+        """The tiny-doc-inside-huge-doc pair (containment 1.0, Jaccard
+        ~0.04 — invisible to Jaccard banding) must be a rare-shingle
+        candidate: the small doc's rarest shingles are exactly the ones
+        the big doc shares."""
+        from gocrd_spark.operators.dedup import containment_candidates
+
+        small = "alpha beta gamma delta epsilon"
+        big = small + " " + " ".join(f"filler{i} pad{i} text{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(0, small), (1, big), (2, "totally different words here")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in containment_candidates(docs, n=3, k=5).collect()
+        }
+        assert (0, 1) in got
+
+    def test_rare_shingle_max_df_skew_valve(self, spark):
+        """max_df drops boilerplate shingles from SELECTION: a corpus
+        where every doc shares one frequent template shingle plus a
+        unique tail must not pair everyone with everyone once the
+        template's df exceeds the cap."""
+        from gocrd_spark.operators.dedup import containment_candidates
+
+        tmpl = "shared template words"
+        rows = [(i, f"{tmpl} unique{i} tail{i} body{i}") for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # each doc: 3 df=1 shingles + the df=20 template shingle; k=4
+        # reaches the template, so uncapped pairs everyone (20*19/2)
+        uncapped = containment_candidates(docs, n=3, k=4)
+        assert uncapped.count() == 190
+        # the cap removes the template from SELECTION -> no common
+        # shingle survives, zero candidates
+        capped = containment_candidates(docs, n=3, k=4, max_df=5)
+        assert capped.count() == 0
+
 
 class TestSnapshotDiff:
     def test_all_four_statuses_and_null_payload(self, spark):
@@ -920,6 +982,75 @@ class TestSimhashSignatureTable:
         assert any(cut1 <= p[0] < cut2 for p in want)  # C-B pairs planted
 
 
+class TestFsio:
+    """Scheme-agnostic sidecar IO (VERDICT r04 #2): every probe goes
+    through the Hadoop FileSystem API, exercised here with an explicit
+    ``file://`` URI — the same scheme-resolution path an ``s3a://``
+    deployment takes once its connector jar is present."""
+
+    def test_roundtrip_and_glob(self, spark, tmp_path):
+        from gocrd_spark import fsio
+
+        uri = "file://" + str(tmp_path / "ctl" / "_PARAMS.json")
+        assert not fsio.exists(spark, uri)
+        fsio.write_text(spark, uri, '{"n": 2}')
+        assert fsio.exists(spark, uri)
+        assert fsio.read_text(spark, uri) == '{"n": 2}'
+        # overwrite, not append
+        fsio.write_text(spark, uri, '{"n": 3}')
+        assert fsio.read_text(spark, uri) == '{"n": 3}'
+        fsio.write_text(spark, "file://" + str(tmp_path / "ctl" / "_batch_a.json"), "a")
+        got = fsio.glob(spark, "file://" + str(tmp_path / "ctl" / "_batch_*.json"))
+        assert len(got) == 1 and got[0].endswith("_batch_a.json")
+        assert fsio.glob(spark, "file://" + str(tmp_path / "missing" / "*")) == []
+
+    def test_durable_simhash_table_via_file_uri(self, spark, docs, tmp_path):
+        """Build / resume / param-refuse / append / increment of the
+        durable SimHash table addressed by a ``file://`` URI end to
+        end — the contract the r04 verdict said broke exactly where
+        the operators matter most (object storage)."""
+        from gocrd_spark import fsio
+        from gocrd_spark.operators.dedup import (
+            simhash_append,
+            simhash_incremental,
+            simhash_near_dups,
+            simhash_near_dups_from,
+            simhash_signatures,
+        )
+
+        ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+        cut = ids[len(ids) // 2]
+        old = docs.filter(F.col("doc_id") < cut)
+        new = docs.filter(F.col("doc_id") >= cut)
+
+        path = "file://" + str(tmp_path / "sig_uri")
+        simhash_signatures(old, path, n=2, max_hamming=3)
+        assert fsio.exists(spark, path + "/_PARAMS.json")
+        # resume: no-op; mismatch: refuse — both through the URI scheme
+        simhash_signatures(old, path, n=2, max_hamming=3)
+        with pytest.raises(ValueError, match="was built with"):
+            simhash_signatures(old, path, n=3, max_hamming=3)
+        with pytest.raises(ValueError, match="banded for max_hamming"):
+            simhash_near_dups_from(spark, path, max_hamming=2)
+
+        simhash_append(new, path, "day1")
+        simhash_append(new, path, "day1")  # idempotent through URI
+        full = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups(docs, n=2, max_hamming=3).collect()
+        }
+        table = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups_from(spark, path, max_hamming=3).collect()
+        }
+        assert table == full
+        inc = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_incremental(new, path, max_hamming=3).collect()
+        }
+        assert inc == {p for p in full if p[0] >= cut or p[1] >= cut}
+
+
 class TestSimilarity:
     def test_bruteforce_matches_numpy(self, emb):
         import numpy as np
@@ -1366,6 +1497,27 @@ class TestPackShards:
         assert got != id_order
         with pytest.raises(ValueError, match="order must be"):
             pack_shards(docs, order="random")
+
+
+class TestCompressionGolden:
+    def test_compression_golden_pins_zlib_runtime(self):
+        """ADVICE r04: the compression_stats goldens store exact
+        compressed byte counts, which are an artifact of the zlib BUILD
+        (zlib-ng at the same level emits different bytes). The golden
+        pins the generator's zlib runtime in its parquet metadata; this
+        asserts the CHECKING runtime matches, so a runtime swap fails
+        here loudly instead of as a silent value-hash divergence."""
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        from tools.gen_goldens import ops_golden_path
+
+        for sf in (0.01, 0.1):
+            meta = pq.read_schema(ops_golden_path("compression_stats", sf)).metadata
+            pinned = (meta or {}).get(b"zlib_runtime")
+            assert pinned is not None, "golden missing zlib_runtime pin"
+            assert pinned.decode() == zlib.ZLIB_RUNTIME_VERSION
 
     def test_compression_stats_signal(self, spark):
         """Repetitive text compresses far smaller than high-entropy

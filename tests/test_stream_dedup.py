@@ -225,3 +225,86 @@ class TestUrlDedupStream:
         assert s_bad == b_bad and len(s_bad) == 6
         # and total keep-set sizes agree
         assert len(stream_rows) == len(batch_kept) == 18
+
+    def test_e2e_multibatch_late_and_out_of_watermark(self, spark, tmp_path):
+        """VERDICT r04 #4 — true streaming e2e: drive url_dedup_stream
+        with a real file-source availableNow run whose first drain spans
+        MULTIPLE micro-batches (3 files at maxFilesPerTrigger=2, so the
+        watermark advances mid-drain), then a second drain carrying
+        late/out-of-watermark arrivals. Pins, empirically verified
+        against Spark 4.1:
+        - an in-horizon duplicate (event time >= watermark, key state
+          live) is dropped;
+        - an OUT-OF-WATERMARK row (event time < the committed watermark)
+          is discarded entirely — even for a never-seen URL. The crawl
+          meaning: an hour-late fetch log can't resurrect evicted state,
+          which is exactly what keeps state bounded; a genuinely late
+          backfill belongs to the batch anti-join path
+          (pipeline.filter_unprocessed), not the stream;
+        - on-time keeps still match batch url_dedup at the
+          canonical-group level."""
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.operators.urls import canonical_url, url_dedup
+        from gocrd_spark.streaming.dedup_stream import (
+            run_available_now_to_dir,
+            url_dedup_stream,
+        )
+
+        inp = str(tmp_path / "urls_late")
+        out = str(tmp_path / "out_late")
+        ckpt = str(tmp_path / "ckpt_late")
+
+        def app(rows):
+            spark.createDataFrame(
+                rows, "doc_id long, ts timestamp, url string"
+            ).coalesce(1).write.mode("append").parquet(inp)
+
+        # drain 1: three FILES -> two micro-batches (maxFilesPerTrigger=2)
+        app([(0, _ts(0), "http://a.com/x"), (1, _ts(1), "HTTP://A.COM:80/x")])
+        app([(2, _ts(2), "http://b.com/y")])
+        app([(3, _ts(30), "http://c.com/z")])  # advances watermark to 12:20
+        run_available_now_to_dir(
+            url_dedup_stream(spark, inp, watermark="10 minutes"), out, ckpt
+        )
+        kept1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+        # one of the a.com variants + b + c (which variant depends on
+        # file processing order across micro-batches — group-level pin)
+        assert len(kept1 & {0, 1}) == 1 and {2, 3} <= kept1 and len(kept1) == 3
+
+        # drain 2 against the SAME checkpoint (committed watermark 12:20):
+        app([
+            (4, _ts(25), "http://C.com/z?"),          # in-horizon dup -> drop
+            (5, _ts(10), "http://late-new.com/q"),    # out-of-watermark NEW url -> discarded
+            (6, _ts(40), "http://e.com/f"),           # fresh -> keep
+        ])
+        run_available_now_to_dir(
+            url_dedup_stream(spark, inp, watermark="10 minutes"), out, ckpt
+        )
+        kept2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert kept2 - kept1 == {6}
+
+        # batch parity on the ON-TIME subset: same canonical groups kept
+        on_time = spark.createDataFrame(
+            [
+                (0, _ts(0), "http://a.com/x"),
+                (1, _ts(1), "HTTP://A.COM:80/x"),
+                (2, _ts(2), "http://b.com/y"),
+                (3, _ts(30), "http://c.com/z"),
+                (4, _ts(25), "http://C.com/z?"),
+                (6, _ts(40), "http://e.com/f"),
+            ],
+            "doc_id long, ts timestamp, url string",
+        )
+        b_groups = {
+            r.canonical_url
+            for r in url_dedup(on_time, ts_col="ts").collect()
+            if r.keep == 1
+        }
+        s_groups = {
+            r[0]
+            for r in spark.read.parquet(out)
+            .select(canonical_url(F.col("url")))
+            .collect()
+        }
+        assert s_groups == b_groups and len(s_groups) == 4

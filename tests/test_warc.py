@@ -320,6 +320,31 @@ class TestWarcMixedShard:
             == "7bac7349cf86baac9834073fbfd7e589efa9d716e28578d6940362a02c7ec065"
         )
 
+    def test_truncated_record_with_bad_date_keeps_both_diagnostics(self, spark):
+        """ADVICE r04: a record that is BOTH WARC-Truncated and carries
+        a malformed WARC-Date must report both diagnostics, not just
+        the truncation flag."""
+        from gocrd_spark.warc import warc_to_pages, write_warc
+
+        shard = write_warc(
+            [
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": "http://crawl.test/both",
+                        "WARC-Date": "not-a-date",
+                        "WARC-Truncated": "time",
+                    },
+                    "payload": b"HTTP/1.1 200 OK\r\n\r\n<html>partial",
+                }
+            ]
+        )
+        warcs = spark.createDataFrame(
+            [(1, bytearray(shard))], "warc_id long, warc binary"
+        )
+        (row,) = warc_to_pages(warcs).collect()
+        assert row.error == "truncated: time; bad warc-date: 'not-a-date'"
+
 
 class TestWarcBadDate:
     def test_malformed_warc_date_flags_row_not_task(self, spark):

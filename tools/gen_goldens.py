@@ -268,10 +268,21 @@ def build_operator_tables(
     bpe_voc = tw.bpe_vocab(docs, bpe_merges)
     comp = tw.compression_stats(docs)
 
+    # the compressed sizes are pinned to THIS zlib build's exact output
+    # (a different implementation, e.g. zlib-ng, compresses differently
+    # at the same level despite identical semantics) — record the
+    # runtime version in the golden's parquet metadata so a check on a
+    # different runtime fails LOUDLY instead of diverging silently
+    # (ADVICE r04); asserted by tests/test_operators.py
+    import zlib as _zlib
+
+    comp_table = _t(comp, ["doc_id", "n_bytes", "n_bytes_zlib"])
+    comp_table = comp_table.replace_schema_metadata(
+        {b"zlib_runtime": _zlib.ZLIB_RUNTIME_VERSION.encode()}
+    )
+
     return {
-        "compression_stats": _t(
-            comp, ["doc_id", "n_bytes", "n_bytes_zlib"]
-        ),
+        "compression_stats": comp_table,
         "bpe_vocab": pa.table(
             {
                 "token_id": pa.array([r[0] for r in bpe_voc], pa.int64()),
