@@ -384,6 +384,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     allow_quadratic: bool = False,
+    star_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: signature split into ``bands`` bands
     of ``num_hashes/bands`` rows; bucket key = xxhash64 of the band
@@ -397,9 +398,54 @@ def minhash_candidates(
     this lifts that guard to the raw operator so a low-threshold
     parameter set can't silently go quadratic at scale). The opt-in is
     for small recall-certified corpora — e.g. the driver oracle corpus,
-    where the exact all-pairs oracle bounds the candidate volume."""
+    where the exact all-pairs oracle bounds the candidate volume.
+
+    ``star_bucket`` is the MEGA-BUCKET valve (VERDICT r04 #5): a bucket
+    with more than ``star_bucket`` members — on a crawl that is a
+    boilerplate page class, 10k+ near-copies of one template — would
+    emit |B|²/2 pairs from the self-join (50M pairs for one 10k
+    bucket, and the downstream exact-verify join carries two shingle
+    arrays per pair: the real straggler). With the valve, oversize
+    buckets emit STAR candidates instead — (bucket-min, member) edges,
+    |B| pairs — which connect the same vertices for the
+    cluster-resolution consumers (dedup_clusters / training_corpus:
+    connected components only need a spanning set). Recall trade,
+    documented: star pairs are verified hub-vs-member, so two members
+    whose only similarity path ran through a different member are no
+    longer directly linked — immaterial for true boilerplate classes
+    (mutually near-identical, and the only way a bucket gets that big)
+    but a semantics change for PAIR-level consumers, hence opt-in
+    (default None = exact candidate set; the driver's
+    minhash_near_dups oracle equality requires it)."""
     _guard_banding(num_hashes, bands, allow_quadratic)
     bands_df = _minhash_banded(docs, n, num_hashes, bands)
+    if star_bucket is not None:
+        sizes = bands_df.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_sz"), F.min("doc_id").alias("_hub")
+        )
+        big = sizes.filter(F.col("_sz") > star_bucket).select(
+            "band", "bucket", "_hub"
+        )
+        star = (
+            bands_df.join(big, ["band", "bucket"])
+            .filter(F.col("doc_id") != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+        )
+        small = bands_df.join(
+            big.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        )
+        pairs = (
+            small.alias("x")
+            .join(small.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+        )
+        return pairs.unionByName(star).distinct()
     return (
         bands_df.alias("x")
         .join(bands_df.alias("y"), ["band", "bucket"])
@@ -499,20 +545,38 @@ def minhash_lsh(
     return verify_jaccard_pairs(docs, cand, n, threshold)
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 25, stats: dict | None = None
+) -> DataFrame:
     """Connected components over a near-dup pair table (doc_a, doc_b):
-    iterative min-label propagation — each round every vertex adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup clusters are shallow: dup
-    rings around a template, so single-digit rounds in practice; the
-    round count is the driver's only coordination — no per-row driver
-    work, each round is one equi-join + one partial-agg groupBy on
-    (id, label) longs).
+    min-label propagation WITH per-round pointer jumping — each round
+    every vertex adopts the smallest label among itself and its
+    neighbors (one equi-join + partial-agg groupBy on (id, label)
+    longs), then shortcuts through its label's own label
+    (``lbl = min(lbl, label(lbl))``, one more (long, long) self-join).
+    The jump step doubles the propagation distance per round, so
+    convergence is O(log diameter), not O(diameter): dup rings around
+    a template converge in 2-3 rounds as before, and the adversarial
+    shape — a snapshot-drift CHAIN v1~v2~…~v10k, diameter 10k — still
+    converges in ~15 rounds instead of blowing the cap (VERDICT r04
+    #5; planted-topology pytests + tools/volume_probe.py mega-cluster
+    probe).
 
     Returns (doc_id, canonical_id) for every vertex that appears in at
     least one pair; canonical_id = min doc_id of its component. Raises
-    after ``max_iters`` non-converged rounds (a component with diameter
-    >25 is not a dup cluster — it is a data bug worth surfacing).
+    after ``max_iters`` non-converged rounds (with jumping that means
+    diameter > ~2^25 — a data bug worth surfacing, not a dup cluster).
+
+    Skew accounting for a 10k+-member mega-cluster (boilerplate page
+    class): the neighbor-min groupBy is a partial aggregation (map-side
+    combine absorbs hot vertices); the propagation join's key is the
+    VERTEX id, whose multiplicity is its degree — bounded by the pair
+    emitter's bucket valves, not the cluster size; the jump join's key
+    is the LABEL, which does concentrate on the canonical id as the
+    cluster converges, but its build side is unique-per-key (one row
+    per vertex), so the hot key inflates one probe partition only and
+    AQE's skew-join split handles it (probe-verified: 10k-clique and
+    10k-chain rounds in BENCH.md show no straggler).
 
     Each round's label table is ``localCheckpoint``-ed: iterative plans
     nest their full lineage otherwise, and by ~10 rounds Catalyst's plan
@@ -522,6 +586,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     every round. (This is the one place in the repo where
     localCheckpoint beats persist: elsewhere the LogicalRDD blocking
     codegen matters; here the plan DEPTH is the failure mode.)
+
+    ``stats``, if given, receives ``{"rounds": n}`` on convergence —
+    observability for the volume probe, not part of the data contract.
     """
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     # every round's join/groupBy shuffles ONLY (long, long) id/label
@@ -537,12 +604,27 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .select("u", F.least(F.col("u"), F.col("nbr_min")).alias("lbl"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iters):
+    for rounds in range(1, max_iters + 1):
         pushed = sym.join(labels, "u").select(F.col("v").alias("u"), "lbl")
-        new_labels = (
+        propagated = (
             labels.unionByName(pushed)
             .groupBy("u")
             .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: follow the label one hop (labels are vertex ids,
+        # so label(lbl) exists whenever lbl is a labelled vertex; a
+        # vertex labelled by ITSELF left-joins to its own row)
+        jump = labels.select(
+            F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        new_labels = (
+            propagated.join(jump, "lbl", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
+                ).alias("lbl"),
+            )
             .localCheckpoint(eager=False)
         )
         changed = (
@@ -553,6 +635,8 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels.select(
                 F.col("u").alias("doc_id"), F.col("lbl").alias("canonical_id")
             )

@@ -80,6 +80,107 @@ class TestBpeTrain:
         assert merges == [(0, "a", "a")]
 
 
+class TestBpeBatchedTraining:
+    """VERDICT r04 #6: batched merge selection must be BIT-IDENTICAL to
+    the per-merge trainer — the truncation rule in _select_batch is a
+    proof, these are its executable checks."""
+
+    def test_batch_equals_per_merge_on_fixture(self, docs):
+        """batch=8 (the default) vs batch=1 (the sequential algorithm)
+        on the 500-doc fixture, past several batch rounds."""
+        from gocrd_spark.operators.bpe import bpe_train
+
+        batched = bpe_train(docs, n_merges=24, min_pair_count=2, batch=8)
+        sequential = bpe_train(docs, n_merges=24, min_pair_count=2, batch=1)
+        assert batched == sequential and len(batched) == 24
+
+    def test_randomized_tiny_alphabet_forces_collisions(self, spark):
+        """Random {a,b,c}-soup corpora: with 3 letters, merges rapidly
+        produce strings that COLLIDE with later top pairs' concatenations
+        (e.g. symbol 'ab' existing while ('a','b') re-tops via another
+        decomposition) — the exactness hole _select_batch's singleton
+        path exists for. Batched Spark must equal the per-merge twin on
+        every seed."""
+        import random
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import oracle_twins as tw
+
+        from gocrd_spark.operators.bpe import bpe_train
+
+        for seed in (11, 23, 47):
+            rng = random.Random(seed)
+            rows = [
+                (
+                    i,
+                    " ".join(
+                        "".join(
+                            rng.choice("abc")
+                            for _ in range(rng.randint(1, 6))
+                        )
+                        for _ in range(30)
+                    ),
+                )
+                for i in range(8)
+            ]
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+            got = bpe_train(docs, n_merges=10, min_pair_count=2, batch=4)
+            want = tw.bpe_train(sorted(rows), n_merges=10, min_pair_count=2)
+            assert got == want, f"seed {seed}: {got} != {want}"
+
+    def test_select_batch_truncation_rules(self):
+        """Driver-side unit checks of the selection invariants:
+        - conflict truncates the prefix AND drops selected pairs whose
+          count does not strictly dominate the conflict's;
+        - a collision pair is only ever a singleton batch;
+        - a full-table scan with no conflict keeps the whole prefix;
+        - a partial scan bounds by the tail count."""
+        from gocrd_spark.operators.bpe import _select_batch
+
+        def row(a, b, n):
+            return {"a": a, "b": b, "n": n}
+
+        # conflict at n=5: (c,d) at 5 is NOT > 5 -> dropped, (a,b) kept
+        rows = [row("a", "b", 9), row("c", "d", 5), row("b", "x", 5)]
+        sel, stop = _select_batch(rows, 8, 2, True, set())
+        assert sel == [("a", "b")] and not stop
+
+        # same but (c,d) at 7 strictly dominates the conflict -> kept
+        rows = [row("a", "b", 9), row("c", "d", 7), row("b", "x", 5)]
+        sel, _ = _select_batch(rows, 8, 2, True, set())
+        assert sel == [("a", "b"), ("c", "d")]
+
+        # collision ('ab' pre-exists): singleton even with room
+        rows = [row("a", "b", 9), row("c", "d", 7)]
+        sel, _ = _select_batch(rows, 8, 2, True, {"ab"})
+        assert sel == [("a", "b")]
+
+        # collision ranked second: batch ends before it
+        rows = [row("c", "d", 9), row("a", "b", 7), row("e", "f", 6)]
+        sel, _ = _select_batch(rows, 8, 2, True, {"ab"})
+        assert sel == [("c", "d")]
+
+        # full table, disjoint: everything kept, no tail bound
+        rows = [row("a", "b", 9), row("c", "d", 3), row("e", "f", 2)]
+        sel, _ = _select_batch(rows, 8, 2, True, set())
+        assert sel == [("a", "b"), ("c", "d"), ("e", "f")]
+
+        # PARTIAL table (top-T of a bigger one): tail count 2 bounds —
+        # (e,f) at 2 is not strictly above it -> dropped
+        sel, _ = _select_batch(rows, 8, 2, False, set())
+        assert sel == [("a", "b"), ("c", "d")]
+
+        # sub-threshold rows neither select nor threaten
+        rows = [row("a", "b", 9), row("c", "d", 1)]
+        sel, stop = _select_batch(rows, 8, 2, False, set())
+        assert sel == [("a", "b")] and not stop
+
+        # empty / all-below-threshold -> stop training
+        assert _select_batch([], 8, 2, True, set()) == ([], True)
+        assert _select_batch([row("a", "b", 1)], 8, 2, True, set()) == ([], True)
+
+
 class TestBpeEncode:
     def test_encode_matches_twin(self, docs):
         import sys

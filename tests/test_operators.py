@@ -79,6 +79,43 @@ class TestMinHash:
         sig = minhash_signature(df, n=2, num_hashes=8).collect()[0].signature
         assert len(set(sig)) > 4  # distinct permutations -> distinct minima
 
+    def test_star_bucket_valve_linearizes_mega_bucket(self, spark):
+        """VERDICT r04 #5: a boilerplate class (30 near-copies of one
+        template) whose buckets exceed star_bucket emits hub-star
+        candidates — O(|B|) pairs instead of |B|²/2 — while the
+        resulting CLUSTER (what dedup_clusters consumes) is identical
+        to the exact candidate set's. Small buckets keep exact pairs."""
+        from gocrd_spark.operators.dedup import (
+            connected_components,
+            minhash_candidates,
+            verify_jaccard_pairs,
+        )
+
+        tmpl = " ".join(f"boiler{i:03d}" for i in range(120))
+        rows = [(i, tmpl + f" unique{i}") for i in range(30)]
+        # plus an unrelated small near-dup pair
+        rows += [(100, "alpha beta gamma delta epsilon zeta"),
+                 (101, "alpha beta gamma delta epsilon eta")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        exact_cand = minhash_candidates(docs, n=3)
+        star_cand = minhash_candidates(docs, n=3, star_bucket=10)
+        n_exact, n_star = exact_cand.count(), star_cand.count()
+        assert n_exact >= 29 * 30 / 2          # mega bucket went quadratic
+        assert n_star < n_exact and n_star <= 29 + 10  # star is linear
+
+        def comps(cand):
+            verified = verify_jaccard_pairs(docs, cand, n=3, threshold=0.5)
+            return {
+                r.doc_id: r.canonical_id
+                for r in connected_components(verified).collect()
+            }
+
+        star_comps = comps(star_cand)
+        assert comps(exact_cand) == star_comps
+        assert all(star_comps[i] == 0 for i in range(30))
+        assert star_comps.get(100) == 100 and star_comps.get(101) == 100
+
 
 class TestMinhashBorderlineRecall:
     """The sf0.01 corpus plants only j >= 0.9 near-dups, where ANY sane
@@ -220,20 +257,53 @@ class TestDedupClusters:
         }
 
     def test_long_chain_converges(self, spark):
-        """A 12-hop chain needs ~12 propagation rounds — inside the
-        max_iters guard; a >max_iters diameter raises instead of
-        silently returning partial labels."""
+        """A 12-hop chain: pointer jumping resolves it in O(log
+        diameter) rounds; an under-provisioned max_iters raises instead
+        of silently returning partial labels."""
         from gocrd_spark.operators.dedup import connected_components
 
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(100, 112)], "doc_a long, doc_b long"
         )
-        got = {r.doc_id: r.canonical_id for r in connected_components(chain).collect()}
+        stats: dict = {}
+        got = {
+            r.doc_id: r.canonical_id
+            for r in connected_components(chain, stats=stats).collect()
+        }
         assert set(got.values()) == {100} and len(got) == 13
+        assert stats["rounds"] <= 6  # ~log2(12)+slack, not 12
         import pytest as _pytest
 
         with _pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(chain, max_iters=3)
+            connected_components(chain, max_iters=1)
+
+    def test_planted_skew_chain_and_mega_star(self, spark):
+        """VERDICT r04 #5 planted-skew shapes, in one pair table:
+        - a 2000-hop snapshot-drift CHAIN (diameter 2000 — the shape
+          that blows a plain O(diameter) propagation's 25-round cap);
+        - a 5000-member boilerplate mega-cluster (star around doc 0 —
+          one vertex of degree 5000, the hot-key shape);
+        - a normal small ring, to prove coexistence.
+        Pointer jumping must converge the LOT within the default cap in
+        O(log diameter) rounds with every label correct."""
+        from gocrd_spark.operators.dedup import connected_components
+
+        chain = [(100_000 + i, 100_000 + i + 1) for i in range(2000)]
+        star = [(0, i) for i in range(1, 5000)]
+        ring = [(90_000, 90_001), (90_001, 90_002), (90_002, 90_000)]
+        pairs = spark.createDataFrame(
+            chain + star + ring, "doc_a long, doc_b long"
+        )
+        stats: dict = {}
+        got = {
+            r.doc_id: r.canonical_id
+            for r in connected_components(pairs, stats=stats).collect()
+        }
+        assert stats["rounds"] <= 15  # ~log2(2000)+slack, vs 2000 plain
+        assert all(got[100_000 + i] == 100_000 for i in range(2001))
+        assert all(got[i] == 0 for i in range(5000))
+        assert got[90_000] == got[90_001] == got[90_002] == 90_000
+        assert len(got) == 2001 + 5000 + 3
 
 
 class TestMinhashSignatureTable:

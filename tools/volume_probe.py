@@ -27,7 +27,7 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-def synth_docs(spark, n_docs: int, num_partitions: int = 128):
+def synth_docs(spark, n_docs: int, num_partitions: int = 128, mega: int = 0):
     # everything the executors need lives INSIDE this closure so
     # cloudpickle ships it by value (tools/ is not on executor paths)
     words = (
@@ -36,9 +36,17 @@ def synth_docs(spark, n_docs: int, num_partitions: int = 128):
         "skew plan column prune limit order group count distinct union map "
         "reduce stage"
     ).split()
+    # mega > 0 plants a boilerplate page CLASS: docs [n//2, n//2+mega)
+    # are one 160-word template with a single doc-specific word — the
+    # 10k-member near-dup mega-cluster of VERDICT r04 #5
+    mega_lo = n_docs // 2
+    mega_hi = mega_lo + mega
+    tmpl = " ".join(words[i % len(words)] + str(i) for i in range(160))
 
     def doc_text(doc_id: int) -> str:
         rng = random.Random(0x5EED ^ doc_id)
+        if mega and mega_lo <= doc_id < mega_hi:
+            return tmpl + f" only{doc_id}"
         if doc_id % 17 == 16 and doc_id > 0:
             # planted near-dup: predecessor's text with one word appended
             return doc_text(doc_id - 1) + " " + rng.choice(words)
