@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--seed", default="mix1", help="sampling seed (new seed = new mix)")
     parser.add_argument("--budget-tokens", type=int, default=2048)
     parser.add_argument("--min-quality", type=float, default=0.3)
+    parser.add_argument("--star-bucket", type=int, default=None,
+                        help="mega-bucket star valve for the MinHash stage: "
+                             "LSH buckets larger than this emit linear hub-star "
+                             "candidate edges instead of quadratic pairs "
+                             "(cluster-identical for boilerplate page classes; "
+                             "see operators.dedup.minhash_candidates)")
     parser.add_argument("--out-format", default="parquet", choices=["parquet", "jsonl"],
                         help="parquet (default) or gzip JSONL shards (the "
                              "training-data interchange format)")
@@ -77,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
             budget_tokens=args.budget_tokens,
             min_quality=args.min_quality,
+            star_bucket=args.star_bucket,
         ).persist()  # one chain execution feeds both the write and the stats
         writer = out.write.mode(
             "overwrite" if args.overwrite else "errorifexists"

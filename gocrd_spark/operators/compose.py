@@ -35,6 +35,7 @@ def training_corpus(
     budget_tokens: int = 2048,
     min_quality: float = 0.3,
     stage_cache: bool = True,
+    star_bucket: int | None = None,
 ) -> DataFrame:
     """Run the full cleaning chain over ``docs`` (doc_id, text, source).
     Returns the training-ready corpus:
@@ -49,7 +50,17 @@ def training_corpus(
     source) survivor tables — the same corpus-sized materialization a
     production pipeline pays anyway by writing stage outputs to durable
     storage between stages; pass False to trade recompute for zero
-    storage."""
+    storage.
+
+    ``star_bucket`` forwards the mega-bucket star valve to the MinHash
+    candidate stage (see minhash_candidates): at crawl scale a
+    boilerplate page class (10k+ near-copies of one template) would
+    otherwise emit |B|²/2 candidate pairs per band bucket; with the
+    valve the bucket emits linear hub-star edges, and since THIS
+    consumer only resolves clusters (connected components needs a
+    spanning set, not every pair), the surviving corpus is unchanged
+    for true boilerplate classes. Default None keeps the exact
+    candidate set (the driver oracle's configuration)."""
     from gocrd_spark.operators.dedup import (
         choose_bands,
         dedup_clusters,
@@ -91,6 +102,7 @@ def training_corpus(
         threshold=jaccard_threshold,
         num_hashes=num_hashes,
         bands=bands,
+        star_bucket=star_bucket,
     )
     keep2 = dedup_clusters(stage1, pairs).filter(F.col("keep") == 1).select("doc_id")
     stage2 = stage1.join(keep2, "doc_id", "left_semi")

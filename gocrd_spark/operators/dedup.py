@@ -533,15 +533,19 @@ def minhash_lsh(
     bands: int = 8,
     threshold: float = 0.5,
     allow_quadratic: bool = False,
+    star_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation (minhash_candidates) + exact
     Jaccard verification (verify_jaccard_pairs) — only candidates pay
     the verification, not all O(N²) pairs. ``allow_quadratic`` gates
-    the 1-row-band regime (see minhash_candidates).
+    the 1-row-band regime and ``star_bucket`` the mega-bucket star
+    valve (both documented on minhash_candidates).
 
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
-    cand = minhash_candidates(docs, n, num_hashes, bands, allow_quadratic)
+    cand = minhash_candidates(
+        docs, n, num_hashes, bands, allow_quadratic, star_bucket
+    )
     return verify_jaccard_pairs(docs, cand, n, threshold)
 
 

@@ -73,6 +73,44 @@ class TestTrainingCorpus:
         out.unpersist()
 
 
+class TestTrainingCorpusStarValve:
+    def test_star_bucket_output_identical_on_boilerplate_class(self, spark, docs):
+        """A 40-member boilerplate page class planted into the fixture
+        corpus: training_corpus with the star valve engaged (bucket cap
+        8, well under the class size) must produce EXACTLY the corpus
+        the exact-candidate run produces — the valve changes candidate
+        pair volume, not cluster membership, and the chain consumes only
+        clusters."""
+        from gocrd_spark.operators.compose import training_corpus
+
+        tmpl = " ".join(
+            f"the quick brown fox jumps over lazy dog {i}" for i in range(12)
+        )
+        boiler = spark.createDataFrame(
+            [
+                (10_000 + i, tmpl + f" trailer {i}", "srcb")
+                for i in range(40)
+            ],
+            "doc_id long, text string, source string",
+        )
+        corpus = docs.select("doc_id", "text", "source").unionByName(boiler)
+
+        def run(**kw):
+            return sorted(
+                (r.doc_id, r.text, r.n_tokens, r.shard_id)
+                for r in training_corpus(
+                    corpus, budget_tokens=512, min_quality=0.2, **kw
+                ).collect()
+            )
+
+        exact = run()
+        starred = run(star_bucket=8)
+        assert exact == starred
+        # and the boilerplate class collapsed to at most one survivor
+        n_boiler = sum(1 for d, *_ in exact if d >= 10_000)
+        assert n_boiler <= 1
+
+
 class TestCorpusJobCli:
     def test_job_writes_sharded_output(self, spark, tmp_path, docs):
         """The spark-submit CLI runs the chain, partitions output by

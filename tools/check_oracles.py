@@ -3,7 +3,13 @@
 DuckDB twin — row count, sorted column names, and an order-insensitive
 value hash. Rows-only queries just check they run and report counts.
 
-Usage: python tools/check_oracles.py [sf_dir] [name ...]
+Usage: python tools/check_oracles.py [--json OUT.json] [sf_dir] [name ...]
+
+``--json`` additionally writes a machine-readable record per query in
+the driver's CORRECTNESS_r{N}.json shape (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err; rows-only queries carry
+hash_match=null) — VERDICT r04 #8: the sf0.1 sweep becomes diffable
+round-over-round instead of a transcript.
 """
 
 from __future__ import annotations
@@ -46,8 +52,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     import os
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     # oracle goldens must match the sweep's scale (gen_goldens reads this
     # at golden_path() call time); run tools/gen_goldens.py --sf first
@@ -72,37 +83,56 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        records[name] = rec
         t0 = time.time()
         try:
             sdf = normalize(fn(spark, sf_dir).toPandas())
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
+            rec["err"] = f"spark error: {exc}"
             n_fail += 1
             continue
         dt = time.time() - t0
+        rec["spark_rows"] = len(sdf)
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows, cols={sorted(sdf.columns)} ({dt:.1f}s)")
+            rec.update(rows_match=True, schema_match=True, hash_match=None)
             n_rows_only += 1
             continue
         try:
             odf = normalize(con.execute(oracles[name]).fetchdf())
         except Exception as exc:
             print(f"FAIL  {name}: oracle error: {exc}")
+            rec["err"] = f"oracle error: {exc}"
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(odf)
+        rec["rows_match"] = len(sdf) == len(odf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
         problems = []
-        if len(sdf) != len(odf):
+        if not rec["rows_match"]:
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
+        if not rec["schema_match"]:
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        elif value_hash(sdf) != value_hash(odf):
-            problems.append("value hash mismatch")
-            merged = _diff(sdf, odf)
-            if merged is not None:
-                problems.append(f"first diffs:\n{merged}")
+        else:
+            rec["hash_match"] = value_hash(sdf) == value_hash(odf)
+            if not rec["hash_match"]:
+                problems.append("value hash mismatch")
+                merged = _diff(sdf, odf)
+                if merged is not None:
+                    problems.append(f"first diffs:\n{merged}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
@@ -110,6 +140,12 @@ def main() -> int:
             print(f"OK    {name}: {len(sdf)} rows match ({dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} oracle-match, {n_rows_only} rows-only, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=1)
+        print(f"wrote {json_out} ({len(records)} queries)")
     spark.stop()
     return 1 if n_fail else 0
 

@@ -161,7 +161,88 @@ def _probe(master: str, path: str, ops: list[str]) -> dict[str, float]:
     return out
 
 
+def mega_probe(n_docs: int, mega: int, star_bucket: int = 512) -> dict:
+    """VERDICT r04 #5 probe: a planted ``mega``-member boilerplate page
+    class inside an ``n_docs`` corpus, pushed through the MinHash
+    candidate -> verify -> connected-components chain. Reports the
+    quadratic candidate volume the valve AVOIDS (count only — nothing
+    downstream consumes it), the star-valve candidate volume, per-stage
+    walls, component-loop rounds, and the recovered cluster sizes."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.operators.dedup import (
+        connected_components,
+        minhash_candidates,
+        ngram_jaccard_pairs,
+    )
+    from gocrd_spark.session import get_spark
+
+    path = f"/tmp/gocrd_volume_docs_{n_docs}_mega{mega}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark = get_spark(master="local[32]", app_name="volume-prep-mega")
+        synth_docs(spark, n_docs, mega=mega).write.mode("overwrite").parquet(path)
+        spark.stop()
+    spark = get_spark(master="local[32]", app_name="volume-mega")
+    docs = spark.read.parquet(path)
+    out: dict = {"n_docs": n_docs, "mega": mega, "star_bucket": star_bucket}
+
+    t0 = time.time()
+    out["candidates_no_valve"] = minhash_candidates(
+        docs, n=3, allow_quadratic=True
+    ).count()
+    out["candidates_no_valve_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    cand = minhash_candidates(docs, n=3, star_bucket=star_bucket)
+    out["candidates_star"] = cand.count()
+    out["candidates_star_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    verified = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, candidates=cand
+    ).localCheckpoint()
+    out["verified_pairs"] = verified.count()
+    out["verify_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    stats: dict = {}
+    labels = connected_components(verified, stats=stats).localCheckpoint()
+    out["components_sec"] = round(time.time() - t0, 2)
+    out["component_rounds"] = stats.get("rounds")
+    top = (
+        labels.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .orderBy(F.col("sz").desc())
+        .limit(3)
+        .collect()
+    )
+    out["top_cluster_sizes"] = [int(r["sz"]) for r in top]
+    out["labelled_vertices"] = labels.count()
+
+    # adversarial-diameter probe: a 1M-vertex PATH graph (snapshot-drift
+    # chain v1~v2~...~v1M). Plain min-label propagation needs 1M rounds;
+    # pointer jumping must land in ~log2(1e6) ~ 20, inside the default
+    # 25-round cap.
+    t0 = time.time()
+    chain = spark.range(0, 1_000_000).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    cstats: dict = {}
+    clabels = connected_components(chain, stats=cstats)
+    n_roots = clabels.select("canonical_id").distinct().count()
+    out["chain_1m_rounds"] = cstats.get("rounds")
+    out["chain_1m_sec"] = round(time.time() - t0, 2)
+    out["chain_1m_components"] = n_roots  # must be 1
+    spark.stop()
+    return out
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "mega":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        mega = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
+        print(json.dumps(mega_probe(n_docs, mega)))
+        return 0
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     path = f"/tmp/gocrd_volume_docs_{n_docs}"
     from gocrd_spark.session import get_spark
