@@ -453,6 +453,17 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights tilting the corpus toward lang='en'
+    (hashed unigram+bigram log-likelihood ratios, exact-integer
+    fixed-point — operators/textstats.py::dsir_weights)."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.operators.textstats import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), target=F.col("lang") == "en")
+
+
 def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard layout. Spark computes the running total with
     a distributed two-phase prefix sum (bucket offsets + partitioned
@@ -1152,6 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_stats": _q_compression_stats,
         "url_dedup": _q_url_dedup,
         "training_corpus": _q_training_corpus,
+        # --- new this round ---
+        "dsir_weights": _q_dsir_weights,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1592,6 +1605,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # DSIR importance weights: the bucket hash is the first 15 hex
+        # chars of md5 (DuckDB parses via the 0x-prefix cast; Spark via
+        # conv(_,16,10) — same 60-bit integer), each ln is 6dp-rounded
+        # and fixed-pointed SEPARATELY, then the llr and the per-doc
+        # score are exact BIGINT arithmetic in both engines
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+              FROM documents),
+            grams AS (
+              SELECT doc_id, lang, unnest(ts) AS g FROM toks
+              UNION ALL
+              SELECT doc_id, lang,
+                     unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS g
+              FROM toks WHERE len(ts) >= 2),
+            b AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+              FROM grams),
+            stats AS (
+              SELECT bucket, count(*) AS rc,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+              FROM b GROUP BY bucket),
+            tot AS (SELECT sum(rc)::DOUBLE AS r_tot, sum(tc)::DOUBLE AS t_tot FROM stats),
+            llr AS (
+              SELECT bucket,
+                     CAST(round(round(ln((tc + 1) / ((SELECT t_tot FROM tot) + 4096)), 6) * 1000000) AS BIGINT)
+                   - CAST(round(round(ln((rc + 1) / ((SELECT r_tot FROM tot) + 4096)), 6) * 1000000) AS BIGINT) AS llr_e6
+              FROM stats),
+            dc AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket)
+            SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+                   sum(c * llr_e6)::BIGINT AS dsir_score_e6
+            FROM dc JOIN llr USING (bucket) GROUP BY doc_id
         """,
         # single-node window cumsum vs Spark's distributed two-phase
         # prefix sum — independent algorithms, same shard layout

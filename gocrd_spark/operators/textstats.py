@@ -875,3 +875,93 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("s_e6").cast("long").alias("sum_logprob_e6"),
     )
+
+
+def _hashed_ngram_buckets(col: Column, buckets: int) -> Column:
+    """Hashed bag-of-ngrams features (DSIR, Xie et al. 2023): lowercase
+    whitespace unigrams + space-joined bigrams, each hashed into
+    ``buckets`` via the first 15 hex chars of md5 (60 bits — exactly
+    reproducible in DuckDB as CAST('0x'||substr(md5(g),1,15) AS
+    BIGINT), unlike xxhash64 which DuckDB lacks)."""
+    toks = _tokens(F.lower(col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bigrams),
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            F.lit(buckets),
+        ),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame, target: Column, buckets: int = 4096
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by the
+    log-likelihood ratio of its hashed bag-of-ngrams under the TARGET
+    distribution vs the RAW corpus distribution — the published recipe
+    for tilting a crawl toward a target domain (here ``target`` is a
+    boolean Column over the docs table, e.g. lang == 'en'; DSIR proper
+    uses a curated target corpus — same estimator, the target rows just
+    come from a second table union'd in with a flag).
+
+    Both distributions are add-one-smoothed over ``buckets`` hashed
+    unigram+bigram features and estimated in ONE pass (conditional sum
+    beside the raw count — the target is a subset of the corpus).
+    Fixed-point convention (CLAUDE.md): each ln is rounded to 6dp and
+    fixed-pointed to BIGINT separately, the ratio is an exact integer
+    SUBTRACTION, and the per-doc score is an exact integer dot product
+    — no double whose last bit an independent engine could disagree on.
+    Callers resample by (dsir_score_e6 / n_ngrams) or top-k on the raw
+    sum.
+
+    Scale shape: the ngram explode is a narrow map (~2x token count);
+    bucket stats shuffle at most ``buckets`` groups after map-side
+    combine; the llr table (``buckets`` rows) broadcasts; the per-doc
+    sum is one (doc_id, bucket)-keyed partial agg + one doc_id agg —
+    no corpus-sized join, no skew key (buckets are md5-uniform).
+
+    Returns (doc_id, n_ngrams, dsir_score_e6) for docs with >= 1 token.
+    """
+    b = docs.select(
+        "doc_id",
+        target.alias("_is_target"),
+        F.explode(_hashed_ngram_buckets(F.col("text"), buckets)).alias("bucket"),
+    )
+    stats = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tc"),
+    )
+    tot = stats.agg(
+        F.sum("rc").cast("double").alias("r_tot"),
+        F.sum("tc").cast("double").alias("t_tot"),
+    )
+
+    def _ln_e6(x: Column) -> Column:
+        return F.round(F.round(F.log(x), 6) * 1_000_000).cast("long")
+
+    llr = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            _ln_e6((F.col("tc") + 1) / (F.col("t_tot") + F.lit(buckets)))
+            - _ln_e6((F.col("rc") + 1) / (F.col("r_tot") + F.lit(buckets)))
+        ).alias("llr_e6"),
+    )
+    dc = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_ngrams"),
+            F.sum(F.col("c") * F.col("llr_e6")).cast("long").alias("dsir_score_e6"),
+        )
+    )

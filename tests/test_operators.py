@@ -1423,6 +1423,44 @@ class TestUnigramLogprob:
         assert rows[0].sum_logprob_e6 == 8 * exp_the
 
 
+class TestDsirWeights:
+    def test_target_vocabulary_scores_higher(self, spark):
+        """DSIR log-likelihood ratios must tilt toward the target: a doc
+        written in the target domain's vocabulary outscores (per-ngram)
+        a doc of raw-only vocabulary; n_ngrams counts unigrams+bigrams;
+        empty docs emit no row."""
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.operators.textstats import dsir_weights
+
+        rows = (
+            # target domain (lang en): "solar power grid" vocabulary
+            [(i, "solar power grid solar power", "en") for i in range(6)]
+            # raw-only (lang de): disjoint vocabulary
+            + [(10 + i, "kohle dampf maschine kohle dampf", "de") for i in range(6)]
+            + [(99, "", "en")]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {
+            r.doc_id: r
+            for r in dsir_weights(
+                docs, target=F.col("lang") == "en", buckets=4096
+            ).collect()
+        }
+        assert 99 not in got and len(got) == 12
+        # 5 unigrams + 4 bigrams per doc
+        assert all(got[d].n_ngrams == 9 for d in got)
+        en_score = got[0].dsir_score_e6
+        de_score = got[10].dsir_score_e6
+        assert en_score > de_score  # target vocab favored
+        assert got[1].dsir_score_e6 == en_score  # deterministic per text
+        # target ngrams appear in BOTH distributions at equal frequency
+        # (target is a subset of raw), so their llr is positive only via
+        # the smoothing/total terms; raw-only ngrams are absent from the
+        # target counts and must score strictly negative
+        assert de_score < 0 < en_score
+
+
 class TestPackShards:
     def test_planted_layout(self, spark):
         """Hand-computed layout at budget 10: cumulative-before // 10.
