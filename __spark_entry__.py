@@ -464,6 +464,26 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(_docs(spark, sf_dir), target=F.col("lang") == "en")
 
 
+def _q_bloom_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental ingest (pipeline.py::
+    bloom_filter_unprocessed): a prior snapshot 'done' set carved from
+    the documents table; output must be EXACTLY the plain anti-join
+    (the bloom only routes work — no false negatives, maybes
+    exact-checked), which is what the SQL oracle asserts."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.pipeline import bloom_filter_unprocessed
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://crawl.test/"), F.col("doc_id")).alias("url"),
+    )
+    done = pages.filter(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 2)
+    ).select("url")
+    return bloom_filter_unprocessed(pages, done)
+
+
 def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard layout. Spark computes the running total with
     a distributed two-phase prefix sum (bucket offsets + partitioned
@@ -1165,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": _q_training_corpus,
         # --- new this round ---
         "dsir_weights": _q_dsir_weights,
+        "bloom_unprocessed": _q_bloom_unprocessed,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1605,6 +1626,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # the bloom is an internal routing structure; the CONTRACT is
+        # plain anti-join output, which the oracle states directly
+        "bloom_unprocessed": """
+            WITH pages AS (
+              SELECT doc_id, 'https://crawl.test/' || doc_id::VARCHAR AS url
+              FROM documents),
+            done AS (
+              SELECT url FROM pages WHERE doc_id % 3 = 0 OR doc_id % 7 = 2)
+            SELECT p.doc_id, p.url
+            FROM pages p ANTI JOIN done d ON p.url = d.url
         """,
         # DSIR importance weights: the bucket hash is the first 15 hex
         # chars of md5 (DuckDB parses via the 0x-prefix cast; Spark via

@@ -126,6 +126,69 @@ def test_filter_unprocessed(spark, pages):
     assert remaining.filter("lang = 'de'").count() == 0
 
 
+class TestBloomFilterUnprocessed:
+    """Bloom-prefiltered incremental ingest must equal the plain
+    anti-join for EVERY sizing — the bloom only routes work between the
+    definite-new fast path and the exact backstop."""
+
+    def _urls(self, spark, ids):
+        return spark.createDataFrame(
+            [(f"https://crawl.test/{i:06d}", i) for i in ids],
+            "url string, payload long",
+        )
+
+    def test_exact_parity_with_anti_join(self, spark):
+        from gocrd_spark.pipeline import (
+            bloom_filter_unprocessed,
+            filter_unprocessed,
+        )
+
+        pages = self._urls(spark, range(500))
+        done = self._urls(spark, range(0, 500, 3)).select("url")
+        want = {r.url for r in filter_unprocessed(pages, done).collect()}
+        got = {
+            r.url for r in bloom_filter_unprocessed(pages, done).collect()
+        }
+        assert got == want and len(got) == 500 - len(range(0, 500, 3))
+
+    def test_undersized_filter_stays_exact(self, spark):
+        """num_bits=64 saturates the bitmap (every probe a maybe): the
+        fast path vanishes but the backstop keeps the output exact —
+        graceful degradation to the plain anti-join, never wrong
+        answers."""
+        from gocrd_spark.pipeline import (
+            bloom_filter_unprocessed,
+            filter_unprocessed,
+        )
+
+        pages = self._urls(spark, range(200))
+        done = self._urls(spark, range(100)).select("url")
+        want = {r.url for r in filter_unprocessed(pages, done).collect()}
+        got = {
+            r.url
+            for r in bloom_filter_unprocessed(
+                pages, done, num_bits=64, num_hashes=2
+            ).collect()
+        }
+        assert got == want == {f"https://crawl.test/{i:06d}" for i in range(100, 200)}
+
+    def test_edges_and_plan_shape(self, spark):
+        from gocrd_spark.pipeline import bloom_filter_unprocessed
+
+        pages = self._urls(spark, range(50))
+        # empty done set -> everything new
+        empty = pages.filter("payload < 0").select("url")
+        out = bloom_filter_unprocessed(pages, empty)
+        assert out.count() == 50
+        # all done -> nothing new
+        assert (
+            bloom_filter_unprocessed(pages, pages.select("url")).count() == 0
+        )
+        # the bitmap and the maybe-keys reach their joins as broadcasts
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
 class TestResume:
     def _write_input(self, spark, pages, tmp_path) -> str:
         path = str(tmp_path / "pages_in")
