@@ -464,6 +464,16 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(_docs(spark, sf_dir), target=F.col("lang") == "en")
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR top-k selection (k=100) toward lang='en' — ordering by one
+    IEEE divide of exact ints (cross-engine-stable), doc_id tiebreak."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.operators.textstats import dsir_select
+
+    return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
+
+
 def _q_bloom_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental ingest (pipeline.py::
     bloom_filter_unprocessed): a prior snapshot 'done' set carved from
@@ -1185,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": _q_training_corpus,
         # --- new this round ---
         "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
         "bloom_unprocessed": _q_bloom_unprocessed,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
@@ -1626,6 +1637,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # top-k by ONE IEEE divide of exact ints (identical double in
+        # both engines; both operands < 2^53), doc_id tiebreak
+        "dsir_select": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+              FROM documents),
+            grams AS (
+              SELECT doc_id, lang, unnest(ts) AS g FROM toks
+              UNION ALL
+              SELECT doc_id, lang,
+                     unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS g
+              FROM toks WHERE len(ts) >= 2),
+            b AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+              FROM grams),
+            stats AS (
+              SELECT bucket, count(*) AS rc,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+              FROM b GROUP BY bucket),
+            tot AS (SELECT sum(rc)::DOUBLE AS r_tot, sum(tc)::DOUBLE AS t_tot FROM stats),
+            llr AS (
+              SELECT bucket,
+                     CAST(round(round(ln((tc + 1) / ((SELECT t_tot FROM tot) + 4096)), 6) * 1000000) AS BIGINT)
+                   - CAST(round(round(ln((rc + 1) / ((SELECT r_tot FROM tot) + 4096)), 6) * 1000000) AS BIGINT) AS llr_e6
+              FROM stats),
+            dc AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
+            w AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+                     sum(c * llr_e6)::BIGINT AS dsir_score_e6
+              FROM dc JOIN llr USING (bucket) GROUP BY doc_id)
+            SELECT doc_id, n_ngrams, dsir_score_e6
+            FROM w
+            ORDER BY (dsir_score_e6::DOUBLE / n_ngrams::DOUBLE) DESC, doc_id ASC
+            LIMIT 100
         """,
         # the bloom is an internal routing structure; the CONTRACT is
         # plain anti-join output, which the oracle states directly

@@ -965,3 +965,27 @@ def dsir_weights(
             F.sum(F.col("c") * F.col("llr_e6")).cast("long").alias("dsir_score_e6"),
         )
     )
+
+
+def dsir_select(
+    docs: DataFrame, target: Column, k: int, buckets: int = 4096
+) -> DataFrame:
+    """The selection step of DSIR: keep the ``k`` documents whose
+    per-ngram importance (dsir_score_e6 / n_ngrams) is highest — the
+    deterministic top-k variant of the paper's resampling. The ordering
+    key is ONE IEEE divide of two exact integers (both < 2^53, so the
+    conversion is exact and the quotient is the correctly-rounded
+    double in every engine — cross-engine-stable, unlike a chain of
+    double ops); exact ties break on doc_id. Spark executes the global
+    sort-limit as per-partition top-k + merge (TakeOrderedAndProject),
+    not a full sort shuffle. Returns the dsir_weights columns for the
+    selected docs."""
+    w = dsir_weights(docs, target, buckets)
+    return (
+        w.orderBy(
+            (F.col("dsir_score_e6") / F.col("n_ngrams")).desc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(k)
+        .select("doc_id", "n_ngrams", "dsir_score_e6")
+    )

@@ -1460,6 +1460,24 @@ class TestDsirWeights:
         # target counts and must score strictly negative
         assert de_score < 0 < en_score
 
+    def test_select_topk_and_plan(self, spark):
+        """dsir_select returns exactly the k best per-ngram scores (the
+        target-vocab docs before any raw-only doc) and executes as
+        per-partition top-k + merge (TakeOrderedAndProject), not a full
+        sort shuffle."""
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.operators.textstats import dsir_select
+
+        rows = [(i, "solar power grid", "en") for i in range(4)] + [
+            (10 + i, "kohle dampf maschine", "de") for i in range(4)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        sel = dsir_select(docs, target=F.col("lang") == "en", k=4)
+        assert sorted(r.doc_id for r in sel.collect()) == [0, 1, 2, 3]
+        plan = sel._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
 
 class TestPackShards:
     def test_planted_layout(self, spark):
