@@ -474,6 +474,38 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run under the oracle gate: the events
+    table streamed through a file source -> watermark -> tumbling
+    5-minute window -> complete-mode availableNow drain, hash-compared
+    to the batch SQL answer. Uses the order-independent per-event
+    fixed-point emission (streaming/windowed.py::windowed_counts_stream
+    fixed_per_event=True) so micro-batch state-merge order cannot
+    perturb the doubles."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gocrd_spark.streaming.windowed import (
+        run_available_now,
+        windowed_counts_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="gocrd_evstream_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, os.path.join(in_dir, "events"))
+    else:
+        shutil.copy(src, os.path.join(in_dir, "events.parquet"))
+    sdf = windowed_counts_stream(spark, in_dir, fixed_per_event=True)
+    name = f"evwin_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(sdf, os.path.join(tmp, "ckpt"), name)
+    return spark.table(name)
+
+
 def _q_bloom_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental ingest (pipeline.py::
     bloom_filter_unprocessed): a prior snapshot 'done' set carved from
@@ -1197,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "bloom_unprocessed": _q_bloom_unprocessed,
+        "events_window_stream": _q_events_window_stream,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1637,6 +1670,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # the STREAMING windowed agg drained complete-mode must equal
+        # the batch answer; per-event fixed-pointing makes the sum an
+        # exact BIGINT in both engines regardless of merge order
+        "events_window_stream": """
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT AS sum_value_e6
+            FROM events
+            GROUP BY 1, 2
         """,
         # top-k by ONE IEEE divide of exact ints (identical double in
         # both engines; both operands < 2^53), doc_id tiebreak

@@ -186,6 +186,7 @@ def bpe_train(
     min_pair_count: int = 2,
     lowercase: bool = True,
     batch: int = 8,
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     ordered merge list [(rank, left, right), ...] — small by
@@ -211,7 +212,9 @@ def bpe_train(
         for r in words.select(F.explode("symbols").alias("s")).distinct().collect()
     }
     merges: list[tuple[int, str, str]] = []
+    rounds = 0
     while len(merges) < n_merges:
+        rounds += 1
         want = min(batch, n_merges - len(merges))
         top_t = max(64, 8 * want)
         rows = (
@@ -231,6 +234,8 @@ def bpe_train(
             universe.add(a + b)
             col = _apply_merge(col, a, b)
         words = words.withColumn("symbols", col).localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -550,7 +550,10 @@ def minhash_lsh(
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 25, stats: dict | None = None
+    pairs: DataFrame,
+    max_iters: int = 25,
+    stats: dict | None = None,
+    jump_after: int = 2,
 ) -> DataFrame:
     """Connected components over a near-dup pair table (doc_a, doc_b):
     min-label propagation WITH per-round pointer jumping — each round
@@ -593,6 +596,12 @@ def connected_components(
 
     ``stats``, if given, receives ``{"rounds": n}`` on convergence —
     observability for the volume probe, not part of the data contract.
+
+    ``jump_after``: the jump join only activates after that many plain
+    rounds — near-dup clusters are overwhelmingly shallow (rings around
+    a template: 2-3 rounds), and for them the extra self-join is pure
+    overhead; a component still unconverged by then is the deep-chain
+    shape the jump exists for. 0 = always jump.
     """
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     # every round's join/groupBy shuffles ONLY (long, long) id/label
@@ -615,22 +624,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("lbl"))
         )
-        # pointer jump: follow the label one hop (labels are vertex ids,
-        # so label(lbl) exists whenever lbl is a labelled vertex; a
-        # vertex labelled by ITSELF left-joins to its own row)
-        jump = labels.select(
-            F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")
-        )
-        new_labels = (
-            propagated.join(jump, "lbl", "left")
-            .select(
+        if rounds > jump_after:
+            # pointer jump: follow the label one hop (labels are vertex
+            # ids, so label(lbl) exists whenever lbl is a labelled
+            # vertex; a vertex labelled by ITSELF left-joins to its own
+            # row)
+            jump = labels.select(
+                F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")
+            )
+            propagated = propagated.join(jump, "lbl", "left").select(
                 "u",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=False)
-        )
+        new_labels = propagated.localCheckpoint(eager=False)
         changed = (
             new_labels.join(labels.withColumnRenamed("lbl", "old"), "u")
             .filter(F.col("lbl") < F.col("old"))

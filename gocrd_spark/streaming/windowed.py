@@ -29,20 +29,34 @@ def windowed_counts_stream(
     input_dir: str,
     watermark: str = "10 minutes",
     window: str = "5 minutes",
+    fixed_per_event: bool = False,
 ) -> DataFrame:
-    """Streaming tumbling-window counts per event_type."""
+    """Streaming tumbling-window counts per event_type.
+
+    ``fixed_per_event=True`` fixed-points each value BEFORE summing
+    (sum of per-event round(value*1e6) BIGINTs) instead of rounding the
+    double sum once at the end: the result is then independent of
+    partial-aggregation and micro-batch state-merge ORDER — the form an
+    external engine can reproduce exactly, used by the oracle-checked
+    ``events_window_stream`` driver query. Default False keeps the
+    batch ``events_window`` emission shape."""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(input_dir)
     )
+    if fixed_per_event:
+        sum_e6 = F.sum(
+            F.round(F.col("value") * 1_000_000).cast("long")
+        ).alias("sum_value_e6")
+    else:
+        sum_e6 = (
+            F.round(F.sum("value") * 1_000_000).cast("long").alias("sum_value_e6")
+        )
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") * 1_000_000).cast("long").alias("sum_value_e6"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_events"), sum_e6)
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",

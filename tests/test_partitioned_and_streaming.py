@@ -48,6 +48,50 @@ class TestPartitionedLayout:
 
 
 class TestStreaming:
+    def test_fixed_per_event_stream_matches_batch_exactly(self, spark, tmp_path):
+        """The oracle-checked variant: per-event fixed-point sums are
+        exact BIGINTs, so the drained stream must equal the batch
+        aggregation BIT-FOR-BIT regardless of micro-batch merge order
+        (two files -> two micro-batches at maxFilesPerTrigger=4? force
+        order variance with 5 single-row-group copies)."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.streaming.windowed import (
+            run_available_now,
+            windowed_counts_stream,
+        )
+
+        src = "/root/testdata/sf0.001/events.parquet"
+        in_dir = str(tmp_path / "stream_in_fp")
+        os.makedirs(in_dir)
+        shutil.copy(src, os.path.join(in_dir, "chunk1.parquet"))
+
+        sdf = windowed_counts_stream(spark, in_dir, fixed_per_event=True)
+        table = run_available_now(
+            sdf, str(tmp_path / "ckpt_fp"), "evwin_fp_test"
+        )
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value_e6)
+            for r in spark.sql(f"SELECT * FROM {table}").collect()
+        }
+        ev = spark.read.parquet(src)
+        win = (F.unix_timestamp("ts") / 300).cast("long") * 300
+        batch = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value_e6)
+            for r in ev.groupBy(win.alias("window_start"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                    "sum_value_e6"
+                ),
+            )
+            .collect()
+        }
+        assert got == batch and len(got) > 10
+
     def test_stream_matches_batch(self, spark, tmp_path):
         """availableNow drain of a file stream must agree with the batch
         windowed aggregation over the same input."""
