@@ -474,6 +474,63 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index round trip (gocrd_spark/cdx.py): build a deterministic
+    synthetic cc-index from the documents table (two snapshots for
+    doc_id%4==0, a 404 capture for doc_id%10==7), FORMAT it to real CDX
+    lines, PARSE those lines back (split + from_json + SURT-keyed), and
+    emit the latest-only 200-status byte-range fetch plan. The oracle
+    derives the same plan directly from the base table — any parser or
+    SURT drift breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark import cdx as C
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    base = 1767225600  # 2026-01-01 00:00:00 UTC
+
+    def capture(ts_shift: int, offset_shift: int, second: bool):
+        d = docs.filter(F.col("doc_id") % 4 == 0) if second else docs
+        status = (
+            F.lit(200)
+            if second
+            else F.when(F.col("doc_id") % 10 == 7, 404).otherwise(200)
+        )
+        return d.select(
+            C.format_cdx_line(
+                url=F.concat(
+                    F.lit("https://WWW.Site"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".test/P/"),
+                    F.col("doc_id").cast("string"),
+                ),
+                ts=F.timestamp_seconds(
+                    F.lit(base) + F.col("doc_id") + F.lit(ts_shift)
+                ),
+                status=status,
+                digest=F.concat(F.lit("sha1:"), F.col("doc_id").cast("string")),
+                length=F.lit(900),
+                offset=F.col("doc_id") * 1000 + F.lit(offset_shift),
+                filename=F.concat(
+                    F.lit("warc/seg-"),
+                    (F.col("doc_id") % 8).cast("string"),
+                    F.lit(".warc.gz"),
+                ),
+            ).alias("value")
+        )
+
+    lines = capture(0, 0, False).unionByName(capture(86400, 500, True))
+    plan = C.cdx_fetch_plan(C.parse_cdx(lines))
+    return plan.select(
+        "urlkey",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        "url",
+        "filename",
+        F.col("offset").cast("long").alias("offset"),
+        F.col("length").cast("long").alias("length"),
+    )
+
+
 def _q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL Structured Streaming run under the oracle gate: the events
     table streamed through a file source -> watermark -> tumbling
@@ -1230,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "bloom_unprocessed": _q_bloom_unprocessed,
         "events_window_stream": _q_events_window_stream,
+        "cdx_fetch_plan": _q_cdx_fetch_plan,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1670,6 +1728,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # the Spark side round-trips REAL CDX lines (format -> split ->
+        # from_json -> SURT); the oracle derives the identical plan
+        # directly from the base table, so any parse/SURT drift breaks
+        # the hash. Epochs are integer arithmetic end to end.
+        "cdx_fetch_plan": """
+            WITH d AS (SELECT doc_id FROM documents),
+            caps AS (
+              SELECT doc_id, 1767225600 + doc_id AS ts_epoch,
+                     CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS status,
+                     doc_id * 1000 AS off
+              FROM d
+              UNION ALL
+              SELECT doc_id, 1767225600 + doc_id + 86400, 200, doc_id * 1000 + 500
+              FROM d WHERE doc_id % 4 = 0),
+            ok AS (SELECT * FROM caps WHERE status = 200),
+            latest AS (
+              SELECT doc_id, max(ts_epoch) AS ts_epoch FROM ok GROUP BY doc_id)
+            SELECT 'test,site' || (doc_id % 20)::VARCHAR || ')/p/' || doc_id::VARCHAR AS urlkey,
+                   ts_epoch::BIGINT AS ts_epoch,
+                   'https://WWW.Site' || (doc_id % 20)::VARCHAR || '.test/P/' || doc_id::VARCHAR AS url,
+                   'warc/seg-' || (doc_id % 8)::VARCHAR || '.warc.gz' AS filename,
+                   off::BIGINT AS offset,
+                   900::BIGINT AS length
+            FROM ok JOIN latest USING (doc_id, ts_epoch)
         """,
         # the STREAMING windowed agg drained complete-mode must equal
         # the batch answer; per-event fixed-pointing makes the sum an

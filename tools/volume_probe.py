@@ -123,6 +123,27 @@ def _probe(master: str, path: str, ops: list[str]) -> dict[str, float]:
     timed("paragraph_dedup", lambda: paragraph_dedup(docs, chunk_words=8))
     timed("duplicate_spans", lambda: duplicate_spans(docs, n=13))
 
+    if "dsir_weights" in ops:
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.operators.textstats import dsir_weights
+
+        t0 = time.time()
+        _noop(dsir_weights(docs, target=F.col("lang") == "en"))
+        out["dsir_weights"] = round(time.time() - t0, 2)
+    if "bloom_unprocessed" in ops:
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.pipeline import bloom_filter_unprocessed
+
+        urls = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://crawl.test/"), F.col("doc_id")).alias("url"),
+        )
+        done = urls.filter(F.col("doc_id") % 3 == 0).select("url")
+        t0 = time.time()
+        _noop(bloom_filter_unprocessed(urls, done, num_bits=1 << 22))
+        out["bloom_unprocessed"] = round(time.time() - t0, 2)
     if "bpe_train" in ops:
         # iterative trainer: report wall for 8 merges over the corpus
         from gocrd_spark.operators.bpe import bpe_train
@@ -255,7 +276,7 @@ def main() -> int:
     full = _probe("local[32]", path, [
         "exact_dedup", "minhash_verified_pairs", "simhash_near_dups",
         "dedup_clusters", "winnowing", "paragraph_dedup", "duplicate_spans",
-        "bpe_train", "host_pagerank",
+        "bpe_train", "host_pagerank", "dsir_weights", "bloom_unprocessed",
     ])
     # scale pair on a 1/5 corpus so the 2-core sample stays in minutes
     n_pair = max(n_docs // 5, 1000)
