@@ -86,6 +86,115 @@ class TestCdxRoundTrip:
         assert sum(1 for r in rows if r.ts is None) == 3
 
 
+class TestFetchPlannedPages:
+    def test_index_driven_selective_extraction(self, spark, tmp_path):
+        """End to end: write gzip-member WARC shards + a CDX index for
+        them, plan latest-only fetches, read ONLY the planned byte
+        ranges, and get byte-identical page bodies — plus one-error-row
+        tolerance for a corrupt range and a missing file."""
+        import os
+
+        from gocrd_spark.cdx import (
+            cdx_fetch_plan,
+            fetch_planned_pages,
+            format_cdx_line,
+            parse_cdx,
+        )
+        from gocrd_spark.warc import write_warc
+
+        warc_dir = tmp_path / "warc"
+        os.makedirs(warc_dir)
+        shards: dict[str, bytearray] = {}
+        index_rows = []  # (doc_id, url, ts_s, status, filename, offset, length)
+
+        def add_record(doc_id: int, snap: int):
+            url = f"http://site{doc_id % 4}.test/p/{doc_id}"
+            body = f"<html>doc {doc_id} snap {snap}</html>".encode()
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            )
+            member = write_warc(
+                [
+                    {
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": url,
+                            "WARC-Date": f"2026-01-0{1 + snap}T00:00:00Z",
+                        },
+                        "payload": payload,
+                    }
+                ],
+                gzip_members=True,
+            )
+            fname = f"seg-{doc_id % 2}.warc.gz"
+            buf = shards.setdefault(fname, bytearray())
+            index_rows.append(
+                (
+                    doc_id,
+                    url,
+                    f"2026-01-0{1 + snap} 00:00:00",
+                    200,
+                    fname,
+                    len(buf),
+                    len(member),
+                )
+            )
+            buf.extend(member)
+            return body
+
+        expected = {}
+        for i in range(12):
+            body = add_record(i, 0)
+            expected[f"http://site{i % 4}.test/p/{i}"] = body
+        for i in range(0, 12, 3):  # later snapshots win latest-only
+            body = add_record(i, 1)
+            expected[f"http://site{i % 4}.test/p/{i}"] = body
+        for fname, buf in shards.items():
+            (warc_dir / fname).write_bytes(bytes(buf))
+
+        # two poison index rows: a range past EOF, and a missing file
+        index_rows.append(
+            (90, "http://bad.test/eof", "2026-01-01 00:00:00", 200,
+             "seg-0.warc.gz", 10_000_000, 50)
+        )
+        index_rows.append(
+            (91, "http://bad.test/missing", "2026-01-01 00:00:00", 200,
+             "nope.warc.gz", 0, 50)
+        )
+
+        meta = spark.createDataFrame(
+            index_rows,
+            "doc_id long, url string, ts_s string, status int, "
+            "filename string, off long, length long",
+        )
+        lines = meta.select(
+            format_cdx_line(
+                url=F.col("url"),
+                ts=F.col("ts_s").cast("timestamp"),
+                status=F.col("status"),
+                digest=F.lit("sha1:x"),
+                length=F.col("length"),
+                offset=F.col("off"),
+                filename=F.col("filename"),
+            ).alias("value")
+        )
+        plan = cdx_fetch_plan(parse_cdx(lines))
+        pages = fetch_planned_pages(plan, str(warc_dir)).collect()
+
+        got = {r.url: r for r in pages}
+        assert len(got) == 14  # 12 urls + 2 poison rows
+        for url, body in expected.items():
+            assert got[url].error is None
+            assert bytes(got[url].html) == body
+        # latest-only actually picked snapshot 1 for the re-crawled urls
+        assert b"snap 1" in bytes(got["http://site0.test/p/0"].html)
+        assert b"snap 0" in bytes(got["http://site1.test/p/1"].html)
+        # poison rows degrade to error rows, never task failures
+        assert got["http://bad.test/eof"].error is not None
+        assert got["http://bad.test/missing"].error is not None
+        assert got["http://bad.test/eof"].html is None
+
+
 class TestCdxFetchPlan:
     @pytest.fixture()
     def cdx(self, spark):
