@@ -308,3 +308,119 @@ class TestUrlDedupStream:
             .collect()
         }
         assert s_groups == b_groups and len(s_groups) == 4
+
+
+class TestStreamingIngestDedup:
+    """Streaming ingestion maintaining the durable MinHash index: each
+    micro-batch is near-dup-checked against everything before it, then
+    folded in; retries are idempotent."""
+
+    def _doc(self, i, text):
+        return (i, _ts(i % 60), text)
+
+    def test_ingest_maintains_index_and_emits_incremental_pairs(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.operators.dedup import minhash_signatures
+        from gocrd_spark.streaming.ingest_dedup import (
+            ingest_dedup_batch,
+            ingested_pairs,
+            run_ingest_dedup,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        other = "one two three four five six seven eight nine ten"
+        seed_rows = [
+            (0, base),
+            (1, other),
+            (2, "solar wind plasma field magnet flux loop corona arc spot"),
+            (3, base + " lambda"),          # near-dup target for a streamed doc
+            (5, other + " eleven"),         # seed-internal near-dup pair...
+            (6, other + " twelve"),         # ...must NEVER be re-emitted
+        ]
+        seed = spark.createDataFrame(seed_rows, "doc_id long, text string")
+        table = str(tmp_path / "mh_table")
+        minhash_signatures(seed, table, n=3)
+
+        in_dir = str(tmp_path / "stream_in")
+        os.makedirs(in_dir)
+
+        def app_flat(rows):
+            spark.createDataFrame(
+                [self._doc(i, t) for i, t in rows],
+                "doc_id long, ts timestamp, text string",
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+
+        app_flat([
+            (100, base + " mu"),            # near-dup of seed 0/3
+            (101, "red green blue cyan magenta yellow black white gray pink"),
+            (103, "cat dog fox owl bat elk hen pig ram yak stork"),
+            (104, "cat dog fox owl bat elk hen pig ram yak crane"),  # ~103
+        ])
+        app_flat([
+            (200, "red green blue cyan magenta yellow black white gray teal"),  # ~101
+            (201, "totally unrelated words appear precisely here once only now"),
+        ])
+
+        store = str(tmp_path / "store")
+        pairs_dir = str(tmp_path / "pairs")
+        # setup contract: the store carries the text of every table doc
+        seed.write.parquet(os.path.join(store, "batch=seed"))
+        run_ingest_dedup(
+            spark, in_dir, table, store, pairs_dir,
+            str(tmp_path / "ckpt"), threshold=0.5,
+        )
+
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in ingested_pairs(spark, pairs_dir).collect()
+        }
+        # new-vs-corpus and new-vs-new pairs found...
+        assert (0, 100) in pairs and (3, 100) in pairs
+        assert (103, 104) in pairs
+        assert (101, 200) in pairs
+        # ...old-old pairs never re-emitted
+        assert (5, 6) not in pairs and (0, 3) not in pairs
+        # every pair involves at least one streamed doc
+        streamed = {100, 101, 103, 104, 200, 201}
+        assert all(a in streamed or b in streamed for a, b in pairs)
+
+        # the durable table now covers seed + streamed docs (committed
+        # batches live under _batches/, so read via the table reader)
+        from gocrd_spark.operators.dedup import _read_sig_table
+
+        table_ids = {
+            r.doc_id
+            for r in _read_sig_table(spark, table)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert table_ids == {0, 1, 2, 3, 5, 6} | streamed
+
+        # RETRY idempotence (out-of-band, AFTER later batches committed
+        # — harsher than Structured Streaming's in-order retry): the
+        # table gains nothing, and the PAIR SET is unchanged (the
+        # retried batch may re-emit pairs against later docs into its
+        # own output dir; consumers key pairs by (doc_a, doc_b))
+        n_table_rows = _read_sig_table(spark, table).count()
+        retry = spark.createDataFrame(
+            [self._doc(i, t) for i, t in [
+                (100, base + " mu"),
+                (101, "red green blue cyan magenta yellow black white gray pink"),
+                (103, "cat dog fox owl bat elk hen pig ram yak stork"),
+                (104, "cat dog fox owl bat elk hen pig ram yak crane"),
+            ]],
+            "doc_id long, ts timestamp, text string",
+        )
+        ingest_dedup_batch(retry, 0, table, store, pairs_dir, threshold=0.5)
+        assert _read_sig_table(spark, table).count() == n_table_rows
+        pairs2 = {
+            (r.doc_a, r.doc_b)
+            for r in ingested_pairs(spark, pairs_dir).collect()
+        }
+        assert pairs2 == pairs
