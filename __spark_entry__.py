@@ -474,6 +474,15 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style fixed-length sequence layout (seq_len=512): one row
+    per (document, sequence) overlap with doc/seq offsets — the
+    dataloader boundary table (textstats.py::pack_sequences)."""
+    from gocrd_spark.operators.textstats import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512)
+
+
 def _q_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX index round trip (gocrd_spark/cdx.py): build a deterministic
     synthetic cc-index from the documents table (two snapshots for
@@ -1288,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_unprocessed": _q_bloom_unprocessed,
         "events_window_stream": _q_events_window_stream,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
+        "pack_sequences": _q_pack_sequences,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1728,6 +1738,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # single-node window cumsum + range() expansion vs Spark's
+        # two-phase prefix sum + sequence() explode — independent
+        # algorithms, exact BIGINT arithmetic throughout
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n
+              FROM documents),
+            nz AS (SELECT * FROM t WHERE n > 0),
+            c AS (
+              SELECT doc_id, n,
+                     coalesce(sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+              FROM nz),
+            x AS (
+              SELECT doc_id, n, cum,
+                     unnest(range(cum // 512, (cum + n - 1) // 512 + 1)) AS seq_id
+              FROM c)
+            SELECT doc_id, seq_id::BIGINT AS seq_id,
+                   (greatest(seq_id * 512, cum) - cum)::BIGINT AS doc_offset,
+                   (greatest(seq_id * 512, cum) - seq_id * 512)::BIGINT AS seq_offset,
+                   (least((seq_id + 1) * 512, cum + n) - greatest(seq_id * 512, cum))::BIGINT AS n_tokens
+            FROM x
         """,
         # the Spark side round-trips REAL CDX lines (format -> split ->
         # from_json -> SURT); the oracle derives the identical plan

@@ -534,6 +534,96 @@ def pack_shards(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    bucket_size: int = 1000,
+    token_mode: str = "whitespace",
+) -> DataFrame:
+    """Fixed-length training-SEQUENCE layout: concatenate the corpus's
+    token stream in doc_id order and cut it every ``seq_len`` tokens —
+    the GPT-style dataloader layout where a document may straddle
+    sequence boundaries and a sequence holds pieces of several
+    documents (attention masks and loss spans need exactly these
+    boundaries). One output row per (document, sequence) overlap:
+
+    - ``doc_offset``: first token of the doc that lands in this seq;
+    - ``seq_offset``: position inside the sequence where it lands;
+    - ``n_tokens``: length of the placed span.
+
+    Every sequence except the last covers exactly ``seq_len`` tokens
+    (pytest invariant); a doc spanning k boundaries emits k+1 rows.
+    The global running offset is the same distributed two-phase prefix
+    sum as :func:`pack_shards` (per-bucket sums -> tiny offsets window
+    -> broadcast back); the boundary expansion is a per-row
+    ``sequence()`` explode whose length is 1 + n_tokens/seq_len —
+    bounded by the doc/seq ratio, never corpus size. All arithmetic is
+    exact BIGINT (integer div), so the DuckDB window-cumsum oracle
+    hash-matches.
+
+    Returns (doc_id, seq_id, doc_offset, seq_offset, n_tokens); docs
+    with zero tokens occupy no stream positions and emit no rows.
+    """
+    from pyspark.sql import Window
+
+    if token_mode == "whitespace":
+        tok_count = F.size(_tokens(F.col("text")))
+    elif token_mode == "bpe":
+        tok_count = F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), 0)
+        )
+    else:
+        raise ValueError(
+            f"token_mode must be 'whitespace' or 'bpe', got {token_mode!r}"
+        )
+    L = int(seq_len)
+    toks = (
+        docs.select("doc_id", tok_count.cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+        .withColumn("bucket", F.floor(F.col("doc_id") / bucket_size))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n").alias("bsum"))
+        .withColumn("boffset", F.coalesce(F.sum("bsum").over(wb), F.lit(0)))
+        .select("bucket", "boffset")
+    )
+    wi = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        toks.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cum",
+            F.col("boffset") + F.coalesce(F.sum("n").over(wi), F.lit(0)),
+        )
+        .select("doc_id", "n", "cum")
+    )
+    x = c.select(
+        "doc_id",
+        "n",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.expr(f"cum div {L}"), F.expr(f"(cum + n - 1) div {L}")
+            )
+        ).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * L
+    place_start = F.greatest(seq_start, F.col("cum"))
+    place_end = F.least(seq_start + L, F.col("cum") + F.col("n"))
+    return x.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (place_start - F.col("cum")).cast("long").alias("doc_offset"),
+        (place_start - seq_start).cast("long").alias("seq_offset"),
+        (place_end - place_start).cast("long").alias("n_tokens"),
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -1479,6 +1479,56 @@ class TestDsirWeights:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestPackSequences:
+    def test_hand_layout_and_invariants(self, spark):
+        """seq_len=10; docs of 4, 5, 3, 12, 2 tokens -> stream offsets
+        0,4,9,12,24. Doc 2 (3 tok at offset 9) straddles the first
+        boundary: 1 token in seq 0, 2 in seq 1. Doc 3 (12 tok at 12)
+        spans seqs 1-2. Every non-final sequence holds exactly 10
+        tokens; concatenation order is preserved; zero-token docs
+        vanish."""
+        from gocrd_spark.operators.textstats import pack_sequences
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d"),
+                (1, "e f g h i"),
+                (2, "j k l"),
+                (3, " ".join("tok%d" % i for i in range(12))),
+                (4, "y z"),
+                (5, ""),  # zero tokens -> no rows
+            ],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r.doc_id, r.seq_id, r.doc_offset, r.seq_offset, r.n_tokens)
+            for r in pack_sequences(docs, seq_len=10, bucket_size=2).collect()
+        )
+        assert rows == [
+            (0, 0, 0, 0, 4),
+            (1, 0, 0, 4, 5),
+            (2, 0, 0, 9, 1),
+            (2, 1, 1, 0, 2),
+            (3, 1, 0, 2, 8),
+            (3, 2, 8, 0, 4),
+            (4, 2, 0, 4, 2),
+        ]
+        # invariant: every sequence except the last is exactly full
+        per_seq = {}
+        for _, sid, _, _, n in rows:
+            per_seq[sid] = per_seq.get(sid, 0) + n
+        last = max(per_seq)
+        assert all(v == 10 for s, v in per_seq.items() if s != last)
+        # invariant: within a sequence the placed spans tile it exactly
+        spans = sorted((sid, so, so + n) for _, sid, _, so, n in rows)
+        for sid in per_seq:
+            tile = [s for s in spans if s[0] == sid]
+            pos = 0
+            for _, a, b in tile:
+                assert a == pos
+                pos = b
+
+
 class TestPackShards:
     def test_planted_layout(self, spark):
         """Hand-computed layout at budget 10: cumulative-before // 10.
