@@ -424,3 +424,56 @@ class TestStreamingIngestDedup:
             for r in ingested_pairs(spark, pairs_dir).collect()
         }
         assert pairs2 == pairs
+
+
+class TestIngestJobCli:
+    def test_cold_start_then_resume(self, spark, tmp_path):
+        """The CLI builds the table+store from --seed-docs on first run,
+        drains the stream, and a SECOND run with new files only
+        processes the increment (checkpoint resume)."""
+        import os
+
+        from gocrd_spark.jobs.ingest_job import main as ingest_main
+        from gocrd_spark.streaming.ingest_dedup import ingested_pairs
+
+        # 30-word base so a one-word change keeps j ~ 0.93 — inside the
+        # default 8x4 banding's near-certain recall band (the j ~ 0.7
+        # regime deterministically misses some pairs at this banding)
+        base = " ".join(f"w{i:02d}" for i in range(30))
+        seed_path = str(tmp_path / "seed.parquet")
+        spark.createDataFrame(
+            [(0, base + " theta")], "doc_id long, text string"
+        ).write.parquet(seed_path)
+
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir)
+
+        def app(rows):
+            spark.createDataFrame(
+                rows, "doc_id long, ts timestamp, text string"
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+
+        app([(100, _ts(1), base + " iota")])
+        argv = [
+            "--input", in_dir,
+            "--table", str(tmp_path / "table"),
+            "--store", str(tmp_path / "store"),
+            "--pairs", str(tmp_path / "pairs"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--seed-docs", seed_path,
+        ]
+        assert ingest_main(argv) == 0
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in ingested_pairs(spark, str(tmp_path / "pairs")).collect()
+        }
+        assert pairs == {(0, 100)}
+
+        # resume: new file, near-dup of the STREAMED doc 100
+        app([(200, _ts(2), base + " kappa")])
+        assert ingest_main(argv) == 0
+        pairs2 = {
+            (r.doc_a, r.doc_b)
+            for r in ingested_pairs(spark, str(tmp_path / "pairs")).collect()
+        }
+        assert (100, 200) in pairs2 and (0, 200) in pairs2
