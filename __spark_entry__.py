@@ -474,6 +474,47 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + decode over synthesized crawl payloads
+    (gocrd_spark/charset.py): four deterministic encodings of the
+    documents table — plain UTF-8, UTF-8 with BOM, UTF-16LE with BOM,
+    and an ISO-8859-1 page carrying a meta charset tag. The Spark side
+    genuinely sniffs and decodes the BYTES; the oracle knows the
+    expected verdict and round-tripped text directly."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.charset import decode_pages
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    latin = F.concat(
+        F.lit('<meta charset="iso-8859-1"><p>café résumé '),
+        F.col("doc_id").cast("string"),
+        F.lit("</p>"),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, F.encode(F.col("text"), "UTF-8"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(b"\xef\xbb\xbf"), F.encode(F.col("text"), "UTF-8")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit(b"\xff\xfe"), F.encode(F.col("text"), "UTF-16LE")),
+        )
+        .otherwise(F.encode(latin, "ISO-8859-1"))
+    )
+    decoded = decode_pages(docs.select("doc_id", payload.alias("html")))
+    return decoded.select(
+        "doc_id",
+        "charset",
+        "charset_source",
+        "n_chars",
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("text_md5"),
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style fixed-length sequence layout (seq_len=512): one row
     per (document, sequence) overlap with doc/seq offsets — the
@@ -1298,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_stream": _q_events_window_stream,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
         "pack_sequences": _q_pack_sequences,
+        "charset_decode": _q_charset_decode,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1738,6 +1780,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # the Spark side sniffs/decodes real BYTES; the oracle knows the
+        # expected verdict + round-tripped text per synthesis rule (any
+        # sniff or decode drift breaks charset/source/md5)
+        "charset_decode": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 2 THEN 'utf-16-le'
+                     WHEN 3 THEN 'iso8859-1'
+                     ELSE 'utf-8' END AS charset,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'utf8-valid'
+                     WHEN 3 THEN 'meta'
+                     ELSE 'bom' END AS charset_source,
+                   CASE WHEN doc_id % 4 = 3
+                     THEN length('<meta charset="iso-8859-1"><p>café résumé '
+                                  || doc_id::VARCHAR || '</p>')
+                     ELSE length(text) END::BIGINT AS n_chars,
+                   md5(CASE WHEN doc_id % 4 = 3
+                     THEN '<meta charset="iso-8859-1"><p>café résumé '
+                          || doc_id::VARCHAR || '</p>'
+                     ELSE text END) AS text_md5
+            FROM documents
         """,
         # single-node window cumsum + range() expansion vs Spark's
         # two-phase prefix sum + sequence() explode — independent

@@ -1,0 +1,120 @@
+"""Charset sniffing + decoding for raw crawl bytes — the step between
+"WARC gave us bytes" and "the extractor wants text". Web reality: a
+large minority of pages are not UTF-8, and utf-8-with-replace turns
+every Latin-1 page into mojibake that then poisons dedup shingles,
+quality scores, and the training corpus. Detection ladder (WHATWG
+encoding-sniffing shape, subset documented here):
+
+1. **BOM** — UTF-8 / UTF-16LE / UTF-16BE / UTF-32LE / UTF-32BE
+   (checked longest-first so UTF-32LE is not misread as UTF-16LE);
+2. **XML declaration** ``encoding="..."`` in the first 1024 bytes;
+3. **meta charset** (``<meta charset=...>`` or the http-equiv
+   content-type form) in the first 1024 bytes, case-insensitive;
+4. **strict UTF-8 validation** of the whole payload;
+5. **cp1252 fallback** (the web's de-facto Latin-1: every byte maps,
+   so step 5 never fails).
+
+Unknown/undecodable labels from steps 2-3 fall through the ladder
+rather than erroring (a crawler-written page lies about its charset
+routinely). Pure-Python core (unit-testable without Spark) + a
+``mapInPandas`` surface, same layering as the XML kernel.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from typing import Iterator, Optional, Tuple
+
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+_XML_DECL_RE = re.compile(rb"<\?xml[^>]{0,200}?encoding=[\"']([A-Za-z0-9_.:-]+)[\"']")
+_META_RE = re.compile(
+    rb"<meta[^>]{0,500}?charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)",
+    re.IGNORECASE,
+)
+_SNIFF_WINDOW = 1024
+
+
+def _known(label: str) -> Optional[str]:
+    """Normalize a charset label to a Python codec name; None if the
+    label is unknown (fall through the ladder, never error)."""
+    try:
+        return codecs.lookup(label).name
+    except LookupError:
+        return None
+
+
+def sniff_charset(data: bytes) -> Tuple[str, str]:
+    """Return (codec_name, source) for a payload; source is one of
+    ``bom`` / ``xml-decl`` / ``meta`` / ``utf8-valid`` / ``fallback``."""
+    for bom, name in _BOMS:
+        if data[: len(bom)] == bom:
+            return name, "bom"
+    head = data[:_SNIFF_WINDOW]
+    m = _XML_DECL_RE.search(head)
+    if m:
+        enc = _known(m.group(1).decode("ascii", "replace"))
+        if enc:
+            return enc, "xml-decl"
+    m = _META_RE.search(head)
+    if m:
+        enc = _known(m.group(1).decode("ascii", "replace"))
+        if enc:
+            return enc, "meta"
+    try:
+        data.decode("utf-8", errors="strict")
+        return "utf-8", "utf8-valid"
+    except UnicodeDecodeError:
+        return "cp1252", "fallback"
+
+
+def decode_bytes(data: bytes) -> Tuple[str, str, str]:
+    """Decode a payload via the sniffing ladder. Returns (text,
+    codec_name, source); a BOM is stripped from the text; decoding is
+    errors='replace' (a page that lies about its charset degrades to
+    replacement chars, never a failure)."""
+    enc, source = sniff_charset(data)
+    if source == "bom":
+        for bom, name in _BOMS:
+            if name == enc and data[: len(bom)] == bom:
+                data = data[len(bom):]
+                break
+    return data.decode(enc, errors="replace"), enc, source
+
+
+DECODED_SCHEMA = "doc_id long, text string, charset string, charset_source string, n_chars long"
+
+
+def decode_pages(df, payload_col: str = "html", id_col: str = "doc_id"):
+    """Spark surface: (id, payload binary) rows -> decoded text + the
+    detection verdict, one narrow ``mapInPandas`` (same plan shape as
+    the extraction kernel — Scan -> MapInPandas, zero shuffles)."""
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            out = {
+                "doc_id": [],
+                "text": [],
+                "charset": [],
+                "charset_source": [],
+                "n_chars": [],
+            }
+            for _, r in batch.iterrows():
+                data = bytes(r[payload_col]) if r[payload_col] is not None else b""
+                text, enc, source = decode_bytes(data)
+                out["doc_id"].append(r[id_col])
+                out["text"].append(text)
+                out["charset"].append(enc)
+                out["charset_source"].append(source)
+                out["n_chars"].append(len(text))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(gen, DECODED_SCHEMA)

@@ -138,10 +138,14 @@ def extract_html(
     extract_document; span region_id is 'b<i>' (document-order block
     ordinal of kept blocks' source position)."""
     try:
-        try:
-            raw = data.decode("utf-8")
-        except UnicodeDecodeError:
-            raw = data.decode("utf-8", errors="replace")
+        # charset sniffing ladder (charset.py): BOM -> declaration ->
+        # meta -> utf-8 validation -> cp1252. For valid UTF-8 (the old
+        # fast path) behavior is identical; for Latin-1/UTF-16 pages it
+        # replaces the former utf-8-with-replacement mojibake with the
+        # real text.
+        from .charset import decode_bytes
+
+        raw, _enc, _src = decode_bytes(data)
         parser = _MainContentParser()
         parser.feed(raw)
         parser.close()

@@ -1,0 +1,90 @@
+"""Charset sniffing ladder: BOMs, declarations, meta tags, UTF-8
+validation, cp1252 fallback — pure-Python core + the Spark surface."""
+
+import pytest
+
+
+class TestSniff:
+    def test_ladder(self):
+        from gocrd_spark.charset import sniff_charset
+
+        cases = [
+            (b"\xef\xbb\xbfhello", ("utf-8", "bom")),
+            (b"\xff\xfeh\x00i\x00", ("utf-16-le", "bom")),
+            (b"\xfe\xff\x00h\x00i", ("utf-16-be", "bom")),
+            (b"\xff\xfe\x00\x00abcd", ("utf-32-le", "bom")),  # not utf-16-le!
+            (b'<?xml version="1.0" encoding="ISO-8859-1"?><a/>', ("iso8859-1", "xml-decl")),
+            (b'<meta charset="windows-1252">', ("cp1252", "meta")),
+            (b'<META HTTP-EQUIV="Content-Type" CONTENT="text/html; CHARSET=utf-8">x', ("utf-8", "meta")),
+            (b"plain ascii", ("utf-8", "utf8-valid")),
+            ("unicode café".encode("utf-8"), ("utf-8", "utf8-valid")),
+            (b"caf\xe9 latin bytes", ("cp1252", "fallback")),
+        ]
+        for data, want in cases:
+            assert sniff_charset(data) == want, data
+
+    def test_unknown_label_falls_through(self):
+        from gocrd_spark.charset import sniff_charset
+
+        # a lying/unknown meta label must not error; valid utf-8 wins
+        assert sniff_charset(b'<meta charset="not-a-charset">ok') == (
+            "utf-8",
+            "utf8-valid",
+        )
+        # unknown label + invalid utf-8 -> cp1252 fallback
+        assert sniff_charset(b'<meta charset="nope">\xe9') == (
+            "cp1252",
+            "fallback",
+        )
+
+    def test_decl_only_scanned_in_window(self):
+        from gocrd_spark.charset import sniff_charset
+
+        late = b"x" * 2000 + b'<meta charset="iso-8859-1">'
+        assert sniff_charset(late) == ("utf-8", "utf8-valid")
+
+
+class TestDecode:
+    def test_round_trips_and_bom_strip(self):
+        from gocrd_spark.charset import decode_bytes
+
+        assert decode_bytes("café".encode("utf-8")) == (
+            "café", "utf-8", "utf8-valid",
+        )
+        text, enc, src = decode_bytes(b"\xef\xbb\xbfabc")
+        assert (text, enc, src) == ("abc", "utf-8", "bom")
+        text, enc, src = decode_bytes(b"\xff\xfe" + "héllo".encode("utf-16-le"))
+        assert (text, enc, src) == ("héllo", "utf-16-le", "bom")
+        # cp1252 fallback maps every byte (never fails)
+        text, enc, src = decode_bytes(b"caf\xe9 \x93quoted\x94")
+        assert enc == "cp1252" and text == "café “quoted”"
+
+    def test_lying_meta_degrades_with_replacement(self):
+        from gocrd_spark.charset import decode_bytes
+
+        # claims utf-8 but carries a latin-1 byte: decoded with replace,
+        # never an exception
+        text, enc, src = decode_bytes(b'<meta charset="utf-8">caf\xe9')
+        assert (enc, src) == ("utf-8", "meta") and "�" in text
+
+
+class TestSparkSurface:
+    def test_decode_pages_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.charset import decode_pages
+
+        rows = [
+            (0, "plain ascii doc".encode("utf-8")),
+            (1, b"\xef\xbb\xbf" + "bom café".encode("utf-8")),
+            (2, b"\xff\xfe" + "utf16 text".encode("utf-16-le")),
+            (3, '<meta charset="iso-8859-1">café'.encode("iso-8859-1")),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html binary")
+        got = {r.doc_id: r for r in decode_pages(df).collect()}
+        assert got[0].charset == "utf-8" and got[0].text == "plain ascii doc"
+        assert got[1].charset_source == "bom" and got[1].text == "bom café"
+        assert got[2].charset == "utf-16-le" and got[2].text == "utf16 text"
+        assert got[3].charset == "iso8859-1" and got[3].text.endswith("café")
+        assert got[4].text == "" and got[4].n_chars == 0
