@@ -474,6 +474,19 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixture (textstats.py::mixture_plan): 500
+    tokens of src0, 200 of src1, src2 dropped, 300 for everything
+    else — the corpus-recipe audit view."""
+    from gocrd_spark.operators.textstats import mixture_plan
+
+    return mixture_plan(
+        _docs(spark, sf_dir),
+        budgets={"src0": 500, "src1": 200, "src2": 0},
+        default_budget=300,
+    )
+
+
 def _q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniff + decode over synthesized crawl payloads
     (gocrd_spark/charset.py): four deterministic encodings of the
@@ -1340,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_fetch_plan": _q_cdx_fetch_plan,
         "pack_sequences": _q_pack_sequences,
         "charset_decode": _q_charset_decode,
+        "mixture_plan": _q_mixture_plan,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1780,6 +1794,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # per-source window cumsum, budgets as a CASE table — floors
+        # with the straddling doc taken, exact BIGINT throughout
+        "mixture_plan": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+              FROM t)
+            SELECT doc_id, source, n_tokens, cum_before,
+                   (CASE WHEN cum_before <
+                      CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 200
+                                  WHEN 'src2' THEN 0 ELSE 300 END
+                    THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM c
         """,
         # the Spark side sniffs/decodes real BYTES; the oracle knows the
         # expected verdict + round-tripped text per synthesis rule (any

@@ -624,6 +624,68 @@ def pack_sequences(
     )
 
 
+def mixture_plan(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-budget data mixture — the recipe step of corpus assembly:
+    "take N_A tokens of source A, N_B of source B, ...". Within each
+    source documents are taken in doc_id order (deterministic,
+    resumable) until the source's budget is covered; the first doc to
+    CROSS the budget is still taken (budgets are floors, same
+    straddling convention as pack_shards), later docs are dropped.
+    Sources absent from ``budgets`` get ``default_budget`` (0 = drop
+    the source entirely).
+
+    Scale shape: ONE window partitioned by source (each source's cumsum
+    runs in parallel; no global sort) over (source, doc_id, n_tokens)
+    longs — the text never shuffles; the budget table rides as data in
+    a broadcast join, not as plan literals. For a source so large its
+    partition skews, pre-split by doc_id range and sum the per-range
+    offsets (the pack_shards two-phase shape) — at the budgets end of
+    a pipeline the surviving corpus is the SMALL side, so the single
+    window is the right default.
+
+    Returns (doc_id, source, n_tokens, cum_before, keep 0/1) for every
+    doc — the audit view; filter keep=1 for the mixture.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    budget_rows = [(s, int(b)) for s, b in sorted(budgets.items())]
+    bdf = spark.createDataFrame(
+        budget_rows or [("", 0)], "source string, budget long"
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.join(F.broadcast(bdf), "source", "left")
+        .withColumn("_b", F.coalesce(F.col("budget"), F.lit(int(default_budget))))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_before",
+            F.when(F.col("cum_before") < F.col("_b"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

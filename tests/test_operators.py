@@ -1479,6 +1479,42 @@ class TestDsirWeights:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestMixturePlan:
+    def test_budgets_floors_and_default(self, spark):
+        """src A budget 6: docs of 4,3,5 tokens -> cum 0,4,7: doc1
+        straddles (taken), doc2 past budget (dropped). src B default 0
+        -> all dropped. src C budget covers everything."""
+        from gocrd_spark.operators.textstats import mixture_plan
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d", "A"),
+                (1, "e f g", "A"),
+                (2, "h i j k l", "A"),
+                (3, "m n", "B"),
+                (4, "o p q", "C"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r.doc_id: (r.cum_before, r.keep)
+            for r in mixture_plan(docs, {"A": 6, "C": 100}).collect()
+        }
+        assert got == {
+            0: (0, 1),
+            1: (4, 1),   # crosses the floor -> still taken
+            2: (7, 0),
+            3: (0, 0),   # default budget 0 -> source dropped
+            4: (0, 1),
+        }
+        # default_budget rescues unlisted sources
+        got2 = {
+            r.doc_id: r.keep
+            for r in mixture_plan(docs, {"A": 6}, default_budget=2).collect()
+        }
+        assert got2[3] == 1 and got2[4] == 1
+
+
 class TestPackSequences:
     def test_hand_layout_and_invariants(self, spark):
         """seq_len=10; docs of 4, 5, 3, 12, 2 tokens -> stream offsets
