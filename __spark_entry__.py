@@ -474,6 +474,46 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify the SimHash banding's pigeonhole recall GUARANTEE
+    empirically (completes the certification triple beside
+    ngram_jaccard_pairs/MinHash and containment_candidates_recall):
+    exact ALL-PAIRS hamming over the operator's signatures (crossJoin —
+    the clearly-named cert path, never the scale path) left-joined
+    against the banded operator's pairs; found must be 1 on every
+    row. The golden is the twin's brute-force all-pairs answer with
+    found=1 asserted — a banding miss OR a signature drift breaks the
+    hash."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.operators.dedup import simhash64, simhash_near_dups
+
+    docs = _docs(spark, sf_dir)
+    sigs = simhash64(docs, n=2).persist()
+    exact = (
+        sigs.alias("a")
+        .crossJoin(sigs.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    banded = simhash_near_dups(docs, n=2, max_hamming=3).select(
+        "doc_a", "doc_b", F.lit(1).alias("_hit")
+    )
+    return exact.join(banded, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("found"),
+    )
+
+
 def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget data mixture (textstats.py::mixture_plan): 500
     tokens of src0, 200 of src1, src2 dropped, 300 for everything
@@ -1354,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "charset_decode": _q_charset_decode,
         "mixture_plan": _q_mixture_plan,
+        "simhash_recall": _q_simhash_recall,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -2101,6 +2142,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _EXACT_JACCARD_SQL,
         "simhash_near_dups": _ops_golden(
             "simhash_near_dups", "doc_a, doc_b, hamming"
+        ),
+        # twin's brute-force all-pairs hamming with found=1 asserted —
+        # certifies the banding's pigeonhole recall guarantee AND
+        # signature parity in one hash
+        "simhash_recall": _ops_golden(
+            "simhash_recall", "doc_a, doc_b, hamming, found"
         ),
         # connected components via recursive transitive closure over the
         # EXACT pair answer (LSH recall to that answer is certified by the

@@ -229,6 +229,11 @@ def build_operator_tables(
 
     docs = docs if docs is not None else _load_documents(testdata_dir(sf))
     sh = tw.simhash_near_dups(docs, n=2, max_hamming=3)
+    sh_exact = tw.simhash_exact_pairs(docs, n=2, max_hamming=3)
+    # the recall certification golden: every exact pair must be FOUND
+    # by the banded operator (pigeonhole guarantee) — found=1 is the
+    # twin's independent assertion of that claim
+    sh_recall = [(a, b, h, 1) for a, b, h in sh_exact]
     winnow = []
     for doc_id, text in docs:
         fps = tw.winnowing_fingerprints(text)
@@ -312,6 +317,7 @@ def build_operator_tables(
             }
         ),
         "simhash_near_dups": _t(sh, ["doc_a", "doc_b", "hamming"]),
+        "simhash_recall": _t(sh_recall, ["doc_a", "doc_b", "hamming", "found"]),
         "winnowing_fingerprints": _t(
             winnow, ["doc_id", "n_fingerprints", "min_fingerprint"]
         ),

@@ -98,6 +98,26 @@ def simhash_near_dups(
     return sorted(out)
 
 
+def simhash_exact_pairs(
+    docs: list[tuple[int, str]],
+    n: int = 2,
+    max_hamming: int = 3,
+) -> list[tuple[int, int, int]]:
+    """Brute-force ALL-PAIRS hamming over the twin's simhash — the
+    banding-free exact answer the recall certification compares the
+    banded operator against (no simhash_bands involvement at all)."""
+    sigs = sorted((doc_id, simhash64(text, n) & _MASK) for doc_id, text in docs)
+    out = []
+    for i in range(len(sigs)):
+        a_id, a_sig = sigs[i]
+        for j in range(i + 1, len(sigs)):
+            b_id, b_sig = sigs[j]
+            ham = bin(a_sig ^ b_sig).count("1")
+            if ham <= max_hamming:
+                out.append((a_id, b_id, ham))
+    return sorted(out)
+
+
 def winnowing_fingerprints(
     text: str, k: int = 8, w: int = 4
 ) -> list[int]:
