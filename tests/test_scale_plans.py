@@ -335,3 +335,104 @@ class TestRound3PlanShapes:
         plan = _plan(ranks)
         assert "MapInPandas" not in plan
         assert "ExistingRDD" in plan
+
+
+class TestRound5PlanShapes:
+    """Plan pins for the round-5 operators: the scale accounting their
+    docstrings claim must be visible in the physical plan."""
+
+    def test_dsir_llr_join_is_broadcast_no_corpus_join(self, docs):
+        """The llr table (<= buckets rows) must reach the per-doc join
+        as a broadcast; no SortMergeJoin anywhere (a corpus-sized
+        shuffle join would mean the bucket stats table went wide)."""
+        from gocrd_spark.operators.textstats import dsir_weights
+
+        plan = _plan(dsir_weights(docs, target=F.col("lang") == "en"))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dsir_select_is_takeordered(self, docs):
+        from gocrd_spark.operators.textstats import dsir_select
+
+        plan = _plan(dsir_select(docs, target=F.col("lang") == "en", k=10))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_bloom_done_side_only_feeds_broadcast_joins(self, spark):
+        """The done set reaches joins ONLY as broadcast shapes: every
+        bitmap-probe join (on _word) is a BroadcastHashJoin, and the
+        done-vs-maybe check is a broadcast LeftSemi (done streams
+        map-side against the broadcast maybe keys). The plan's
+        SortMergeJoins join INCREMENT-sized key sets (pages vs
+        new_keys, maybe vs seen-maybe survivors) — never the full done
+        table."""
+        from gocrd_spark.pipeline import bloom_filter_unprocessed
+
+        pages = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(300)], "url string, payload long"
+        )
+        done = pages.filter("payload % 2 = 0").select("url")
+        plan = _plan(bloom_filter_unprocessed(pages, done))
+        word_joins = [
+            line for line in plan.splitlines()
+            if "Join" in line and "_word" in line
+        ]
+        assert word_joins and all(
+            "BroadcastHashJoin" in line for line in word_joins
+        )
+        assert any(
+            "BroadcastHashJoin" in line and "LeftSemi" in line
+            for line in plan.splitlines()
+        )
+
+    def test_pack_sequences_windows_are_bucket_partitioned(self, docs):
+        """One unpartitioned window over BUCKET OFFSETS only (rows =
+        n_docs/bucket_size); the per-doc cumsum window must be
+        partitioned. The plan shows exactly one global (empty
+        partition-spec) Window over the offsets aggregate."""
+        from gocrd_spark.operators.textstats import pack_sequences
+
+        plan = _plan(pack_sequences(docs, seq_len=128, bucket_size=50))
+        # the per-doc window is partitioned by bucket
+        assert "partitionBy=[bucket" in plan.replace(" ", "") or (
+            "Window" in plan and "bucket" in plan
+        )
+        # and the doc-level data reaches its window via a bucket hash
+        # partition, not a single global sort of the corpus
+        assert plan.count("Sort [bucket") >= 1
+
+    def test_mixture_plan_single_source_window_broadcast_budgets(self, docs):
+        from gocrd_spark.operators.textstats import mixture_plan
+
+        plan = _plan(mixture_plan(docs, {"src0": 100}, default_budget=10))
+        assert "BroadcastHashJoin" in plan  # budgets as data
+        assert "SortMergeJoin" not in plan
+        # window partitioned by source — no global unpartitioned sort
+        assert "Sort [source" in plan
+
+    def test_cdx_plan_latest_only_is_partial_agg(self, spark):
+        """The latest-only dedup must be a hash aggregate on urlkey
+        (partial -> final), never a window sort over all captures."""
+        from gocrd_spark.cdx import cdx_fetch_plan, format_cdx_line, parse_cdx
+
+        rows = spark.createDataFrame(
+            [(i, f"http://h{i % 7}.test/p{i}", 200) for i in range(50)],
+            "doc_id long, url string, status int",
+        )
+        lines = rows.select(
+            format_cdx_line(
+                url=F.col("url"),
+                ts=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+                status=F.col("status"),
+                digest=F.lit("sha1:x"),
+                length=F.lit(10),
+                offset=F.col("doc_id"),
+                filename=F.lit("f.warc.gz"),
+            ).alias("value")
+        )
+        plan = _plan(cdx_fetch_plan(parse_cdx(lines)))
+        # struct max is sort-aggregated, but the PARTIAL agg still runs
+        # before the exchange (map-side combine) — and no window sort
+        # over all captures anywhere
+        assert "partial_max(struct" in plan
+        assert "Window" not in plan
