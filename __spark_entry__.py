@@ -474,6 +474,15 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for embedding/RAG prep (chunk 64,
+    overlap 16 — small enough that the sf corpus produces multi-chunk
+    docs); emits the chunk text itself, hash-compared."""
+    from gocrd_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
 def _q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certify the SimHash banding's pigeonhole recall GUARANTEE
     empirically (completes the certification triple beside
@@ -1395,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_decode": _q_charset_decode,
         "mixture_plan": _q_mixture_plan,
         "simhash_recall": _q_simhash_recall,
+        "chunk_documents": _q_chunk_documents,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1835,6 +1845,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # list_slice windows vs Spark slice() — same exact integer
+        # window arithmetic (L=64, stride=48), chunk TEXT hash-compared
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+              FROM documents),
+            nz AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM t WHERE len(ts) > 0),
+            x AS (
+              SELECT doc_id, ts, n,
+                     unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                          ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_idx
+              FROM nz)
+            SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+                   least(n - chunk_idx * 48, 64)::BIGINT AS n_tokens,
+                   array_to_string(ts[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ') AS chunk_text
+            FROM x
         """,
         # per-source window cumsum, budgets as a CASE table — floors
         # with the straddling doc taken, exact BIGINT throughout

@@ -624,6 +624,61 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 256, overlap: int = 32
+) -> DataFrame:
+    """Sliding-window document chunking — the embedding/RAG prep step:
+    cut each document into windows of ``chunk_tokens`` whitespace
+    tokens advancing by ``chunk_tokens - overlap`` (consecutive chunks
+    share ``overlap`` tokens so no semantic unit is split without a
+    copy that contains it whole). Window count per doc:
+    1 if n <= L else ceil((n-L)/stride)+1 — the final window is the
+    ragged tail (never empty, always ends at token n).
+
+    Pure JVM: tokens array once per doc, then a bounded
+    ``sequence()`` explode + per-chunk ``slice`` + ``array_join`` — a
+    narrow map, zero shuffles, output rows = total chunks. Exact
+    integer window arithmetic, so the DuckDB list_slice oracle
+    hash-matches.
+
+    Returns (doc_id, chunk_idx, n_tokens, chunk_text); empty docs emit
+    no rows.
+    """
+    L = int(chunk_tokens)
+    stride = L - int(overlap)
+    if stride <= 0:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+        )
+    toks = F.col("_toks")
+    n = F.col("_n")
+    n_chunks = F.when(n <= L, F.lit(1)).otherwise(
+        F.expr(f"(_n - {L} + {stride} - 1) div {stride}") + 1
+    )
+    start = F.col("chunk_idx") * stride
+    return (
+        docs.select(
+            "doc_id", _tokens(F.col("text")).alias("_toks")
+        )
+        .withColumn("_n", F.size(toks).cast("long"))
+        .filter(n > 0)
+        .select(
+            "doc_id",
+            "_toks",
+            "_n",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.least(n - start, F.lit(L)).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice(toks, (start + 1).cast("int"), L), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def mixture_plan(
     docs: DataFrame,
     budgets: dict[str, int],

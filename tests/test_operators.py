@@ -1479,6 +1479,47 @@ class TestDsirWeights:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestChunkDocuments:
+    def test_windows_overlap_and_tail(self, spark):
+        """L=5, overlap=2 (stride 3): 11 tokens -> chunks at 0,3,6 —
+        [t0..t4], [t3..t7], [t6..t10]; a short doc yields one whole-doc
+        chunk; empty docs vanish; overlap >= L raises."""
+        import pytest as _pytest
+
+        from gocrd_spark.operators.textstats import chunk_documents
+
+        words = " ".join(f"t{i}" for i in range(11))
+        docs = spark.createDataFrame(
+            [(0, words), (1, "a b c"), (2, "")],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+            for r in chunk_documents(docs, chunk_tokens=5, overlap=2).collect()
+        )
+        assert rows == [
+            (0, 0, 5, "t0 t1 t2 t3 t4"),
+            (0, 1, 5, "t3 t4 t5 t6 t7"),
+            (0, 2, 5, "t6 t7 t8 t9 t10"),
+            (1, 0, 3, "a b c"),
+        ]
+        with _pytest.raises(ValueError, match="overlap"):
+            chunk_documents(docs, chunk_tokens=5, overlap=5)
+
+    def test_exact_boundary_no_phantom_chunk(self, spark):
+        """n == L + k*stride exactly: the last window ends at token n
+        with no extra empty chunk (8 tokens, L=5, stride=3 -> 2 chunks)."""
+        from gocrd_spark.operators.textstats import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(0, " ".join(f"w{i}" for i in range(8)))],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(docs, chunk_tokens=5, overlap=2).collect()
+        assert len(rows) == 2
+        assert sorted(r.n_tokens for r in rows) == [5, 5]
+
+
 class TestMixturePlan:
     def test_budgets_floors_and_default(self, spark):
         """src A budget 6: docs of 4,3,5 tokens -> cum 0,4,7: doc1
