@@ -495,10 +495,16 @@ def _q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash."""
     from pyspark.sql import functions as F
 
-    from gocrd_spark.operators.dedup import simhash64, simhash_near_dups
+    from gocrd_spark.operators.dedup import (
+        _register_persisted,
+        simhash64,
+        simhash_near_dups,
+    )
 
     docs = _docs(spark, sf_dir)
-    sigs = simhash64(docs, n=2).persist()
+    # bounded module registry (unpersists the previous invocation's
+    # table) — a bare persist() would pin blocks for the whole sweep
+    sigs = _register_persisted(simhash64(docs, n=2).persist())
     exact = (
         sigs.alias("a")
         .crossJoin(sigs.alias("b"))

@@ -66,9 +66,16 @@ def surt_key(url: Column) -> Column:
     port = F.regexp_extract(hostport, r"(:\d+)$", 1)
     port = F.when(port.isin(":80", ":443"), F.lit("")).otherwise(port)
     rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
-    return F.concat(
-        rev, port, F.lit(")"), F.when(path == "", F.lit("/")).otherwise(path)
+    # cc-index keys ALWAYS carry the '/' after ')': a path-less
+    # query url ('example.com?q=1' -> path '?q=1') must become
+    # ')/?q=1', or prefix scans on 'host)/' miss it and the same page
+    # with/without the slash splits across two keys
+    norm_path = (
+        F.when(path == "", F.lit("/"))
+        .when(~path.startswith("/"), F.concat(F.lit("/"), path))
+        .otherwise(path)
     )
+    return F.concat(rev, port, F.lit(")"), norm_path)
 
 
 def format_cdx_line(

@@ -7,14 +7,24 @@ encoding-sniffing shape, subset documented here):
 
 1. **BOM** — UTF-8 / UTF-16LE / UTF-16BE / UTF-32LE / UTF-32BE
    (checked longest-first so UTF-32LE is not misread as UTF-16LE);
-2. **XML declaration** ``encoding="..."`` in the first 1024 bytes;
-3. **meta charset** (``<meta charset=...>`` or the http-equiv
-   content-type form) in the first 1024 bytes, case-insensitive;
-4. **strict UTF-8 validation** of the whole payload;
+2. **strict UTF-8 validation** of the whole payload — a payload that
+   validates AS UTF-8 decodes as UTF-8 regardless of what its label
+   claims. This deliberately outranks the labels (WHATWG honors them;
+   a TRAINING pipeline must not): pages transcoded to UTF-8 routinely
+   keep a stale ``<meta charset=iso-8859-1>``, and honoring it turns
+   every é into Ã© — by construction random Latin-1 text almost never
+   forms valid multi-byte UTF-8, so validation is the stronger signal;
+3. **XML declaration** ``encoding="..."`` in the first 1024 bytes;
+4. **meta charset** (``<meta charset=...>`` or the http-equiv
+   content-type form) in the first 1024 bytes, case-insensitive.
+   Labels only matter here for NON-UTF-8 payloads (shift-jis, koi8,
+   real latin-1 …) — exactly where they help. UTF-16/32-family labels
+   are never honored: a label we could READ from ASCII-compatible
+   bytes disproves itself (the WHATWG remap rule);
 5. **cp1252 fallback** (the web's de-facto Latin-1: every byte maps,
    so step 5 never fails).
 
-Unknown/undecodable labels from steps 2-3 fall through the ladder
+Unknown/undecodable/self-disproving labels fall through the ladder
 rather than erroring (a crawler-written page lies about its charset
 routinely). Pure-Python core (unit-testable without Spark) + a
 ``mapInPandas`` surface, same layering as the XML kernel.
@@ -44,11 +54,14 @@ _SNIFF_WINDOW = 1024
 
 def _known(label: str) -> Optional[str]:
     """Normalize a charset label to a Python codec name; None if the
-    label is unknown (fall through the ladder, never error)."""
+    label is unknown OR self-disproving (a UTF-16/32 label readable
+    from ASCII-compatible bytes cannot be right) — fall through the
+    ladder, never error."""
     try:
-        return codecs.lookup(label).name
+        name = codecs.lookup(label).name
     except LookupError:
         return None
+    return None if name.startswith(("utf-16", "utf-32")) else name
 
 
 def sniff_charset(data: bytes) -> Tuple[str, str]:
@@ -57,6 +70,11 @@ def sniff_charset(data: bytes) -> Tuple[str, str]:
     for bom, name in _BOMS:
         if data[: len(bom)] == bom:
             return name, "bom"
+    try:
+        data.decode("utf-8", errors="strict")
+        return "utf-8", "utf8-valid"
+    except UnicodeDecodeError:
+        pass
     head = data[:_SNIFF_WINDOW]
     m = _XML_DECL_RE.search(head)
     if m:
@@ -68,11 +86,7 @@ def sniff_charset(data: bytes) -> Tuple[str, str]:
         enc = _known(m.group(1).decode("ascii", "replace"))
         if enc:
             return enc, "meta"
-    try:
-        data.decode("utf-8", errors="strict")
-        return "utf-8", "utf8-valid"
-    except UnicodeDecodeError:
-        return "cp1252", "fallback"
+    return "cp1252", "fallback"
 
 
 def decode_bytes(data: bytes) -> Tuple[str, str, str]:
@@ -92,10 +106,12 @@ def decode_bytes(data: bytes) -> Tuple[str, str, str]:
 DECODED_SCHEMA = "doc_id long, text string, charset string, charset_source string, n_chars long"
 
 
-def decode_pages(df, payload_col: str = "html", id_col: str = "doc_id"):
-    """Spark surface: (id, payload binary) rows -> decoded text + the
-    detection verdict, one narrow ``mapInPandas`` (same plan shape as
-    the extraction kernel — Scan -> MapInPandas, zero shuffles)."""
+def decode_pages(df, payload_col: str = "html"):
+    """Spark surface: (doc_id long, payload binary) rows -> decoded
+    text + the detection verdict, one narrow ``mapInPandas`` (same plan
+    shape as the extraction kernel — Scan -> MapInPandas, zero
+    shuffles). The id column is pinned to ``doc_id long`` because the
+    output schema is static; alias/cast upstream for other id shapes."""
     import pandas as pd
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -110,11 +126,11 @@ def decode_pages(df, payload_col: str = "html", id_col: str = "doc_id"):
             for _, r in batch.iterrows():
                 data = bytes(r[payload_col]) if r[payload_col] is not None else b""
                 text, enc, source = decode_bytes(data)
-                out["doc_id"].append(r[id_col])
+                out["doc_id"].append(r["doc_id"])
                 out["text"].append(text)
                 out["charset"].append(enc)
                 out["charset_source"].append(source)
                 out["n_chars"].append(len(text))
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(gen, DECODED_SCHEMA)
+    return df.select("doc_id", payload_col).mapInPandas(gen, DECODED_SCHEMA)

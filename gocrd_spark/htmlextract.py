@@ -138,11 +138,11 @@ def extract_html(
     extract_document; span region_id is 'b<i>' (document-order block
     ordinal of kept blocks' source position)."""
     try:
-        # charset sniffing ladder (charset.py): BOM -> declaration ->
-        # meta -> utf-8 validation -> cp1252. For valid UTF-8 (the old
-        # fast path) behavior is identical; for Latin-1/UTF-16 pages it
-        # replaces the former utf-8-with-replacement mojibake with the
-        # real text.
+        # charset sniffing ladder (charset.py): BOM -> utf-8 validation
+        # -> declaration/meta -> cp1252. Unlabeled valid UTF-8 (the old
+        # fast path) behaves identically; BOMs are now stripped instead
+        # of leaking U+FEFF into the text, and Latin-1/UTF-16 pages get
+        # real text instead of utf-8-with-replacement mojibake.
         from .charset import decode_bytes
 
         raw, _enc, _src = decode_bytes(data)

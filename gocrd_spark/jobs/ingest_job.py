@@ -69,9 +69,11 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.table, args.store, args.pairs,
             args.checkpoint, threshold=args.threshold,
         )
-        try:
+        # explicit existence check — a real read failure must surface,
+        # not print pairs_total: 0 with exit code 0
+        if fsio.exists(spark, args.pairs):
             n_pairs = ingested_pairs(spark, args.pairs).count()
-        except Exception:
+        else:
             n_pairs = 0  # no batch emitted any pairs yet
         print(json.dumps({"pairs_total": n_pairs, "table": args.table}))
         return 0

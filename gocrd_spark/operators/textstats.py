@@ -709,9 +709,9 @@ def mixture_plan(
 
     spark = docs.sparkSession
     budget_rows = [(s, int(b)) for s, b in sorted(budgets.items())]
-    bdf = spark.createDataFrame(
-        budget_rows or [("", 0)], "source string, budget long"
-    )
+    # NO sentinel row for the empty dict — ('', 0) would pin an
+    # empty-string source to budget 0 instead of default_budget
+    bdf = spark.createDataFrame(budget_rows, "source string, budget long")
     toks = docs.select(
         "doc_id",
         "source",

@@ -457,7 +457,16 @@ def bloom_filter_unprocessed(
     Returns the ``pages`` rows whose ``key`` has no row in
     ``extracted`` (same contract as filter_unprocessed).
     """
-    done = extracted.select(F.col(key).alias("_k")).distinct()
+    done = (
+        extracted.select(F.col(key).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .distinct()
+    )
+    # anti-join parity for NULL keys: NULL never equi-matches done, so
+    # filter_unprocessed KEEPS such rows — route them straight to the
+    # output (they can't participate in hashing or the semi-join)
+    null_key_pages = pages.filter(F.col(key).isNull())
+    pages_k = pages.filter(F.col(key).isNotNull())
     pos = F.explode(
         _bloom_positions(F.col("_k"), num_bits, num_hashes)
     ).alias("_pos")
@@ -471,7 +480,7 @@ def bloom_filter_unprocessed(
         .agg(F.bit_or("_bit").alias("_bits"))
     )
     probes = (
-        pages.select(F.col(key).alias("_k"))
+        pages_k.select(F.col(key).alias("_k"))
         .distinct()
         .select("_k", pos)
         .select(
@@ -498,9 +507,9 @@ def bloom_filter_unprocessed(
     new_keys = definite_new.unionByName(
         maybe.join(seen_maybe, "_k", "left_anti")
     )
-    return pages.join(
+    return pages_k.join(
         new_keys.select(F.col("_k").alias(key)), key, "left_semi"
-    )
+    ).unionByName(null_key_pages)
 
 
 def golden_compare(extracted: DataFrame, golden: DataFrame) -> DataFrame:

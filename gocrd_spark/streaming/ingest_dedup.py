@@ -59,10 +59,16 @@ def ingest_dedup_batch(
     try:
         if docs.isEmpty():
             return
-        # corpus text for verification = previously ingested + this batch
-        try:
+        # corpus text for verification = previously ingested + this
+        # batch. Existence is checked EXPLICITLY (scheme-agnostic fsio):
+        # a bare except here once classified transient read failures as
+        # "first batch", silently dropping every new-vs-old pair while
+        # the batch still committed — a real IO error must surface
+        from gocrd_spark import fsio
+
+        if fsio.exists(spark, store_dir):
             prior = spark.read.parquet(store_dir).select("doc_id", "text")
-        except Exception:  # first batch: store doesn't exist yet
+        else:  # genuinely the first batch: store not created yet
             prior = spark.createDataFrame([], "doc_id long, text string")
         # dropDuplicates: on an out-of-band retry the store already
         # holds this batch's docs — verification must see each doc once

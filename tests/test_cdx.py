@@ -20,6 +20,9 @@ class TestSurtKey:
             "http://x.io/p?q=1#frag": "io,x)/p?q=1",
             # non-default port survives (distinct origin)
             "http://x.io:8080/p": "io,x:8080)/p",
+            # path-less query url still gets the '/' (cc-index shape;
+            # prefix scans on 'host)/' must find it)
+            "https://example.com?q=1": "com,example)/?q=1",
         }
         df = spark.createDataFrame(
             [(u,) for u in cases], "url string"

@@ -13,15 +13,44 @@ class TestSniff:
             (b"\xff\xfeh\x00i\x00", ("utf-16-le", "bom")),
             (b"\xfe\xff\x00h\x00i", ("utf-16-be", "bom")),
             (b"\xff\xfe\x00\x00abcd", ("utf-32-le", "bom")),  # not utf-16-le!
-            (b'<?xml version="1.0" encoding="ISO-8859-1"?><a/>', ("iso8859-1", "xml-decl")),
-            (b'<meta charset="windows-1252">', ("cp1252", "meta")),
-            (b'<META HTTP-EQUIV="Content-Type" CONTENT="text/html; CHARSET=utf-8">x', ("utf-8", "meta")),
+            # labels fire only for NON-utf-8-valid payloads (the \xe9)
+            (b'<?xml version="1.0" encoding="ISO-8859-1"?><a>caf\xe9</a>',
+             ("iso8859-1", "xml-decl")),
+            (b'<meta charset="windows-1252">caf\xe9', ("cp1252", "meta")),
+            (b'<META HTTP-EQUIV="Content-Type" CONTENT="text/html; '
+             b'CHARSET=koi8-r">\xe9', ("koi8-r", "meta")),
+            # a pure-ASCII payload with a label is charset-agnostic —
+            # utf-8 validation outranks the label
+            (b'<meta charset="windows-1252">', ("utf-8", "utf8-valid")),
             (b"plain ascii", ("utf-8", "utf8-valid")),
             ("unicode café".encode("utf-8"), ("utf-8", "utf8-valid")),
             (b"caf\xe9 latin bytes", ("cp1252", "fallback")),
         ]
         for data, want in cases:
             assert sniff_charset(data) == want, data
+
+    def test_valid_utf8_beats_stale_labels(self):
+        """The transcoded-page trap: UTF-8 bytes still carrying a stale
+        latin-1 meta label must decode as UTF-8 (honoring the label
+        turns every é into Ã© — the mojibake this module exists to
+        prevent)."""
+        from gocrd_spark.charset import decode_bytes, sniff_charset
+
+        page = '<meta charset="iso-8859-1"><p>café résumé</p>'.encode("utf-8")
+        assert sniff_charset(page) == ("utf-8", "utf8-valid")
+        text, enc, src = decode_bytes(page)
+        assert "café" in text and "Ã©" not in text
+
+    def test_utf16_labels_never_honored(self):
+        """A UTF-16 label READABLE from ASCII-compatible bytes disproves
+        itself (WHATWG remap rule) — with invalid-utf-8 bytes it falls
+        through to cp1252 rather than decoding byte pairs as UTF-16."""
+        from gocrd_spark.charset import sniff_charset
+
+        assert sniff_charset(b'<meta charset="utf-16le">caf\xe9') == (
+            "cp1252",
+            "fallback",
+        )
 
     def test_unknown_label_falls_through(self):
         from gocrd_spark.charset import sniff_charset

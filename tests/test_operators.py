@@ -1555,6 +1555,22 @@ class TestMixturePlan:
         }
         assert got2[3] == 1 and got2[4] == 1
 
+    def test_empty_budgets_and_empty_string_source(self, spark):
+        """budgets={} must give EVERY source default_budget — including
+        a source literally named '' (a sentinel row once pinned it to
+        budget 0)."""
+        from gocrd_spark.operators.textstats import mixture_plan
+
+        docs = spark.createDataFrame(
+            [(0, "a b", ""), (1, "c d", "x")],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r.doc_id: r.keep
+            for r in mixture_plan(docs, {}, default_budget=300).collect()
+        }
+        assert got == {0: 1, 1: 1}
+
 
 class TestPackSequences:
     def test_hand_layout_and_invariants(self, spark):

@@ -172,6 +172,32 @@ class TestBloomFilterUnprocessed:
         }
         assert got == want == {f"https://crawl.test/{i:06d}" for i in range(100, 200)}
 
+    def test_null_keys_kept_like_anti_join(self, spark):
+        """NULL keys never equi-match the done set, so the plain
+        anti-join KEEPS them — the bloom variant must too (they bypass
+        hashing entirely)."""
+        from gocrd_spark.pipeline import (
+            bloom_filter_unprocessed,
+            filter_unprocessed,
+        )
+
+        pages = spark.createDataFrame(
+            [("https://a.test/1", 1), (None, 2), ("https://a.test/3", 3),
+             (None, 4)],
+            "url string, payload long",
+        )
+        done = spark.createDataFrame(
+            [("https://a.test/1",)], "url string"
+        )
+        want = sorted(
+            r.payload for r in filter_unprocessed(pages, done).collect()
+        )
+        got = sorted(
+            r.payload
+            for r in bloom_filter_unprocessed(pages, done).collect()
+        )
+        assert got == want == [2, 3, 4]
+
     def test_edges_and_plan_shape(self, spark):
         from gocrd_spark.pipeline import bloom_filter_unprocessed
 
