@@ -474,6 +474,28 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (urls.py::frontier_waves): synthesized
+    frontier over 7 hosts with a malformed sliver; per_host=4 — no host
+    appears more than 4 times per wave."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.operators.urls import frontier_waves
+
+    frontier = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 5, F.lit("not a url")).otherwise(
+            F.concat(
+                F.lit("https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".test/p/"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("url"),
+    )
+    return frontier_waves(frontier, per_host=4)
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking for embedding/RAG prep (chunk 64,
     overlap 16 — small enough that the sf corpus produces multi-chunk
@@ -1411,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "simhash_recall": _q_simhash_recall,
         "chunk_documents": _q_chunk_documents,
+        "frontier_waves": _q_frontier_waves,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1851,6 +1874,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # per-host window rank // per_host, malformed urls wave NULL
+        "frontier_waves": """
+            WITH f AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 5 THEN 'not a url'
+                          ELSE 'https://site' || (doc_id % 7)::VARCHAR
+                               || '.test/p/' || doc_id::VARCHAR END AS url,
+                     CASE WHEN doc_id % 13 = 5 THEN NULL
+                          ELSE 'site' || (doc_id % 7)::VARCHAR || '.test' END AS host
+              FROM documents)
+            SELECT doc_id, url, host,
+                   CASE WHEN host IS NOT NULL THEN
+                     ((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1) // 4)::BIGINT
+                   END AS wave
+            FROM f
         """,
         # list_slice windows vs Spark slice() — same exact integer
         # window arithmetic (L=64, stride=48), chunk TEXT hash-compared

@@ -235,3 +235,46 @@ def url_blocklist_filter(
             F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("blocked"),
         )
     )
+
+
+def frontier_waves(
+    df: DataFrame,
+    per_host: int = 4,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness scheduling for a fetch frontier: assign every URL a
+    WAVE such that no host appears more than ``per_host`` times per
+    wave — the fetch scheduler runs wave 0, then wave 1, ... and host
+    concurrency stays bounded no matter how skewed the frontier is
+    toward a few mega-hosts (the frontier's canonical skew shape).
+    Within a host, order is deterministic (id asc): wave =
+    (rank_within_host - 1) div per_host.
+
+    Scale shape: ONE window partitioned by host (each host ranks in
+    parallel, no global sort); the wave count of the biggest host —
+    |host| / per_host — is the schedule's length, surfaced so the
+    caller can see the long-pole host before fetching. Malformed URLs
+    (NULL host) get wave NULL — route them to error handling, not the
+    fetch queue.
+
+    Returns (id, url, host, wave).
+    """
+    from pyspark.sql import Window
+
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(url_col).alias("_url"),
+        F.when(host == "", None).otherwise(host).alias("host"),
+    )
+    w = Window.partitionBy("host").orderBy("_id")
+    return keyed.select(
+        F.col("_id").alias(id_col),
+        F.col("_url").alias(url_col),
+        "host",
+        F.when(
+            F.col("host").isNotNull(),
+            ((F.row_number().over(w) - 1) / per_host).cast("long"),
+        ).alias("wave"),
+    )

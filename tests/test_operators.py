@@ -2027,3 +2027,27 @@ class TestMultimodal:
         rows = extract_features(media, fake=True).collect()
         # null payload -> decoded as empty bytes deterministically (no crash)
         assert len(rows) == 1
+
+
+class TestFrontierWaves:
+    def test_per_host_cap_and_malformed(self, spark):
+        """9 urls on one host at per_host=4 -> waves 0,0,0,0,1,1,1,1,2;
+        a second host schedules independently; malformed urls get wave
+        NULL."""
+        from pyspark.sql import functions as F
+
+        from gocrd_spark.operators.urls import frontier_waves
+
+        rows = [(i, f"https://big.test/p/{i}") for i in range(9)]
+        rows += [(100, "https://small.test/x"), (101, "https://small.test/y")]
+        rows += [(200, ":::bad:::")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r.doc_id: (r.host, r.wave) for r in frontier_waves(df, per_host=4).collect()}
+        assert [got[i][1] for i in range(9)] == [0, 0, 0, 0, 1, 1, 1, 1, 2]
+        assert got[100] == ("small.test", 0) and got[101] == ("small.test", 0)
+        assert got[200][1] is None
+        # invariant: no host exceeds per_host per wave
+        from collections import Counter
+
+        c = Counter((h, w) for h, w in got.values() if w is not None)
+        assert max(c.values()) <= 4
