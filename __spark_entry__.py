@@ -474,6 +474,15 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (similarity.py::quantize_embeddings)
+    — one exploded row per (vector, dim), every q bit-exact vs the
+    DuckDB twin."""
+    from gocrd_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf_dir))
+
+
 def _q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling (urls.py::frontier_waves): synthesized
     frontier over 7 hosts with a malformed sliver; per_host=4 — no host
@@ -1434,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall": _q_simhash_recall,
         "chunk_documents": _q_chunk_documents,
         "frontier_waves": _q_frontier_waves,
+        "quantize_embeddings": _q_quantize_embeddings,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1874,6 +1884,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # float32 inputs are exact in double; lo/scale/q are single IEEE
+        # ops + pinned HALF_UP round — bit-exact across engines. DuckDB
+        # list_transform's (x, i) lambda gives the 1-based index.
+        "quantize_embeddings": """
+            WITH b AS (
+              SELECT vec_id,
+                     list_min(embedding)::DOUBLE AS lo,
+                     (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0 AS scale,
+                     unnest(list_transform(embedding, (x, i) -> struct_pack(i := i, x := x))) AS u
+              FROM embeddings)
+            SELECT vec_id,
+                   (u.i - 1)::BIGINT AS dim_idx,
+                   (CASE WHEN scale = 0.0 THEN 0
+                         ELSE round((u.x::DOUBLE - lo) / scale) END)::BIGINT AS q,
+                   CAST(round(lo * 1000000) AS BIGINT) AS lo_e6,
+                   CAST(round(scale * 1000000) AS BIGINT) AS scale_e6
+            FROM b
         """,
         # per-host window rank // per_host, malformed urls wave NULL
         "frontier_waves": """

@@ -541,3 +541,43 @@ def topk_ivf_from(
         )
     )
     return _rank_topk(scored, k)
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Per-vector int8 (asymmetric min/max) quantization — the storage
+    tier a 100 TB embedding corpus actually keeps: 4x smaller than
+    float32 with a per-vector (lo, scale) pair for dequantization
+    (x ~ lo + q * scale, q in 0..255).
+
+    Entirely narrow (array_min/array_max + one posexplode — zero
+    shuffles, zero UDFs) and cross-engine EXACT: every input is a
+    float32 value (exact in double), lo/scale/quantization are single
+    IEEE ops each, and round() is the pinned HALF_UP convention — so
+    the DuckDB twin reproduces every q bit-for-bit. Constant vectors
+    (scale 0) quantize to all-zeros rather than dividing by zero.
+
+    Returns one row per (vec_id, dim_idx): (vec_id, dim_idx, q,
+    lo_e6, scale_e6) — exploded rather than an int8 array column so
+    the driver oracle can hash it (arrays are outside the oracle type
+    contract); a writer would re-assemble with collect_list over
+    dim_idx order or keep the exploded layout for columnar scans.
+    """
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    scale = (hi - lo) / F.lit(255.0)
+    base = emb.select(
+        "vec_id",
+        lo.alias("_lo"),
+        scale.alias("_scale"),
+        F.posexplode("embedding").alias("dim_idx", "_x"),
+    )
+    q = F.when(F.col("_scale") == 0.0, F.lit(0)).otherwise(
+        F.round((F.col("_x").cast("double") - F.col("_lo")) / F.col("_scale"))
+    )
+    return base.select(
+        "vec_id",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        q.cast("long").alias("q"),
+        F.round(F.col("_lo") * 1_000_000).cast("long").alias("lo_e6"),
+        F.round(F.col("_scale") * 1_000_000).cast("long").alias("scale_e6"),
+    )

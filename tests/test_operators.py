@@ -2051,3 +2051,34 @@ class TestFrontierWaves:
 
         c = Counter((h, w) for h, w in got.values() if w is not None)
         assert max(c.values()) <= 4
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_error_and_plan(self, spark):
+        """Dequantization error bounded by scale/2 per element; q in
+        [0,255]; constant vectors quantize to zeros; the plan carries
+        NO Exchange (pure narrow map)."""
+        from gocrd_spark.operators.similarity import quantize_embeddings
+
+        rows = [
+            (0, [0.0, 1.0, 0.5, -1.0]),
+            (1, [3.25, 3.25, 3.25]),  # constant -> scale 0 -> all zeros
+            (2, [100.0, -50.0, 0.25, 7.5]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = quantize_embeddings(emb)
+        got = out.collect()
+        by_vec = {}
+        for r in got:
+            by_vec.setdefault(r.vec_id, []).append(r)
+        assert all(0 <= r.q <= 255 for r in got)
+        assert [r.q for r in sorted(by_vec[1], key=lambda r: r.dim_idx)] == [0, 0, 0]
+        # dequant error <= scale/2 (+ the e6 rounding of lo/scale)
+        orig = {v: e for v, e in rows}
+        for v, rs in by_vec.items():
+            for r in rs:
+                lo, scale = r.lo_e6 / 1e6, r.scale_e6 / 1e6
+                x = orig[v][r.dim_idx]
+                assert abs((lo + r.q * scale) - x) <= scale / 2 + 2e-6
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
