@@ -474,6 +474,14 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet (textstats.py::dataset_card): per (source,
+    lang) counts + exact integer ppm shares."""
+    from gocrd_spark.operators.textstats import dataset_card
+
+    return dataset_card(_docs(spark, sf_dir))
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (similarity.py::quantize_embeddings)
     — one exploded row per (vector, dim), every q bit-exact vs the
@@ -1444,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "frontier_waves": _q_frontier_waves,
         "quantize_embeddings": _q_quantize_embeddings,
+        "dataset_card": _q_dataset_card,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1884,6 +1893,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # integer-exact ppm shares (n * 1e6 div total)
+        "dataset_card": """
+            WITH per AS (
+              SELECT source, lang, count(*)::BIGINT AS n_docs,
+                     sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))::BIGINT AS n_tokens,
+                     sum(length(text))::BIGINT AS n_chars
+              FROM documents GROUP BY source, lang),
+            tot AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_tokens FROM per)
+            SELECT source, lang, n_docs, n_tokens, n_chars,
+                   (n_docs * 1000000 // t_docs)::BIGINT AS docs_ppm,
+                   (n_tokens * 1000000 // t_tokens)::BIGINT AS tokens_ppm
+            FROM per, tot
         """,
         # float32 inputs are exact in double; lo/scale/q are single IEEE
         # ops + pinned HALF_UP round — bit-exact across engines. DuckDB

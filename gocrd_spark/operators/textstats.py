@@ -624,6 +624,34 @@ def pack_sequences(
     )
 
 
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """The datasheet every released corpus ships: per (source, lang)
+    document/token/char counts plus their share of the corpus in exact
+    parts-per-million — one partial-agg groupBy + one broadcast totals
+    row (the corpus never shuffles twice, no driver count). Shares are
+    integer-exact: ppm = n * 1_000_000 div total.
+
+    Returns (source, lang, n_docs, n_tokens, n_chars, docs_ppm,
+    tokens_ppm) — one row per observed (source, lang)."""
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.expr("n_docs * 1000000 div t_docs").alias("docs_ppm"),
+        F.expr("n_tokens * 1000000 div t_tokens").alias("tokens_ppm"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 256, overlap: int = 32
 ) -> DataFrame:
