@@ -1904,7 +1904,7 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_tokens FROM per)
             SELECT source, lang, n_docs, n_tokens, n_chars,
                    (n_docs * 1000000 // t_docs)::BIGINT AS docs_ppm,
-                   (n_tokens * 1000000 // t_tokens)::BIGINT AS tokens_ppm
+                   (n_tokens * 1000000 // nullif(t_tokens, 0))::BIGINT AS tokens_ppm
             FROM per, tot
         """,
         # float32 inputs are exact in double; lo/scale/q are single IEEE

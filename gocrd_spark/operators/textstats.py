@@ -647,8 +647,10 @@ def dataset_card(docs: DataFrame) -> DataFrame:
         "n_docs",
         "n_tokens",
         "n_chars",
+        # nullif: an all-empty-text corpus has t_tokens = 0 and ANSI
+        # integer div would THROW; ppm NULL is the honest answer
         F.expr("n_docs * 1000000 div t_docs").alias("docs_ppm"),
-        F.expr("n_tokens * 1000000 div t_tokens").alias("tokens_ppm"),
+        F.expr("n_tokens * 1000000 div nullif(t_tokens, 0)").alias("tokens_ppm"),
     )
 
 

@@ -268,13 +268,20 @@ def frontier_waves(
         F.col(url_col).alias("_url"),
         F.when(host == "", None).otherwise(host).alias("host"),
     )
+    # malformed urls NEVER enter the window: at crawl scale they would
+    # all land in the single host=NULL window partition (one straggler
+    # task sorting every junk url) — they bypass with wave NULL instead
+    good = keyed.filter(F.col("host").isNotNull())
+    bad = keyed.filter(F.col("host").isNull()).select(
+        "_id", "_url", "host", F.lit(None).cast("long").alias("wave")
+    )
     w = Window.partitionBy("host").orderBy("_id")
-    return keyed.select(
-        F.col("_id").alias(id_col),
-        F.col("_url").alias(url_col),
+    waved = good.select(
+        "_id",
+        "_url",
         "host",
-        F.when(
-            F.col("host").isNotNull(),
-            ((F.row_number().over(w) - 1) / per_host).cast("long"),
-        ).alias("wave"),
+        ((F.row_number().over(w) - 1) / per_host).cast("long").alias("wave"),
+    )
+    return waved.unionByName(bad).select(
+        F.col("_id").alias(id_col), F.col("_url").alias(url_col), "host", "wave"
     )
