@@ -774,6 +774,17 @@ def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_inlink_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text consolidation over the DOM-walked link
+    rows (linkgraph.py::inlink_summary); the oracle derives inlink
+    counts, distinct source hosts, and the anchor text ('doc ' || dst
+    in the generator) from the linking formula — the Spark side really
+    walks the HTML for both the links AND the anchor text."""
+    from gocrd_spark.operators.linkgraph import extract_outlinks, inlink_summary
+
+    return inlink_summary(extract_outlinks(_linked_pages(spark, sf_dir)))
+
+
 def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank in exact BIGINT arithmetic (5 iterations,
     damping 0.85 as integer ops on rank*1e12): partitioning- and
@@ -1453,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_waves": _q_frontier_waves,
         "quantize_embeddings": _q_quantize_embeddings,
         "dataset_card": _q_dataset_card,
+        "inlink_summary": _q_inlink_summary,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -2643,6 +2655,20 @@ def _linkgraph_oracles() -> dict[str, str]:
             "SELECT src_url, dst_url, href FROM ("
             + _linked_pages_links_sql(n)
             + ")"
+        ),
+        # formula-derived inlink consolidation: counts + distinct src
+        # hosts per dst; every generated anchor is 'doc ' || dst, so
+        # the top anchor is that constant wherever the dst has inlinks
+        "inlink_summary": (
+            """
+            SELECT dst_url, count(*)::BIGINT AS n_inlinks,
+                   count(DISTINCT 'host' || (i % 20) || '.example.com')::BIGINT AS n_src_hosts,
+                   'doc ' || dst AS top_anchor
+            FROM ("""
+            + _linked_pages_links_sql(n)
+            + """)
+            GROUP BY dst_url, dst
+            """
         ),
         "host_pagerank": _host_pagerank_oracle(n, n_iters=5),
         "robots_filter": """

@@ -39,42 +39,75 @@ from pyspark.sql import functions as F
 
 PAGERANK_SCALE = 10**12
 
-OUTLINKS_SCHEMA = "src_url string, dst_url string, href string"
+OUTLINKS_SCHEMA = "src_url string, dst_url string, href string, anchor string"
+
+_MAX_ANCHOR_CHARS = 512  # hostile pages can wrap megabytes in one <a>
 
 
 class _LinkParser(HTMLParser):
     """Collect every <a href> value in document order (duplicates
-    kept — multiplicity is signal for the weighted host graph)."""
+    kept — multiplicity is signal for the weighted host graph) plus
+    the anchor TEXT between <a> and </a> (the inlink-description
+    signal ranking/quality pipelines aggregate per target). A new <a>
+    implicitly closes an open one (HTML5 behavior); an anchor left
+    open at EOF keeps the text collected so far; text is capped at
+    _MAX_ANCHOR_CHARS."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.hrefs: list[str] = []
+        self.links: list[tuple[str, str]] = []  # (href, anchor_text)
+        self._href: str | None = None
+        self._buf: list[str] = []
+        self._buf_len = 0
+
+    def _finalize(self) -> None:
+        if self._href is not None:
+            self.links.append((self._href, "".join(self._buf).strip()))
+        self._href = None
+        self._buf = []
+        self._buf_len = 0
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
         if tag == "a":
+            self._finalize()  # nested <a>: implicit close
             for name, value in attrs:
                 if name == "href" and value:
-                    self.hrefs.append(value)
+                    self._href = value
                     break
 
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag == "a":
+            self._finalize()
 
-def parse_outlinks(url: str, html: bytes) -> list[tuple[str, str]]:
-    """Pure-Python kernel: (resolved absolute dst_url, raw href) per
-    anchor. Malformed HTML degrades gracefully (stdlib parser is
-    tolerant; bytes decode with errors='replace' cannot fail)."""
+    def handle_data(self, data):  # noqa: D102
+        if self._href is not None and self._buf_len < _MAX_ANCHOR_CHARS:
+            take = data[: _MAX_ANCHOR_CHARS - self._buf_len]
+            self._buf.append(take)
+            self._buf_len += len(take)
+
+    def close(self):  # noqa: D102 — unclosed trailing anchor
+        super().close()
+        self._finalize()
+
+
+def parse_outlinks(url: str, html: bytes) -> list[tuple[str, str, str]]:
+    """Pure-Python kernel: (resolved absolute dst_url, raw href,
+    anchor text) per anchor. Malformed HTML degrades gracefully
+    (stdlib parser is tolerant; bytes decode with errors='replace'
+    cannot fail)."""
     text = html.decode("utf-8", "replace")
     p = _LinkParser()
     try:
         p.feed(text)
         p.close()
     except Exception:
-        pass  # keep whatever was collected before the parse hiccup
+        p._finalize()  # keep whatever was collected before the hiccup
     out = []
-    for href in p.hrefs:
+    for href, anchor in p.links:
         try:
-            out.append((urljoin(url, href), href))
+            out.append((urljoin(url, href), href, anchor))
         except ValueError:
-            out.append((href, href))  # unresolvable: keep raw
+            out.append((href, href, anchor))  # unresolvable: keep raw
     return out
 
 
@@ -82,9 +115,9 @@ def extract_outlinks(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """Spark surface: (url, html binary) -> one row per anchor
-    (src_url, dst_url, href), document order within a page. Narrow
-    mapInPandas — the plan is Scan -> MapInPandas like the extraction
-    flagship; pages without links emit nothing."""
+    (src_url, dst_url, href, anchor), document order within a page.
+    Narrow mapInPandas — the plan is Scan -> MapInPandas like the
+    extraction flagship; pages without links emit nothing."""
     import pandas as pd
 
     sel = pages.select(
@@ -98,11 +131,20 @@ def extract_outlinks(
                 raw = r["html"]
                 if raw is None:
                     continue
-                for dst, href in parse_outlinks(str(r["url"]), bytes(raw)):
+                for dst, href, anchor in parse_outlinks(
+                    str(r["url"]), bytes(raw)
+                ):
                     rows.append(
-                        {"src_url": r["url"], "dst_url": dst, "href": href}
+                        {
+                            "src_url": r["url"],
+                            "dst_url": dst,
+                            "href": href,
+                            "anchor": anchor,
+                        }
                     )
-            yield pd.DataFrame(rows, columns=["src_url", "dst_url", "href"])
+            yield pd.DataFrame(
+                rows, columns=["src_url", "dst_url", "href", "anchor"]
+            )
 
     return sel.mapInPandas(gen, OUTLINKS_SCHEMA)
 
@@ -233,3 +275,38 @@ def synth_linked_html(n: int) -> list[dict]:
             }
         )
     return rows
+
+
+def inlink_summary(links: DataFrame) -> DataFrame:
+    """Per-target inlink consolidation — the anchor-text signal
+    ranking/quality pipelines feed downstream: how many pages link
+    here, from how many distinct hosts, and what they CALL it (the
+    most frequent anchor text, ties to the lexicographically smallest).
+
+    Two partial-agg groupBys on (dst_url[, anchor]) — the anchor text
+    shuffles once at (dst, anchor) granularity, then only one row per
+    dst carries the winner (min over struct(-count, anchor) — exact,
+    no window sort over all inlinks).
+
+    Returns (dst_url, n_inlinks, n_src_hosts, top_anchor).
+    """
+    src_host = F.lower(F.try_parse_url(F.col("src_url"), F.lit("HOST")))
+    per_dst = links.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct(src_host).alias("n_src_hosts"),
+    )
+    top = (
+        links.groupBy("dst_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("dst_url")
+        .agg(
+            F.min(F.struct((-F.col("_c")).alias("_nc"), "anchor")).alias("_w")
+        )
+        .select("dst_url", F.col("_w.anchor").alias("top_anchor"))
+    )
+    return per_dst.join(top, "dst_url").select(
+        "dst_url",
+        F.col("n_inlinks").cast("long").alias("n_inlinks"),
+        F.col("n_src_hosts").cast("long").alias("n_src_hosts"),
+        "top_anchor",
+    )

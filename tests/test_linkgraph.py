@@ -30,14 +30,14 @@ class TestParseOutlinks:
         from gocrd_spark.operators.linkgraph import parse_outlinks
 
         got = parse_outlinks("https://b.example.com/dir/page.html", PAGE.encode())
-        assert [dst for dst, _ in got] == [
+        assert [dst for dst, _, _ in got] == [
             "https://a.example.com/1",
             "https://b.example.com/rel/2",
             "https://b.example.com/up/3",
             "https://a.example.com/1",
         ]
         # raw hrefs preserved alongside
-        assert [href for _, href in got] == [
+        assert [href for _, href, _ in got] == [
             "https://a.example.com/1", "/rel/2", "../up/3",
             "https://a.example.com/1",
         ]
@@ -49,7 +49,7 @@ class TestParseOutlinks:
         assert parse_outlinks("https://x.com/", b"") == []
         # tag soup: parser is tolerant, collects what it can
         soup = b"<a href='https://y.com/1'><p><a href='https://y.com/2'"
-        dsts = [d for d, _ in parse_outlinks("https://x.com/", soup)]
+        dsts = [d for d, _, _ in parse_outlinks("https://x.com/", soup)]
         assert "https://y.com/1" in dsts
 
 
@@ -174,3 +174,49 @@ class TestSynthFormulaPin:
                     )
                 )
         assert got == want
+
+
+class TestAnchorText:
+    def test_anchor_capture_shapes(self):
+        """Anchor text between <a> and </a>; nested <a> implicitly
+        closes; unclosed trailing anchor keeps its text; cap at 512
+        chars; markup inside the anchor contributes its text only."""
+        from gocrd_spark.operators.linkgraph import parse_outlinks
+
+        page = (
+            b'<a href="/one">click <b>here</b> now</a>'
+            b'<a href="/two">first <a href="/three">second</a>'
+            b'<a href="/four">trailing text'
+        )
+        got = parse_outlinks("https://x.com/", page)
+        anchors = {href: a for _, href, a in got}
+        assert anchors["/one"] == "click here now"
+        assert anchors["/two"] == "first"      # implicit close at next <a>
+        assert anchors["/three"] == "second"
+        assert anchors["/four"] == "trailing text"  # EOF finalize
+
+        big = b'<a href="/big">' + b"x" * 5000 + b"</a>"
+        (row,) = parse_outlinks("https://x.com/", big)
+        assert len(row[2]) == 512
+
+    def test_inlink_summary(self, spark):
+        """Counts, distinct source hosts, and the most frequent anchor
+        (ties to the lexicographically smallest)."""
+        from gocrd_spark.operators.linkgraph import inlink_summary
+
+        links = spark.createDataFrame(
+            [
+                ("https://a.test/p", "https://t.test/x", "/x", "zebra"),
+                ("https://a.test/q", "https://t.test/x", "/x", "apple"),
+                ("https://b.test/r", "https://t.test/x", "/x", "apple"),
+                ("https://b.test/r", "https://t.test/x", "/x", "zebra"),
+                ("https://b.test/r", "https://t.test/y", "/y", "only"),
+            ],
+            "src_url string, dst_url string, href string, anchor string",
+        )
+        got = {r.dst_url: r for r in inlink_summary(links).collect()}
+        x = got["https://t.test/x"]
+        assert (x.n_inlinks, x.n_src_hosts) == (4, 2)
+        assert x.top_anchor == "apple"  # 2-2 tie -> lexicographic min
+        y = got["https://t.test/y"]
+        assert (y.n_inlinks, y.n_src_hosts, y.top_anchor) == (1, 1, "only")
