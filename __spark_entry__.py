@@ -474,6 +474,27 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit (textstats.py::mojibake_score) over
+    documents with planted damage: doc_id%5==1 gets two classic
+    double-decode artifacts appended, %5==2 gets a replacement char —
+    the oracle recomputes the marker counts independently."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.operators.textstats import mojibake_score
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 1, F.lit(" cafÃ© isnâ€™t")).when(
+                F.col("doc_id") % 5 == 2, F.lit(" bad�byte")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mojibake_score(docs)
+
+
 def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus datasheet (textstats.py::dataset_card): per (source,
     lang) counts + exact integer ppm shares."""
@@ -1465,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
+        "mojibake_score": _q_mojibake_score,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1906,6 +1928,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
         """,
+        # independent recount of the shared marker list (the list is
+        # the spec; the counting is this engine's own replace-diffs)
+        "mojibake_score": _mojibake_oracle(),
         # integer-exact ppm shares (n * 1e6 div total)
         "dataset_card": """
             WITH per AS (
@@ -3077,6 +3102,35 @@ def _training_corpus_oracle() -> str:
         SELECT doc_id, source, text, n_tokens,
                CAST(floor(cum_before / 2048.0) AS BIGINT) AS shard_id
         FROM c6
+    """
+
+
+def _mojibake_oracle() -> str:
+    """Marker-count recount in DuckDB over the same planted-damage
+    synthesis; MOJIBAKE_MARKERS is the shared spec, the counting is
+    independent replace-diff arithmetic."""
+    from gocrd_spark.operators.textstats import MOJIBAKE_MARKERS
+
+    def cnt(m: str) -> str:
+        esc = m.replace("'", "''")
+        return (
+            f"((length(text) - length(replace(text, '{esc}', ''))) // {len(m)})"
+        )
+
+    moji = " + ".join(cnt(m) for m in MOJIBAKE_MARKERS if m != "�")
+    repl = cnt("�")
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 5 = 1 THEN ' cafÃ© isnâ€™t'
+                              WHEN doc_id % 5 = 2 THEN ' bad�byte'
+                              ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               ({moji})::BIGINT AS n_mojibake,
+               ({repl})::BIGINT AS n_replacement,
+               (CASE WHEN ({moji}) + ({repl}) > 0 THEN 1 ELSE 0 END)::BIGINT AS flag_mojibake
+        FROM t
     """
 
 

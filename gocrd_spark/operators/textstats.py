@@ -624,6 +624,48 @@ def pack_sequences(
     )
 
 
+MOJIBAKE_MARKERS = (
+    # UTF-8 bytes decoded as cp1252/latin-1: 'Ã' + continuation-byte
+    # shapes ('Ã©'=é, 'Ã¤'=ä, ...), the 'â€' family (’ “ ” – —), Â
+    # before NBSP-ish punctuation, and the replacement char itself
+    "Ã©", "Ã¤", "Ã¶", "Ã¼", "Ã¨", "Ã ", "Ã±", "Ã³", "Ã­",
+    "â€™", "â€œ", "â€", "â€“", "â€”", "â€¦",
+    "Â·", "Â°", "Â»", "Â«", "�",
+)
+
+
+def mojibake_score(docs: DataFrame) -> DataFrame:
+    """Encoding-damage audit — the health check behind the charset
+    ladder (charset.py): count the classic double-decoding artifacts
+    (UTF-8 read as cp1252: 'Ã©' for é, 'â€™' for ’, …) plus U+FFFD
+    replacement chars per document. A corpus decoded correctly scores
+    ~0; rising counts localize which source/snapshot was ingested with
+    a broken decode path. Pure JVM: one fixed marker list folded as a
+    chain of length-difference counts — narrow map, zero shuffles.
+
+    Returns (doc_id, n_mojibake, n_replacement, flag_mojibake 0/1 —
+    flag = any marker present)."""
+    text = F.col("text")
+    counts = [
+        (
+            F.length(text)
+            - F.length(F.replace(text, F.lit(m), F.lit("")))
+        ) / len(m)
+        for m in MOJIBAKE_MARKERS
+        if m != "�"
+    ]
+    n_moji = sum(counts[1:], counts[0]).cast("long")
+    n_repl = (
+        F.length(text) - F.length(F.replace(text, F.lit("�"), F.lit("")))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_moji.alias("n_mojibake"),
+        n_repl.alias("n_replacement"),
+        ((n_moji + n_repl) > 0).cast("long").alias("flag_mojibake"),
+    )
+
+
 def dataset_card(docs: DataFrame) -> DataFrame:
     """The datasheet every released corpus ships: per (source, lang)
     document/token/char counts plus their share of the corpus in exact

@@ -2082,3 +2082,23 @@ class TestQuantizeEmbeddings:
                 assert abs((lo + r.q * scale) - x) <= scale / 2 + 2e-6
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestMojibakeScore:
+    def test_planted_damage_counts(self, spark):
+        from gocrd_spark.operators.textstats import mojibake_score
+
+        docs = spark.createDataFrame(
+            [
+                (0, "clean text entirely"),
+                (1, "double cafÃ© decode isnâ€™t right cafÃ©"),
+                (2, "lost byte her� and her�"),
+                (3, "Ã© alone"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in mojibake_score(docs).collect()}
+        assert (got[0].n_mojibake, got[0].n_replacement, got[0].flag_mojibake) == (0, 0, 0)
+        assert got[1].n_mojibake == 3 and got[1].flag_mojibake == 1
+        assert got[2].n_replacement == 2 and got[2].flag_mojibake == 1
+        assert got[3].n_mojibake == 1
