@@ -3122,7 +3122,7 @@ def _mojibake_oracle() -> str:
     return f"""
         WITH t AS (
           SELECT doc_id,
-                 text || CASE WHEN doc_id % 5 = 1 THEN ' cafÃ© isnâ€™t'
+                 coalesce(text, '') || CASE WHEN doc_id % 5 = 1 THEN ' cafÃ© isnâ€™t'
                               WHEN doc_id % 5 = 2 THEN ' bad�byte'
                               ELSE '' END AS text
           FROM documents)

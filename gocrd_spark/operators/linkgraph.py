@@ -59,6 +59,7 @@ class _LinkParser(HTMLParser):
         self._href: str | None = None
         self._buf: list[str] = []
         self._buf_len = 0
+        self._cdata = 0  # inside <script>/<style>: raw content is NOT anchor text
 
     def _finalize(self) -> None:
         if self._href is not None:
@@ -68,7 +69,9 @@ class _LinkParser(HTMLParser):
         self._buf_len = 0
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
-        if tag == "a":
+        if tag in ("script", "style"):
+            self._cdata += 1
+        elif tag == "a":
             self._finalize()  # nested <a>: implicit close
             for name, value in attrs:
                 if name == "href" and value:
@@ -76,10 +79,14 @@ class _LinkParser(HTMLParser):
                     break
 
     def handle_endtag(self, tag):  # noqa: D102
-        if tag == "a":
+        if tag in ("script", "style"):
+            self._cdata = max(0, self._cdata - 1)
+        elif tag == "a":
             self._finalize()
 
     def handle_data(self, data):  # noqa: D102
+        if self._cdata:
+            return  # script/style bodies arrive via handle_data too
         if self._href is not None and self._buf_len < _MAX_ANCHOR_CHARS:
             take = data[: _MAX_ANCHOR_CHARS - self._buf_len]
             self._buf.append(take)
@@ -290,6 +297,12 @@ def inlink_summary(links: DataFrame) -> DataFrame:
 
     Returns (dst_url, n_inlinks, n_src_hosts, top_anchor).
     """
+    # two consumers with DIFFERENT shuffle keys -> without a cut the
+    # upstream DOM-parse MapInPandas would execute twice (the
+    # multiply-consumed-stage rule, compose.py/CLAUDE.md)
+    links = links.select("src_url", "dst_url", "anchor").localCheckpoint(
+        eager=True
+    )
     src_host = F.lower(F.try_parse_url(F.col("src_url"), F.lit("HOST")))
     per_dst = links.groupBy("dst_url").agg(
         F.count(F.lit(1)).alias("n_inlinks"),

@@ -554,7 +554,10 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     float32 value (exact in double), lo/scale/quantization are single
     IEEE ops each, and round() is the pinned HALF_UP convention — so
     the DuckDB twin reproduces every q bit-for-bit. Constant vectors
-    (scale 0) quantize to all-zeros rather than dividing by zero.
+    (scale 0) quantize to all-zeros rather than dividing by zero; a
+    vector carrying NaN/Inf elements emits NULL codes for the
+    non-finite arithmetic instead of the ANSI cast-of-NaN error that
+    would otherwise kill the whole pass on one corrupt row.
 
     Returns one row per (vec_id, dim_idx): (vec_id, dim_idx, q,
     lo_e6, scale_e6) — exploded rather than an int8 array column so
@@ -571,13 +574,21 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
         scale.alias("_scale"),
         F.posexplode("embedding").alias("dim_idx", "_x"),
     )
-    q = F.when(F.col("_scale") == 0.0, F.lit(0)).otherwise(
-        F.round((F.col("_x").cast("double") - F.col("_lo")) / F.col("_scale"))
+    inf = float("inf")
+
+    def _fin(c):
+        # NaN comparisons are false, so NaN/Inf fall to NULL — ANSI
+        # cast(NaN as long) would otherwise throw and fail the job
+        return F.when(~F.isnan(c) & (c < inf) & (c > -inf), c)
+
+    v = (F.col("_x").cast("double") - F.col("_lo")) / F.col("_scale")
+    q = F.when(F.col("_scale") == 0.0, F.lit(0.0)).otherwise(
+        F.round(_fin(v))
     )
     return base.select(
         "vec_id",
         F.col("dim_idx").cast("long").alias("dim_idx"),
         q.cast("long").alias("q"),
-        F.round(F.col("_lo") * 1_000_000).cast("long").alias("lo_e6"),
-        F.round(F.col("_scale") * 1_000_000).cast("long").alias("scale_e6"),
+        F.round(_fin(F.col("_lo")) * 1_000_000).cast("long").alias("lo_e6"),
+        F.round(_fin(F.col("_scale")) * 1_000_000).cast("long").alias("scale_e6"),
     )

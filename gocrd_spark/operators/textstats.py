@@ -644,8 +644,9 @@ def mojibake_score(docs: DataFrame) -> DataFrame:
     chain of length-difference counts — narrow map, zero shuffles.
 
     Returns (doc_id, n_mojibake, n_replacement, flag_mojibake 0/1 —
-    flag = any marker present)."""
-    text = F.col("text")
+    flag = any marker present). NULL text counts as empty (scores 0) —
+    the convention the oracle shares."""
+    text = F.coalesce(F.col("text"), F.lit(""))
     counts = [
         (
             F.length(text)
@@ -679,7 +680,7 @@ def dataset_card(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens(F.col("text"))).cast("long")).alias("n_tokens"),
         F.sum(F.length("text").cast("long")).alias("n_chars"),
-    )
+    ).localCheckpoint(eager=True)  # tiny table; totals must not replay the corpus scan
     tot = per.agg(
         F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
     )

@@ -252,9 +252,9 @@ def frontier_waves(
     (rank_within_host - 1) div per_host.
 
     Scale shape: ONE window partitioned by host (each host ranks in
-    parallel, no global sort); the wave count of the biggest host —
-    |host| / per_host — is the schedule's length, surfaced so the
-    caller can see the long-pole host before fetching. Malformed URLs
+    parallel, no global sort). The schedule's length is bounded by the
+    biggest host — max(wave) + 1, one tiny aggregate over the output
+    if the caller wants the long pole before fetching. Malformed URLs
     (NULL host) get wave NULL — route them to error handling, not the
     fetch queue.
 

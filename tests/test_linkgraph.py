@@ -199,6 +199,11 @@ class TestAnchorText:
         (row,) = parse_outlinks("https://x.com/", big)
         assert len(row[2]) == 512
 
+        # script/style bodies inside an open anchor are NOT anchor text
+        js = b'<a href="/x"><script>var y=1;</script>click<style>.a{}</style> me</a>'
+        (row,) = parse_outlinks("https://x.com/", js)
+        assert row[2] == "click me"
+
     def test_inlink_summary(self, spark):
         """Counts, distinct source hosts, and the most frequent anchor
         (ties to the lexicographically smallest)."""

@@ -2083,6 +2083,25 @@ class TestQuantizeEmbeddings:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_nan_vector_degrades_to_null_codes(self, spark):
+        """One corrupt vector (NaN element) must not kill the pass:
+        ANSI cast(NaN as long) would throw — the guard emits NULL codes
+        for the non-finite arithmetic while clean vectors are
+        unaffected."""
+        from gocrd_spark.operators.similarity import quantize_embeddings
+
+        rows = [
+            (0, [0.0, float("nan"), 1.0]),
+            (1, [float("inf"), 0.0, 1.0]),
+            (2, [0.0, 1.0, 2.0]),  # clean
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = quantize_embeddings(emb).collect()  # must not raise
+        clean = [r for r in got if r.vec_id == 2]
+        assert sorted(r.q for r in clean) == [0, 128, 255]
+        dirty = [r for r in got if r.vec_id in (0, 1)]
+        assert any(r.q is None for r in dirty)
+
 
 class TestMojibakeScore:
     def test_planted_damage_counts(self, spark):
