@@ -474,6 +474,26 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs(spark, sf_dir), target=F.col("lang") == "en", k=100)
 
 
+def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from per-host robots bodies (robots.py::
+    robots_sitemaps): host k carries k%3 Sitemap lines in mixed
+    case/spacing; the oracle derives the rows from the formula — the
+    Spark side really regexp-parses the bytes."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.operators.robots import robots_sitemaps
+
+    rows = []
+    for k in range(10):
+        body = "User-agent: *\nDisallow: /blocked/\n"
+        for j in range(k % 3):
+            key = "Sitemap" if j % 2 == 0 else "sitemap"
+            body += f"{key}: https://host{k}.example.com/sitemap-{j}.xml\n"
+        rows.append((f"host{k}.example.com", body.encode()))
+    robots = spark.createDataFrame(rows, "host string, robots binary")
+    return robots_sitemaps(robots)
+
+
 def _q_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-damage audit (textstats.py::mojibake_score) over
     documents with planted damage: doc_id%5==1 gets two classic
@@ -1487,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
+        "robots_sitemaps": _q_robots_sitemaps,
         # --- extraction surface (golden-parquet oracles; also pytest-gated
         # byte identity, FIXTURES.md §3) ---
         "extract_text": _q_extract_text,
@@ -1927,6 +1948,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # formula-derived sitemap rows — the Spark side regexp-parses
+        # the actual robots bytes
+        "robots_sitemaps": """
+            SELECT 'host' || k || '.example.com' AS host,
+                   j::BIGINT AS sitemap_idx,
+                   'https://host' || k || '.example.com/sitemap-' || j || '.xml' AS sitemap_url
+            FROM (SELECT k, unnest(range(0, k % 3)) AS j
+                  FROM range(0, 10) t(k)
+                  WHERE k % 3 > 0)
         """,
         # independent recount of the shared marker list (the list is
         # the spec; the counting is this engine's own replace-diffs)

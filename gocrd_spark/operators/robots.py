@@ -179,3 +179,27 @@ def robots_filter(
             yield pd.DataFrame(out)
 
     return keyed.select("id", "url", "robots").mapInPandas(gen, ROBOTS_SCHEMA)
+
+
+def robots_sitemaps(robots_by_host) -> "DataFrame":
+    """Sitemap discovery from robots.txt — the crawl-seed expansion
+    step: every ``Sitemap:`` line (RFC 9309 §2.3 'other records' /
+    sitemaps.org protocol: case-insensitive key, absolute URL value,
+    NOT scoped to any user-agent group) becomes one (host,
+    sitemap_url) row, document order preserved via sitemap_idx.
+
+    Pure JVM: one regexp_extract_all over the body — narrow map, zero
+    Python; malformed bodies simply yield no rows."""
+    from pyspark.sql import functions as F
+
+    urls = F.expr(
+        r"regexp_extract_all(cast(robots as string),"
+        r" '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)"
+    )
+    return robots_by_host.select(
+        "host", F.posexplode(urls).alias("sitemap_idx", "sitemap_url")
+    ).select(
+        "host",
+        F.col("sitemap_idx").cast("long").alias("sitemap_idx"),
+        "sitemap_url",
+    )

@@ -158,3 +158,33 @@ class TestSparkSurface:
             3: (1, None),       # no robots row -> allowed
             4: (0, "/blocked/"),
         }
+
+
+class TestRobotsSitemaps:
+    def test_extraction_shapes(self, spark):
+        """Case-insensitive key, flexible spacing, document order via
+        sitemap_idx; bodies without Sitemap lines (or NULL) yield no
+        rows; a Disallow line never matches."""
+        from gocrd_spark.operators.robots import robots_sitemaps
+
+        rows = [
+            ("a.test", b"User-agent: *\nSitemap: https://a.test/s1.xml\n"
+                       b"sitemap:https://a.test/s2.xml\nDisallow: /x\n"),
+            ("b.test", b"  SITEMAP :  nope\nSITEMAP: https://b.test/m.xml \n"),
+            ("c.test", b"Disallow: /"),
+            ("d.test", None),
+        ]
+        df = spark.createDataFrame(rows, "host string, robots binary")
+        got = sorted(
+            (r.host, r.sitemap_idx, r.sitemap_url)
+            for r in robots_sitemaps(df).collect()
+        )
+        assert got == [
+            ("a.test", 0, "https://a.test/s1.xml"),
+            ("a.test", 1, "https://a.test/s2.xml"),
+            # whitespace before the colon is tolerated (real-world
+            # robots parsers are lenient); the VALUE is verbatim —
+            # URL validation belongs to the consumer
+            ("b.test", 0, "nope"),
+            ("b.test", 1, "https://b.test/m.xml"),
+        ]
