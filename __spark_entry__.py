@@ -1440,6 +1440,35 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPM media table (planted perceptual near-dups),
+    materialized once per scale — same sizing rule as _media."""
+    from gocrd_spark.operators.multimodal import ensure_ppm_parquet
+
+    n = max(int(_sf_of(sf_dir) * 10_000), 10)
+    return spark.read.parquet(ensure_ppm_parquet(n))
+
+
+def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash-64 perceptual hash per image — REAL decode (binary PPM,
+    no codec libraries needed), exact integer pipeline; golden is the
+    zero-numpy loop twin (oracle_twins.ppm_phash64). Truncated payloads
+    carry a NULL phash (the error rows)."""
+    from gocrd_spark.operators.multimodal import phash_images
+
+    return phash_images(_ppm_media(spark, sf_dir)).select("id", "phash")
+
+
+def _q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs: banded hamming join over dHash-64
+    (same block-combination banding + bit_count verify as the SimHash
+    text tier — one recall proof, two modalities). Golden is the twin's
+    brute-force all-pairs answer: recall AND precision certified."""
+    from gocrd_spark.operators.multimodal import phash_near_dups
+
+    return phash_near_dups(_ppm_media(spark, sf_dir), max_hamming=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1451,6 +1480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
         "video_frame_sample": _q_frame_sample,
+        # --- new this round: perceptual (pixel-tier) image dedup ---
+        "image_phash": _q_image_phash,
+        "phash_near_dups": _q_phash_near_dups,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2537,6 +2569,8 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fingerprints": _ops_golden(
             "winnowing_fingerprints", "doc_id, n_fingerprints, min_fingerprint"
         ),
+        "image_phash": _ops_golden("image_phash", "id, phash"),
+        "phash_near_dups": _ops_golden("phash_near_dups", "id_a, id_b, hamming"),
         "bpe_merges": _ops_golden("bpe_merges", "rank, left_sym, right_sym"),
         "bpe_vocab": _ops_golden("bpe_vocab", "token_id, token"),
         "compression_stats": _ops_golden(

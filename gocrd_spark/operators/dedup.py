@@ -808,11 +808,13 @@ def simhash_bands(max_hamming: int) -> tuple[list[int], list[int], list[tuple[in
     return widths, offsets, list(combinations(range(m), k))
 
 
-def _banded_signatures(docs: DataFrame, n: int, max_hamming: int) -> DataFrame:
-    """The banded SimHash signature table: one row per (doc, band) with
-    columns (doc_id, simhash, band, key) — the expensive stage
-    (shingle hashing + bit vote) shared by the session path
-    (simhash_near_dups) and the durable path (simhash_signatures)."""
+def band_hash64(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """Band ANY 64-bit hash table (doc_id, simhash) into the
+    block-combination bucket rows (doc_id, simhash, band, key) that
+    :func:`_pairs_from_banded` joins on — the hamming-radius banding is
+    a property of the 64-bit space, not of SimHash: the perceptual
+    image-hash tier (multimodal.phash_near_dups) reuses it unchanged,
+    keeping one recall proof for every hamming-bucketed operator."""
     widths, offsets, combos = simhash_bands(max_hamming)
 
     def band_key(combo: tuple[int, ...]) -> Column:
@@ -824,7 +826,6 @@ def _banded_signatures(docs: DataFrame, n: int, max_hamming: int) -> DataFrame:
             key = F.shiftleft(key, widths[b]).bitwiseOR(block)
         return key
 
-    sig = simhash64(docs, n)
     return sig.select(
         "doc_id",
         "simhash",
@@ -837,6 +838,14 @@ def _banded_signatures(docs: DataFrame, n: int, max_hamming: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
+
+
+def _banded_signatures(docs: DataFrame, n: int, max_hamming: int) -> DataFrame:
+    """The banded SimHash signature table: one row per (doc, band) with
+    columns (doc_id, simhash, band, key) — the expensive stage
+    (shingle hashing + bit vote) shared by the session path
+    (simhash_near_dups) and the durable path (simhash_signatures)."""
+    return band_hash64(simhash64(docs, n), max_hamming)
 
 
 def _pairs_from_banded(

@@ -2029,6 +2029,126 @@ class TestMultimodal:
         assert len(rows) == 1
 
 
+class TestPerceptualHash:
+    def test_ppm_decode_roundtrip_and_errors(self):
+        import numpy as np
+
+        from gocrd_spark.operators.multimodal import (
+            decode_image,
+            decode_ppm,
+            encode_ppm,
+        )
+
+        img = np.arange(11 * 7 * 3, dtype=np.uint8).reshape(7, 11, 3)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+        # header comments + multi-whitespace are legal P6
+        wonky = b"P6\n# a comment\n 11\t7\n# again\n255\n" + img.tobytes()
+        assert (decode_ppm(wonky) == img).all()
+        # decode_image routes P6 to the REAL decoder (no fake needed)
+        assert (decode_image(encode_ppm(img)) == img).all()
+        with pytest.raises(ValueError, match="truncated"):
+            decode_ppm(encode_ppm(img)[:-5])
+        with pytest.raises(ValueError, match="P6"):
+            decode_ppm(b"P5\n1 1\n255\n\x00")
+        with pytest.raises(ValueError, match="maxval"):
+            decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+    def test_phash_gradient_invariance(self):
+        import numpy as np
+
+        from gocrd_spark.operators.multimodal import phash64, synth_ppm_media_pdf, decode_ppm
+
+        pdf = synth_ppm_media_pdf(8)
+        img = decode_ppm(bytes(pdf.payload[0]))
+        # identical image -> identical hash
+        assert phash64(img) == phash64(img.copy())
+        # uniform brightness shift -> hamming 0 (dHash compares adjacent
+        # means, so a constant offset cancels; keep pixels off the 255
+        # clamp so the shift IS uniform post-luma)
+        dim = (img // 2).astype(np.uint8)
+        bright = dim + 20
+        a, b = phash64(dim), phash64(bright)
+        assert bin((a ^ b) & ((1 << 64) - 1)).count("1") == 0
+
+    def test_phash_twin_parity_on_odd_sizes(self):
+        """Kernel (numpy) vs golden twin (pure loops) on dimensions NOT
+        divisible by 8 — the block-boundary arithmetic must agree."""
+        import sys as _sys
+
+        import numpy as np
+
+        _sys.path.insert(0, "tools")
+        import oracle_twins as tw
+
+        from gocrd_spark.operators.multimodal import (
+            _sha_stream,
+            encode_ppm,
+            decode_ppm,
+            phash64,
+        )
+
+        for w, h in [(8, 8), (11, 7), (16, 16), (13, 29), (9, 64)]:
+            raw = _sha_stream(f"odd:{w}x{h}", w * h * 3)
+            img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+            payload = encode_ppm(img)
+            assert phash64(decode_ppm(payload)) == tw.ppm_phash64(payload), (w, h)
+
+    def test_phash_near_dups_matches_bruteforce(self, spark):
+        """Banded operator == twin's exact all-pairs answer (recall by
+        pigeonhole, precision by the bit_count filter), error rows carry
+        NULL phash with exact int64 values elsewhere — the batch HAS a
+        None (id 36), so this also pins the nullable-Int64 regression:
+        a float64-coerced column would zero the low ~11 bits of every
+        hash and shift hammings by +-1."""
+        import sys as _sys
+
+        _sys.path.insert(0, "tools")
+        import oracle_twins as tw
+
+        from gocrd_spark.operators.multimodal import (
+            phash_images,
+            phash_near_dups,
+            synth_ppm_media_pdf,
+        )
+
+        pdf = synth_ppm_media_pdf(60)
+        media = spark.createDataFrame(
+            pdf, schema="id long, kind string, payload binary"
+        )
+        rows_ = [(int(r.id), bytes(r.payload)) for r in pdf.itertuples(index=False)]
+
+        got_h = {r.id: r.phash for r in phash_images(media).collect()}
+        want_h = dict(tw.image_phashes(rows_))
+        assert got_h == want_h  # exact, including None for id 36
+        assert got_h[36] is None
+
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in phash_near_dups(media, max_hamming=6).collect()
+        )
+        assert got == tw.phash_near_dups_exact(rows_, max_hamming=6)
+        assert got, "planted near-dups must be found"
+        # negative control: the fresh image in group 0 (id 3) pairs with nobody
+        assert not any(3 in (a, b) for a, b, _ in got)
+
+    def test_phash_near_dups_bucket_valve(self, spark):
+        """max_bucket drops degenerate buckets before the self-join:
+        with N identical flat images and max_bucket < N every band
+        bucket overflows, so no pairs survive; with the valve off the
+        clique comes back."""
+        import numpy as np
+
+        from gocrd_spark.operators.multimodal import encode_ppm, phash_near_dups
+
+        flat = encode_ppm(np.full((16, 16, 3), 128, dtype=np.uint8))
+        media = spark.createDataFrame(
+            [(i, "image", bytearray(flat)) for i in range(12)],
+            schema="id long, kind string, payload binary",
+        )
+        assert phash_near_dups(media, max_hamming=3, max_bucket=5).count() == 0
+        assert phash_near_dups(media, max_hamming=3, max_bucket=None).count() == 66
+
+
 class TestFrontierWaves:
     def test_per_host_cap_and_malformed(self, spark):
         """9 urls on one host at per_host=4 -> waves 0,0,0,0,1,1,1,1,2;

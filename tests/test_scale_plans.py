@@ -106,6 +106,21 @@ class TestPhysicalPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_phash_band_join_is_equi(self, spark):
+        """The perceptual image tier inherits the SimHash banding plan:
+        equi-join on (band, key), never a pixel/hash cross join."""
+        from gocrd_spark.operators.multimodal import (
+            phash_near_dups,
+            synth_ppm_media_pdf,
+        )
+
+        media = spark.createDataFrame(
+            synth_ppm_media_pdf(20), schema="id long, kind string, payload binary"
+        )
+        plan = _plan(phash_near_dups(media, max_hamming=6))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestSimhashBanding:
     def test_pigeonhole_recall_guarantee(self):

@@ -255,6 +255,21 @@ def build_operator_tables(
                 (i, "\n".join(b["text"] for b in expected), len(expected), None)
             )
 
+    # perceptual-hash goldens: input table shared with the query
+    # (multimodal.synth_ppm_media_pdf — the datagen, not the operator);
+    # expected hashes/pairs from the zero-numpy loop twins
+    from gocrd_spark.operators import multimodal as _mm
+
+    n_media = max(int(sf * 10_000), 10)
+    ppm_rows = [
+        (int(r.id), bytes(r.payload))
+        for r in _mm.synth_ppm_media_pdf(n_media).itertuples(index=False)
+    ]
+    phashes = tw.image_phashes(ppm_rows)
+    ph_pairs = tw.phash_near_dups_exact(ppm_rows, max_hamming=6)
+    if not ph_pairs:
+        raise RuntimeError("phash golden degenerate: no planted pairs found")
+
     emb = tw.load_embeddings(os.path.join(testdata_dir(sf), "embeddings.parquet"))
     qids = [0, 1, 2, 3, 4]
     nd = tw.embedding_near_dups_lsh(emb, threshold=0.42)
@@ -321,6 +336,13 @@ def build_operator_tables(
         "winnowing_fingerprints": _t(
             winnow, ["doc_id", "n_fingerprints", "min_fingerprint"]
         ),
+        "image_phash": pa.table(
+            {
+                "id": pa.array([r[0] for r in phashes], i64),
+                "phash": pa.array([r[1] for r in phashes], i64),
+            }
+        ),
+        "phash_near_dups": _t(ph_pairs, ["id_a", "id_b", "hamming"]),
         "embedding_near_dups": _t(nd, ["id_a", "id_b", "cos_e6"]),
         "ann_topk_lsh": _t(lsh, ["query_id", "neighbor_id", "rank"]),
         "ann_topk_ivf": _t(ivf, ["query_id", "neighbor_id", "rank"]),

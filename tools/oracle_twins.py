@@ -553,3 +553,99 @@ def compression_stats(docs: list[tuple[int, str]], level: int = 6):
         )
         for doc_id, text in docs
     ]
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hash (PPM + dHash-64) — zero-numpy, loop-based
+# ---------------------------------------------------------------------------
+
+def _ppm_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Independent binary-PPM (P6) parse: (width, height, raster) or
+    None on any malformation — byte-scanning loops, no numpy, no import
+    of the operator module's decoder."""
+    if payload[:2] != b"P6":
+        return None
+    i, vals = 2, []
+    n = len(payload)
+    while len(vals) < 3:
+        while i < n and payload[i] in b" \t\r\n\x0b\x0c":
+            i += 1
+        if i < n and payload[i] == ord("#"):
+            while i < n and payload[i] != ord("\n"):
+                i += 1
+            continue
+        j = i
+        while j < n and ord("0") <= payload[j] <= ord("9"):
+            j += 1
+        if j == i:
+            return None
+        vals.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        return None
+    if i >= n or payload[i] not in b" \t\r\n\x0b\x0c":
+        return None
+    i += 1
+    raster = payload[i : i + w * h * 3]
+    if len(raster) < w * h * 3:
+        return None
+    return w, h, raster
+
+
+def ppm_phash64(payload: bytes) -> int | None:
+    """Twin of multimodal.phash64 over a PPM payload: integer luma,
+    8x8 floor-mean blocks, row-gradient dHash with wraparound. Pure
+    Python accumulation (the operator vectorizes with numpy); all
+    arithmetic is exact integers, so the two agree bit-for-bit.
+    Returns a SIGNED int64, None when the payload fails to decode."""
+    parsed = _ppm_pixels(payload)
+    if parsed is None:
+        return None
+    w, h, raster = parsed
+    gray = [
+        (299 * raster[3 * p] + 587 * raster[3 * p + 1] + 114 * raster[3 * p + 2])
+        // 1000
+        for p in range(w * h)
+    ]
+    rb = [r * h // 8 for r in range(9)]
+    cb = [c * w // 8 for c in range(9)]
+    means = [[0] * 8 for _ in range(8)]
+    for r in range(8):
+        for c in range(8):
+            s = cnt = 0
+            for y in range(rb[r], max(rb[r + 1], rb[r] + 1)):
+                for x in range(cb[c], max(cb[c + 1], cb[c] + 1)):
+                    s += gray[y * w + x]
+                    cnt += 1
+            means[r][c] = s // cnt
+    val = 0
+    for r in range(8):
+        for c in range(8):
+            if means[r][(c + 1) % 8] > means[r][c]:
+                val |= 1 << (r * 8 + c)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def image_phashes(media: list[tuple[int, bytes]]) -> list[tuple[int, int | None]]:
+    """(id, phash-or-None) per media row, id-sorted."""
+    return sorted((mid, ppm_phash64(payload)) for mid, payload in media)
+
+
+def phash_near_dups_exact(
+    media: list[tuple[int, bytes]], max_hamming: int = 6
+) -> list[tuple[int, int, int]]:
+    """Brute-force all-pairs hamming over the decodable images — the
+    EXACT answer the banded operator must reproduce in full (banding
+    recall is guaranteed by pigeonhole; the exact filter guarantees
+    precision). Returns sorted (id_a, id_b, hamming <= max_hamming)."""
+    hashes = [(mid, ph) for mid, ph in image_phashes(media) if ph is not None]
+    out = []
+    for i in range(len(hashes)):
+        ida, pa_ = hashes[i]
+        for j in range(i + 1, len(hashes)):
+            idb, pb = hashes[j]
+            ham = bin((pa_ ^ pb) & _MASK).count("1")
+            if ham <= max_hamming:
+                out.append((min(ida, idb), max(ida, idb), ham))
+    return sorted(out)
