@@ -1269,3 +1269,85 @@ def dsir_select(
         .limit(k)
         .select("doc_id", "n_ngrams", "dsir_score_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier inference (fastText/DCLM-style quality filter)
+# ---------------------------------------------------------------------------
+
+def hashed_features(
+    docs: DataFrame, n_features: int = 1 << 20, bigrams: bool = True
+) -> DataFrame:
+    """Hashed bag-of-words features, one row per token occurrence:
+    (doc_id, feature_id) with feature_id = first-8-hex-chars of
+    md5(token) mod ``n_features`` — the hashing-trick feature map every
+    linear text classifier at corpus scale uses (weights fit a fixed
+    table regardless of vocabulary). md5 rather than xxhash64 so ANY
+    engine reproduces the ids from the spec alone. Features are
+    lowercase whitespace unigrams plus adjacent bigrams (standard
+    fastText feature set). Narrow map + explode — no shuffle here."""
+    toks = _tokens(_norm_ws(F.col("text")))
+    docs_t = docs.select("doc_id", toks.alias("_toks"))
+    t = F.col("_toks")
+    feats = t
+    if bigrams:
+        big = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(t, big)
+    fid = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_features),
+    )
+    return docs_t.select("doc_id", F.explode(feats).alias("_f")).select(
+        "doc_id", fid.alias("feature_id")
+    )
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_features: int = 1 << 20,
+    bigrams: bool = True,
+    bias_e6: int = 0,
+) -> DataFrame:
+    """Linear text-classifier INFERENCE over the corpus — the
+    model-based quality-filter stage (fastText/DCLM shape): the trained
+    model arrives as DATA (``weights``: feature_id long, weight_e6
+    long — fixed-point so the decision is exact integer arithmetic) and
+    broadcasts to every executor; the corpus never shuffles.
+
+    score_e6 = sum of weight_e6 over feature OCCURRENCES (bag-of-words
+    with multiplicity) + bias_e6; keep = score_e6 >= 0. Docs with no
+    tokens score the bare bias. Plan shape at 100 TB: explode +
+    broadcast-hash-join + partial aggregation all fuse into the scan
+    stage — the only Exchange carries one partial (doc_id, sum) row
+    per doc per partition, never token rows.
+
+    Returns (doc_id, n_features, score_e6, keep).
+    """
+    feats = hashed_features(docs, n_features, bigrams)
+    scored = (
+        feats.join(F.broadcast(weights), "feature_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce("weight_e6", F.lit(0))).alias("_s"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_features"),
+            (F.coalesce("_s", F.lit(0)) + F.lit(bias_e6))
+            .cast("long")
+            .alias("score_e6"),
+        )
+        .withColumn("keep", (F.col("score_e6") >= 0).cast("long"))
+    )

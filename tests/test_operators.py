@@ -2029,6 +2029,62 @@ class TestMultimodal:
         assert len(rows) == 1
 
 
+class TestClassifierScore:
+    def test_hand_computed_inference(self, spark):
+        """Tiny corpus with an explicit weight table: 'a b' yields
+        features {a, b, 'a b'}; weights chosen so signs and sums are
+        checkable by hand; empty doc scores the bare bias; a feature
+        absent from the weight table contributes 0."""
+        import hashlib
+
+        from gocrd_spark.operators.textstats import classifier_score
+
+        D = 1 << 20
+
+        def fid(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % D
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, "c c")], "doc_id long, text string"
+        )
+        # weight 'a'=+5, 'b'=-2, bigram 'a b'=+1; 'c' and 'c c' NOT in table
+        weights = spark.createDataFrame(
+            [(fid("a"), 5), (fid("b"), -2), (fid("a b"), 1)],
+            "feature_id long, weight_e6 long",
+        )
+        got = {
+            r.doc_id: (r.n_features, r.score_e6, r.keep)
+            for r in classifier_score(docs, weights, bias_e6=-1).collect()
+        }
+        assert got[1] == (3, 5 - 2 + 1 - 1, 1)  # 3 occurrences, score 3
+        assert got[2] == (0, -1, 0)  # empty doc: bias only
+        assert got[3] == (3, -1, 0)  # c, c, 'c c' all unweighted
+
+    def test_occurrence_multiplicity(self, spark):
+        """Bag-of-words WITH multiplicity: 'x x x' counts 'x' three
+        times and 'x x' twice."""
+        import hashlib
+
+        from gocrd_spark.operators.textstats import classifier_score
+
+        D = 1 << 20
+        fid = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % D
+        docs = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
+        weights = spark.createDataFrame(
+            [(fid("x"), 10), (fid("x x"), 100)], "feature_id long, weight_e6 long"
+        )
+        r = classifier_score(docs, weights).collect()[0]
+        assert (r.n_features, r.score_e6) == (5, 3 * 10 + 2 * 100)
+
+    def test_weights_join_is_broadcast(self, spark):
+        from gocrd_spark.operators.textstats import classifier_score
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        weights = spark.createDataFrame([(0, 1)], "feature_id long, weight_e6 long")
+        plan = classifier_score(docs, weights)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
 class TestPerceptualHash:
     def test_ppm_decode_roundtrip_and_errors(self):
         import numpy as np
