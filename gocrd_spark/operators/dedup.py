@@ -681,6 +681,47 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def quality_survivors(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """Quality-aware survivor selection: :func:`dedup_clusters` keeps
+    the MIN-doc_id member of every near-dup cluster, which throws away
+    quality information — the curation-grade policy (the keep rule
+    RefinedWeb/FineWeb-class pipelines apply) retains the
+    HIGHEST-quality member of each cluster instead, so dedup never
+    deletes the best copy of a page.
+
+    ``clusters``: (doc_id, canonical_id) membership (dedup_clusters
+    output). ``quality``: (doc_id, quality_e6 long) — integer-exact so
+    the survivor decision is deterministic across engines. Survivor =
+    max quality_e6, tie -> min doc_id; every membership row is labeled.
+
+    Plan shape at 100 TB: the membership->quality join and the
+    per-cluster arg-max shuffle only (long, long, long) triples, never
+    payloads. The arg-max is max(struct(quality, -doc_id)) — it
+    SortAggregates (Spark structs always do) but the PARTIAL aggregate
+    still combines map-side, so one struct row per cluster per
+    partition crosses the Exchange; the tiny survivor table then joins
+    back on canonical_id. No window over cluster members anywhere.
+
+    Returns (doc_id, canonical_id, quality_e6, keep BIGINT 0/1).
+    """
+    m = clusters.select("doc_id", "canonical_id").join(
+        quality.select("doc_id", "quality_e6"), "doc_id"
+    )
+    surv = m.groupBy("canonical_id").agg(
+        F.max(
+            F.struct(
+                F.col("quality_e6").alias("_q"), (-F.col("doc_id")).alias("_nd")
+            )
+        ).alias("_w")
+    ).select("canonical_id", (-F.col("_w")["_nd"]).alias("_survivor_id"))
+    return m.join(surv, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "quality_e6",
+        (F.col("doc_id") == F.col("_survivor_id")).cast("long").alias("keep"),
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmarks: DataFrame,

@@ -2029,6 +2029,69 @@ class TestMultimodal:
         assert len(rows) == 1
 
 
+class TestQualitySurvivors:
+    def test_highest_quality_wins_ties_to_min_doc(self, spark):
+        """Cluster {1,2,3}: doc 2 has the best quality -> sole keeper.
+        Cluster {10,11} ties -> min doc_id (10) keeps. Singleton 20
+        keeps itself."""
+        from gocrd_spark.operators.dedup import quality_survivors
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+            "doc_id long, canonical_id long",
+        )
+        quality = spark.createDataFrame(
+            [(1, 50), (2, 90), (3, 90 - 1), (10, 70), (11, 70), (20, 5)],
+            "doc_id long, quality_e6 long",
+        )
+        got = {
+            r.doc_id: r.keep
+            for r in quality_survivors(clusters, quality).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 0, 10: 1, 11: 0, 20: 1}
+
+    def test_one_survivor_per_cluster_always(self, spark):
+        """Invariant on a generated membership: exactly one keep=1 row
+        per canonical_id regardless of quality distribution."""
+        from gocrd_spark.operators.dedup import quality_survivors
+
+        rows = [(i, i % 17) for i in range(200)]
+        clusters = spark.createDataFrame(rows, "doc_id long, canonical_id long")
+        quality = spark.createDataFrame(
+            [(i, (i * 37) % 11) for i in range(200)],
+            "doc_id long, quality_e6 long",
+        )
+        out = quality_survivors(clusters, quality)
+        per = (
+            out.groupBy("canonical_id")
+            .agg(F.sum("keep").alias("s"))
+            .collect()
+        )
+        assert all(r.s == 1 for r in per)
+        assert out.count() == 200
+
+    def test_plan_partial_agg_no_window(self, spark):
+        """Scale shape: struct-max arg-max partial-aggregates before
+        the Exchange (map-side combine) and no Window over cluster
+        members appears anywhere."""
+        from gocrd_spark.operators.dedup import quality_survivors
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1)], "doc_id long, canonical_id long"
+        )
+        quality = spark.createDataFrame(
+            [(1, 5), (2, 9)], "doc_id long, quality_e6 long"
+        )
+        plan = (
+            quality_survivors(clusters, quality)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "partial_max(struct" in plan
+        assert "Window" not in plan
+
+
 class TestClassifierScore:
     def test_hand_computed_inference(self, spark):
         """Tiny corpus with an explicit weight table: 'a b' yields
