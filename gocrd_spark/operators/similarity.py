@@ -396,6 +396,73 @@ def topk_ivf(
     return _rank_topk(scored, k)
 
 
+def semdedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication at O(N²/k) instead of O(N²) — the k-means quantizer
+    partitions the corpus into ``n_cells`` cells, EXACT cosine pairs
+    are computed only WITHIN a cell, and each within-cell duplicate
+    group keeps one member (min vec_id, the same canonical rule the
+    text dedup family uses; pair quality info can be layered on with
+    :func:`gocrd_spark.operators.dedup.quality_survivors`).
+
+    Contrast with :func:`embedding_near_dups_lsh` + clusters: LSH is
+    recall-probabilistic across the whole corpus; SemDeDup is EXACT
+    within a cell and misses only cross-cell pairs — the trade the
+    paper makes deliberately (semantic dups land in the same cell
+    because the cells ARE semantic).
+
+    Plan shape at 100 TB: centroids are data (broadcast, plan size
+    O(1) in k); the within-cell self-join shuffles vectors by cell
+    once — that is the algorithm's N²/k regime, and per-cell work is
+    held constant by scaling n_cells with N (the paper runs k≈0.1%·N).
+    Components run on (long, long) pairs only. Cosines are rounded to
+    6dp fixed-point so keep decisions are engine-exact.
+
+    Returns (vec_id, cell, canonical_id, keep BIGINT 0/1).
+    """
+    from gocrd_spark.operators.dedup import connected_components
+
+    cent = kmeans_centroids_df(embeddings, n_cells, n_iters)
+    cells = assign_cells(embeddings, cent)
+    e = embeddings.select("vec_id", "embedding").join(cells, "vec_id")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cell"
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cell"
+    )
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(cos * 1_000_000).cast("long").alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= int(round(threshold * 1_000_000)))
+    )
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        cells.join(
+            comp.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("canonical_id", F.col("vec_id")).alias("canonical_id"),
+        )
+        .withColumn(
+            "keep", (F.col("vec_id") == F.col("canonical_id")).cast("long")
+        )
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid of embeddings — a grouped array aggregation
     (posexplode + groupBy position), demonstrating vector aggregation

@@ -2292,6 +2292,64 @@ class TestFrontierWaves:
         assert max(c.values()) <= 4
 
 
+class TestSemDedup:
+    def test_duplicates_collapse_distinct_survive(self, spark):
+        """Three exact copies of one vector plus far-away distinct
+        vectors: copies land in one cell (identical -> identical
+        nearest centroid), form one component, keep only min id."""
+        from gocrd_spark.operators.similarity import semdedup
+
+        dup = [1.0, 0.0, 0.0, 0.0]
+        others = [[0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        rows = [(0, dup), (1, dup), (2, dup)] + [
+            (10 + i, v) for i, v in enumerate(others)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = {
+            r.vec_id: (r.canonical_id, r.keep)
+            for r in semdedup(emb, n_cells=4, n_iters=1, threshold=0.99).collect()
+        }
+        assert out[0] == (0, 1) and out[1] == (0, 0) and out[2] == (0, 0)
+        for i in range(3):
+            assert out[10 + i] == (10 + i, 1)
+
+    def test_cluster_invariants_on_fixture(self, emb):
+        """Every vector labeled once; exactly one keep per canonical;
+        canonical sits in the SAME cell as every member (pairs are
+        within-cell by construction)."""
+        from gocrd_spark.operators.similarity import semdedup
+
+        rows = semdedup(emb, n_cells=8, n_iters=2, threshold=0.42).collect()
+        assert len(rows) == emb.count()
+        cell_of = {r.vec_id: r.cell for r in rows}
+        per_canon: dict = {}
+        for r in rows:
+            per_canon.setdefault(r.canonical_id, []).append(r)
+            assert cell_of[r.canonical_id] == r.cell
+        for canon, members in per_canon.items():
+            assert sum(m.keep for m in members) == 1
+            assert min(m.vec_id for m in members) == canon
+
+    def test_no_corpus_cartesian(self, spark):
+        """The only cross product is the broadcast centroid assignment;
+        the pair join is keyed on cell — no non-broadcast cartesian."""
+        from gocrd_spark.operators.similarity import semdedup
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(6)],
+            "vec_id long, embedding array<float>",
+        )
+        plan = (
+            semdedup(emb, n_cells=2, n_iters=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+
+
 class TestQuantizeEmbeddings:
     def test_roundtrip_error_and_plan(self, spark):
         """Dequantization error bounded by scale/2 per element; q in

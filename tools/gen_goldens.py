@@ -275,6 +275,7 @@ def build_operator_tables(
     nd = tw.embedding_near_dups_lsh(emb, threshold=0.42)
     lsh = tw.topk_lsh(emb, qids, k=10)
     ivf = tw.topk_ivf(emb, qids, k=10, n_cells=64, n_probe=16)
+    sem = tw.semdedup_keep(emb, n_cells=16, n_iters=2, threshold=0.42)
 
     i64 = pa.int64()
 
@@ -346,6 +347,7 @@ def build_operator_tables(
         "embedding_near_dups": _t(nd, ["id_a", "id_b", "cos_e6"]),
         "ann_topk_lsh": _t(lsh, ["query_id", "neighbor_id", "rank"]),
         "ann_topk_ivf": _t(ivf, ["query_id", "neighbor_id", "rank"]),
+        "semdedup": _t(sem, ["vec_id", "cell", "canonical_id", "keep"]),
     }
 
 

@@ -407,6 +407,50 @@ def topk_ivf(
     return _rank_topk(scored, k)
 
 
+def semdedup_keep(
+    emb: dict[int, list[float]],
+    n_cells: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.42,
+) -> list[tuple[int, int, int, int]]:
+    """Twin of similarity.semdedup: k-means cells (rounded-mean Lloyd
+    twin), EXACT within-cell cosine pairs at 6dp fixed point,
+    union-find components (vs the engine's min-label propagation),
+    min-id canonical. Returns sorted (vec_id, cell, canonical_id,
+    keep)."""
+    cent = _kmeans_centroids(emb, n_cells, n_iters)
+    assign: dict[int, int] = {
+        vid: min(cent, key=lambda c: (_dist2(v, cent[c]), c))
+        for vid, v in emb.items()
+    }
+    cells: dict[int, list[int]] = {}
+    for vid in sorted(assign):
+        cells.setdefault(assign[vid], []).append(vid)
+    parent = {vid: vid for vid in emb}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    thr = int(round(threshold * 1_000_000))
+    for members in cells.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cos6 = spark_round(cosine(emb[a], emb[b]), 6)
+                if int(spark_round(cos6 * 1_000_000, 0)) >= thr:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        if ra < rb:
+                            parent[rb] = ra
+                        else:
+                            parent[ra] = rb
+    return sorted(
+        (vid, assign[vid], find(vid), int(find(vid) == vid)) for vid in emb
+    )
+
+
 def load_embeddings(path: str) -> dict[int, list[float]]:
     """vec_id -> vector as exact doubles (float32 -> double is exact)."""
     import pyarrow.parquet as pq
