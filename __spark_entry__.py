@@ -1530,6 +1530,23 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(_emb(spark, sf_dir), n_cells=16, n_iters=2, threshold=0.42)
 
 
+def _q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-banded) benchmark decontamination: same benchmark
+    subset as contamination_flags (doc_id % 50 == 0), same certified
+    banding as the corpus near-dup queries (recall at j >= 0.12 is
+    pinned by ngram_jaccard_pairs), so the oracle is simply the EXACT
+    corpus-vs-benchmark Jaccard answer."""
+    from gocrd_spark.operators.dedup import fuzzy_contamination
+
+    docs = _docs(spark, sf_dir)
+    benchmarks = docs.filter(F.col("doc_id") % 50 == 0)
+    return fuzzy_contamination(
+        docs, benchmarks, n=3, num_hashes=_MH_NUM_HASHES, bands=_mh_bands(),
+        threshold=0.12,
+        allow_quadratic=True,  # oracle corpus: recall-certified 1-row bands
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1547,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_quality": _q_classifier_quality,
         "dedup_survivors": _q_dedup_survivors,
         "semdedup": _q_semdedup,
+        "fuzzy_contamination": _q_fuzzy_contamination,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2457,6 +2475,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.canonical_id, d.doc_id) AS canonical_id,
                    CAST(coalesce(c.canonical_id, d.doc_id) = d.doc_id AS BIGINT) AS keep
             FROM documents d LEFT JOIN canon c USING (doc_id)
+        """,
+        # fuzzy decontamination: EXACT corpus-vs-benchmark Jaccard over
+        # the same shingle definition — the banded path must find every
+        # pair at j >= 0.12 (banding recall certified by
+        # ngram_jaccard_pairs on this corpus)
+        "fuzzy_contamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 3
+                       THEN list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE [array_to_string(t, ' ')] END) AS shingles
+              FROM toks),
+            ex AS (
+              SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+            bex AS (
+              SELECT doc_id AS benchmark_id, n_sh AS nb, shingle
+              FROM ex WHERE doc_id % 50 = 0),
+            inter AS (
+              SELECT a.doc_id, b.benchmark_id, a.n_sh AS na, b.nb AS nb,
+                     count(*) AS n_inter
+              FROM ex a JOIN bex b USING (shingle)
+              WHERE a.doc_id <> b.benchmark_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT doc_id, benchmark_id,
+                   CAST(round(round(n_inter::DOUBLE / (na + nb - n_inter), 6) * 1000000) AS BIGINT) AS jaccard_e6
+            FROM inter
+            WHERE round(n_inter::DOUBLE / (na + nb - n_inter), 6) >= 0.12
         """,
         # quality-aware survivor selection: exact pairs + recursive-CTE
         # components + SQL-recomputed quality + two-step arg-max (max

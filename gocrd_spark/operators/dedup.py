@@ -750,6 +750,86 @@ def contamination_flags(
     )
 
 
+def fuzzy_contamination(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: near-duplicate matches between
+    the corpus and a SMALL benchmark/eval set at shingle-Jaccard >=
+    ``threshold`` — catches paraphrased/reformatted test-set leakage
+    that the exact 13-gram rule (:func:`contamination_flags`) misses
+    once whitespace, casing, or punctuation drifted.
+
+    Scale story — the reason this is NOT ``minhash_lsh`` over the
+    union: eval suites are thousands-to-100k docs, so the benchmark
+    side's banded bucket table and hashed shingle sets both BROADCAST.
+    The corpus computes signatures and band keys map-side and probes
+    the broadcast bucket table in the scan stage; only the surviving
+    (doc_id, benchmark_id) candidate pairs — bounded by actual
+    contamination, not corpus size — are shuffled (one distinct on two
+    longs) and verified with exact xxhash64-shingle Jaccard. The
+    corpus text never shuffles, in either pass.
+
+    Banding recall follows the minhash_candidates math (``1-(1-j^r)^b``
+    — certify with choose_bands); ``allow_quadratic`` gates 1-row
+    bands exactly as there. Identity rows (a benchmark doc sitting in
+    the corpus under the same id) are excluded to mirror
+    contamination_flags; verbatim leakage under a DIFFERENT doc_id
+    still surfaces at jaccard_e6 = 1000000.
+
+    Returns (doc_id, benchmark_id, jaccard_e6 BIGINT).
+    """
+    _guard_banding(num_hashes, bands, allow_quadratic)
+    bench_bands = _minhash_banded(benchmarks, n, num_hashes, bands).select(
+        F.col("doc_id").alias("benchmark_id"), "band", "bucket"
+    )
+    cand = (
+        _minhash_banded(docs, n, num_hashes, bands)
+        .join(F.broadcast(bench_bands), ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("benchmark_id"))
+        .select("doc_id", "benchmark_id")
+        .distinct()
+    )
+
+    def _hashed_sh(d: DataFrame) -> DataFrame:
+        return shingle_docs(d, n).select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+
+    corp = _hashed_sh(docs).join(F.broadcast(cand), "doc_id")
+    bench = _hashed_sh(benchmarks).select(
+        F.col("doc_id").alias("benchmark_id"), F.col("sh").alias("sh_b")
+    )
+    j = (
+        corp.join(F.broadcast(bench), "benchmark_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh", "sh_b")))
+        .withColumn(
+            "_j",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.size("sh") + F.size("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+    return (
+        j.filter(F.col("_j") >= threshold)
+        .select(
+            "doc_id",
+            "benchmark_id",
+            F.round(F.col("_j") * 1_000_000).cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
 def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     """Intra-document repetition (Gopher-style quality rule): the
     fraction of word n-grams that are repeats of an earlier n-gram in

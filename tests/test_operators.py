@@ -2029,6 +2029,73 @@ class TestMultimodal:
         assert len(rows) == 1
 
 
+class TestFuzzyContamination:
+    def test_planted_leak_found_clean_docs_not(self, spark):
+        """Doc 7 is a lightly-reworded copy of benchmark 100 (high
+        shingle overlap); doc 8 shares nothing. Identity rows excluded
+        even when the benchmark doc itself is in the corpus."""
+        from gocrd_spark.operators.dedup import fuzzy_contamination
+
+        bench_text = "the quick brown fox jumps over the lazy dog again and again"
+        leaked = "the quick brown fox jumps over the lazy dog again and again extra"
+        docs = spark.createDataFrame(
+            [(7, leaked), (8, "completely unrelated words about spark engines"),
+             (100, bench_text)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, bench_text)], "doc_id long, text string"
+        )
+        rows = fuzzy_contamination(
+            docs, bench, n=3, num_hashes=32, bands=32, threshold=0.5,
+            allow_quadratic=True,
+        ).collect()
+        assert [(r.doc_id, r.benchmark_id) for r in rows] == [(7, 100)]
+        assert rows[0].jaccard_e6 >= 500_000
+
+    def test_verbatim_leak_under_new_id(self, spark):
+        """The same benchmark text re-ingested under a different doc_id
+        is flagged at jaccard_e6 = 1000000."""
+        from gocrd_spark.operators.dedup import fuzzy_contamination
+
+        t = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame([(1, t)], "doc_id long, text string")
+        bench = spark.createDataFrame([(2, t)], "doc_id long, text string")
+        rows = fuzzy_contamination(
+            docs, bench, num_hashes=32, bands=32, threshold=0.5,
+            allow_quadratic=True,
+        ).collect()
+        assert [(r.doc_id, r.benchmark_id, r.jaccard_e6) for r in rows] == [
+            (1, 2, 1_000_000)
+        ]
+
+    def test_corpus_never_shuffles_text(self, spark):
+        """Both benchmark tables and the candidate set broadcast; the
+        only Exchange in the plan is the candidate distinct on (long,
+        long) — no corpus-side text/shingle shuffle, no sort-merge
+        join."""
+        from gocrd_spark.operators.dedup import fuzzy_contamination
+
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} words words words") for i in range(20)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "doc number 3 words words words")],
+            "doc_id long, text string",
+        )
+        plan = (
+            fuzzy_contamination(
+                docs, bench, num_hashes=32, bands=32, allow_quadratic=True
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 3
+
+
 class TestQualitySurvivors:
     def test_highest_quality_wins_ties_to_min_doc(self, spark):
         """Cluster {1,2,3}: doc 2 has the best quality -> sole keeper.
