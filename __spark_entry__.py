@@ -1547,6 +1547,16 @@ def _q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM scoring under the corpus's own add-1-smoothed bigram
+    model — the conditioning tier of the CCNet perplexity filter. The
+    oracle re-derives the full LM (bigram counts, context counts,
+    vocab) and the once-rounded fixed-point ln in SQL."""
+    from gocrd_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir), k=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1565,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "semdedup": _q_semdedup,
         "fuzzy_contamination": _q_fuzzy_contamination,
+        "bigram_logprob": _q_bigram_logprob,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2062,6 +2073,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # full bigram LM re-derived in SQL: counts, context counts,
+        # vocab, add-1 smoothing, one rounded ln per distinct bigram
+        "bigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+              FROM toks WHERE len(t) >= 2),
+            cnt AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram),
+            ctx AS (SELECT string_split(bigram, ' ')[1] AS lft, sum(c_ab) AS c_a
+                    FROM cnt GROUP BY 1),
+            v AS (SELECT count(DISTINCT u)::DOUBLE AS vocab
+                  FROM (SELECT unnest(t) AS u FROM toks)),
+            lm AS (SELECT bigram,
+                          CAST(round(round(ln((c_ab + 1)::DOUBLE /
+                               (c_a + (SELECT vocab FROM v))), 6) * 1000000) AS BIGINT) AS lnp_e6
+                   FROM cnt JOIN ctx ON string_split(cnt.bigram, ' ')[1] = ctx.lft),
+            dc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+            SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+                   sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
+            FROM dc JOIN lm USING (bigram) GROUP BY doc_id
         """,
         # formula-derived sitemap rows — the Spark side regexp-parses
         # the actual robots bytes

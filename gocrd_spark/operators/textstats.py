@@ -1157,6 +1157,73 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame, k: int = 1) -> DataFrame:
+    """Order-2 LM perplexity proxy — the conditioning tier above
+    :func:`unigram_logprob`, one step toward the KenLM 5-gram filter
+    CCNet runs: each document's summed log P(w_i | w_{i-1}) under the
+    corpus's own add-``k``-smoothed bigram LM, P(b|a) = (c(ab) + k) /
+    (c(a·) + k·V) with c(a·) the bigram-context count and V the
+    unigram vocabulary size.
+
+    Same exactness regime as the unigram operator: ln() is rounded to
+    6dp and fixed-pointed to BIGINT ONCE per distinct bigram, so the
+    per-doc sums are exact integer arithmetic in every engine; callers
+    derive the mean as sum_logprob_e6 / n_bigrams. All aggregations
+    are map-side-combinable (bigram-, context-, and doc-keyed); V
+    rides a broadcast singleton, never a driver collect.
+
+    Returns (doc_id, n_bigrams, sum_logprob_e6) for every document
+    with at least one bigram (>= 2 tokens).
+    """
+    toks = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("_t"))
+    t = F.col("_t")
+    bigr = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toks.select("doc_id", F.explode(bigr).alias("bigram"))
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    left = F.split(F.col("bigram"), " ", 2).getItem(0)
+    ctx = cnt.groupBy(left.alias("_lft")).agg(F.sum("c_ab").alias("c_a"))
+    vocab = (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
+        .agg(F.countDistinct("term").cast("double").alias("v"))
+    )
+    lm = (
+        cnt.withColumn("_lft", left)
+        .join(ctx, "_lft")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.round(
+                F.round(
+                    F.log(
+                        (F.col("c_ab") + F.lit(k))
+                        / (F.col("c_a") + F.lit(k) * F.col("v"))
+                    ),
+                    6,
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lnp_e6"),
+        )
+    )
+    dc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lnp_e6")).cast("long").alias("sum_logprob_e6"),
+        )
+    )
+
+
 def _hashed_ngram_buckets(col: Column, buckets: int) -> Column:
     """Hashed bag-of-ngrams features (DSIR, Xie et al. 2023): lowercase
     whitespace unigrams + space-joined bigrams, each hashed into

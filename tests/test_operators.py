@@ -2029,6 +2029,73 @@ class TestMultimodal:
         assert len(rows) == 1
 
 
+class TestBigramLogprob:
+    def test_matches_independent_python_lm(self, spark):
+        """Tiny corpus, LM re-derived in plain Python (math.log +
+        HALF_UP rounding): counts, contexts, vocab, add-1 smoothing,
+        per-doc occurrence-weighted sums. One-token doc excluded."""
+        import math
+        from decimal import Decimal, ROUND_HALF_UP
+
+        from gocrd_spark.operators.textstats import bigram_logprob
+
+        corpus = {1: "a b a b c", 2: "a b", 3: "c a a", 4: "x"}
+        docs = spark.createDataFrame(
+            list(corpus.items()), "doc_id long, text string"
+        )
+
+        def r6e6(x: float) -> int:
+            d = Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            return int(
+                (d * 1_000_000).to_integral_value(rounding=ROUND_HALF_UP)
+            )
+
+        cnt: dict = {}
+        docbg: dict = {}
+        vocab = set()
+        for did, text in corpus.items():
+            t = text.split()
+            vocab.update(t)
+            for a, b in zip(t, t[1:]):
+                bg = f"{a} {b}"
+                cnt[bg] = cnt.get(bg, 0) + 1
+                docbg.setdefault(did, []).append(bg)
+        ctx: dict = {}
+        for bg, c in cnt.items():
+            ctx[bg.split()[0]] = ctx.get(bg.split()[0], 0) + c
+        lnp = {
+            bg: r6e6(math.log((c + 1) / (ctx[bg.split()[0]] + len(vocab))))
+            for bg, c in cnt.items()
+        }
+        expected = {
+            did: (len(bgs), sum(lnp[b] for b in bgs))
+            for did, bgs in docbg.items()
+        }
+        got = {
+            r.doc_id: (r.n_bigrams, r.sum_logprob_e6)
+            for r in bigram_logprob(docs, k=1).collect()
+        }
+        assert got == expected
+        assert 4 not in got
+
+    def test_rare_bigrams_score_lower(self, spark):
+        """A doc of corpus-frequent bigrams outscores a doc of one-off
+        bigrams (per-bigram mean)."""
+        from gocrd_spark.operators.textstats import bigram_logprob
+
+        common = "the cat sat"
+        docs = spark.createDataFrame(
+            [(i, common) for i in range(9)]
+            + [(100, "zyx wvu tsr qpo nml")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.sum_logprob_e6 / r.n_bigrams
+            for r in bigram_logprob(docs).collect()
+        }
+        assert got[0] > got[100]
+
+
 class TestFuzzyContamination:
     def test_planted_leak_found_clean_docs_not(self, spark):
         """Doc 7 is a lightly-reworded copy of benchmark 100 (high
