@@ -1557,6 +1557,13 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_docs(spark, sf_dir), k=1)
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary Jaccard matrix, all unordered pairs."""
+    from gocrd_spark.operators.textstats import source_overlap
+
+    return source_overlap(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1576,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "fuzzy_contamination": _q_fuzzy_contamination,
         "bigram_logprob": _q_bigram_logprob,
+        "source_overlap": _q_source_overlap,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2073,6 +2081,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        "source_overlap": """
+            WITH vocab AS (
+              SELECT DISTINCT source,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+              FROM documents),
+            sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+            shared AS (
+              SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+              FROM vocab a JOIN vocab b USING (term)
+              WHERE a.source < b.source
+              GROUP BY 1, 2)
+            SELECT sa.source AS source_a, sb.source AS source_b,
+                   sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+                   coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+                   CAST(round(round(coalesce(sh.n_shared, 0)::DOUBLE /
+                        (sa.n + sb.n - coalesce(sh.n_shared, 0)), 6) * 1000000) AS BIGINT) AS jaccard_e6
+            FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+            LEFT JOIN shared sh ON sh.source_a = sa.source AND sh.source_b = sb.source
         """,
         # full bigram LM re-derived in SQL: counts, context counts,
         # vocab, add-1 smoothing, one rounded ln per distinct bigram

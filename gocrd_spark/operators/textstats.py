@@ -1157,6 +1157,63 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """Cross-source vocabulary overlap matrix — the corpus-curation
+    diagnostic for "are two sources the same crawl in disguise?"
+    (mixture design and contamination triage both start here). Jaccard
+    over each source's DISTINCT lowercase token vocabulary, one row
+    per unordered source pair including zero-overlap pairs.
+
+    Scale shape: the (source, term) distinct table is vocabulary-sized,
+    not corpus-sized (the distinct's partial agg absorbs repeats
+    map-side before the one term shuffle); the self-join key is the
+    term, and a term matches at most n_sources rows per side, so pair
+    rows are bounded by vocab × n_sources², never corpus size. The
+    per-source size table is n_sources rows — broadcast everywhere,
+    and the all-pairs frame it seeds is n_sources²/2 rows.
+
+    Returns (source_a, source_b, n_a, n_b, n_shared, jaccard_e6),
+    source_a < source_b.
+    """
+    vocab = docs.select(
+        "source", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        vocab.select(F.col("source").alias("source_a"), "term")
+        .join(vocab.select(F.col("source").alias("source_b"), "term"), "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    all_pairs = (
+        F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    j = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        6,
+    )
+    return (
+        all_pairs.join(shared, ["source_a", "source_b"], "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(j * 1_000_000).cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
 def bigram_logprob(docs: DataFrame, k: int = 1) -> DataFrame:
     """Order-2 LM perplexity proxy — the conditioning tier above
     :func:`unigram_logprob`, one step toward the KenLM 5-gram filter

@@ -2029,6 +2029,31 @@ class TestMultimodal:
         assert len(rows) == 1
 
 
+class TestSourceOverlap:
+    def test_hand_computed_matrix(self, spark):
+        """Three sources with known vocab overlap, including a
+        zero-overlap pair (emitted with jaccard 0)."""
+        from gocrd_spark.operators.textstats import source_overlap
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c", "s1"),
+                (2, "b c d", "s1"),   # s1 vocab {a,b,c,d}
+                (3, "c d e", "s2"),   # s2 vocab {c,d,e}
+                (4, "x y", "s3"),     # s3 vocab {x,y} — disjoint
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            (r.source_a, r.source_b): (r.n_a, r.n_b, r.n_shared, r.jaccard_e6)
+            for r in source_overlap(docs).collect()
+        }
+        assert got[("s1", "s2")] == (4, 3, 2, 400_000)  # {c,d}/{a..e}
+        assert got[("s1", "s3")] == (4, 2, 0, 0)
+        assert got[("s2", "s3")] == (3, 2, 0, 0)
+        assert len(got) == 3
+
+
 class TestBigramLogprob:
     def test_matches_independent_python_lm(self, spark):
         """Tiny corpus, LM re-derived in plain Python (math.log +
