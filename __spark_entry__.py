@@ -1564,6 +1564,35 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(_docs(spark, sf_dir))
 
 
+def _q_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl planning over a messy formula-derived frontier
+    (the url_dedup variant corpus plus a malformed sliver): canonical
+    dedup -> blocklist cut -> politeness waves, every input row
+    labeled with its disposition. Oracle replays the whole chain in
+    SQL: regexp canonicalization + window dedup, suffix-arithmetic
+    blocklist, host-window wave assignment."""
+    from gocrd_spark.operators.compose import crawl_plan
+
+    d = F.col("doc_id")
+    g = F.floor(d / 4)
+    v = d % 4
+    host = F.concat(F.lit("www.example-"), (g % 7).cast("string"), F.lit(".com"))
+    gs = g.cast("string")
+    url = (
+        F.when(d % 13 == 5, F.concat(F.lit("not a url "), d.cast("string")))
+        .when(v == 0, F.concat(F.lit("HTTP://"), F.upper(host), F.lit(":80/d/"), gs, F.lit("/page?b=2&a=1#frag")))
+        .when(v == 1, F.concat(F.lit("https://"), host, F.lit(":443/d/"), gs, F.lit("/page?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("http://"), host, F.lit("/d/"), gs, F.lit("/page?a=1&b=2")))
+        .otherwise(F.concat(F.lit("http://"), host, F.lit("/d/"), gs, F.lit("/other")))
+    )
+    urls = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), d.alias("warc_ts")
+    )
+    return crawl_plan(
+        urls, ["example-2.com", "example-5.com"], per_host=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1584,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_contamination": _q_fuzzy_contamination,
         "bigram_logprob": _q_bigram_logprob,
         "source_overlap": _q_source_overlap,
+        "crawl_plan": _q_crawl_plan,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2081,6 +2111,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # crawl-plan chain replayed end-to-end in SQL: regexp
+        # canonicalization + window dedup (url_dedup oracle), parent-
+        # domain arithmetic blocklist (g%7 in {2,5}), host-window wave
+        # assignment; malformed sliver gated by the generating formula
+        "crawl_plan": """
+            WITH base AS (
+              SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+                     'www.example-' || ((doc_id // 4) % 7) || '.com' AS host
+              FROM documents),
+            urls AS (
+              SELECT doc_id, g, doc_id AS warc_ts,
+                     doc_id % 13 = 5 AS malformed,
+                     CASE WHEN doc_id % 13 = 5 THEN 'not a url ' || doc_id
+                          ELSE CASE v
+                            WHEN 0 THEN 'HTTP://' || upper(host) || ':80/d/' || g || '/page?b=2&a=1#frag'
+                            WHEN 1 THEN 'https://' || host || ':443/d/' || g || '/page?a=1&b=2'
+                            WHEN 2 THEN 'http://' || host || '/d/' || g || '/page?a=1&b=2'
+                            ELSE 'http://' || host || '/d/' || g || '/other'
+                          END
+                     END AS url
+              FROM base),
+            parts AS (
+              SELECT doc_id, g, warc_ts, url, malformed,
+                     lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+                     regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
+                     regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM urls),
+            parts2 AS (
+              SELECT doc_id, g, warc_ts, url, malformed, scheme, path, query,
+                     lower(regexp_replace(auth, ':[0-9]+$', '')) AS host_l,
+                     regexp_extract(auth, ':([0-9]+)$', 1) AS port
+              FROM parts),
+            canon AS (
+              SELECT doc_id, g, warc_ts, url, malformed, host_l,
+                     CASE WHEN malformed THEN NULL ELSE
+                       scheme || '://' || host_l
+                       || CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                                AND NOT (scheme = 'https' AND port = '443')
+                               THEN ':' || port ELSE '' END
+                       || CASE WHEN path = '' THEN '/' ELSE path END
+                       || CASE WHEN query <> ''
+                               THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+                               ELSE '' END
+                     END AS canonical_url
+              FROM parts2),
+            ranked AS (
+              SELECT *,
+                     CASE WHEN malformed THEN 1 ELSE
+                       row_number() OVER (PARTITION BY canonical_url
+                                          ORDER BY warc_ts DESC, doc_id ASC)
+                     END AS rn
+              FROM canon),
+            labeled AS (
+              SELECT doc_id, g, url, malformed, host_l,
+                     rn = 1 AS keep,
+                     (NOT malformed) AND rn = 1 AND (g % 7) IN (2, 5) AS blocked
+              FROM ranked),
+            fetchable AS (
+              SELECT doc_id, url, host_l,
+                     row_number() OVER (PARTITION BY host_l ORDER BY doc_id) AS hr
+              FROM labeled
+              WHERE keep AND NOT malformed AND NOT blocked)
+            SELECT l.doc_id, l.url,
+                   CASE WHEN l.malformed THEN 'malformed'
+                        WHEN NOT l.keep THEN 'duplicate'
+                        WHEN l.blocked THEN 'blocked'
+                        ELSE 'fetch' END AS disposition,
+                   CASE WHEN f.hr IS NOT NULL THEN ((f.hr - 1) // 4) END::BIGINT AS wave
+            FROM labeled l LEFT JOIN fetchable f USING (doc_id)
         """,
         "source_overlap": """
             WITH vocab AS (

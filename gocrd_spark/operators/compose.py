@@ -25,6 +25,69 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def crawl_plan(
+    urls: DataFrame,
+    blocked_hosts: list[str],
+    per_host: int = 4,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """The crawl-side counterpart of :func:`training_corpus`: turn a
+    raw, messy fetch frontier into an executable crawl plan by chaining
+    the individually-oracle-checked URL operators —
+
+    1. canonical-URL dedup   (urls.url_dedup: one fetch per page
+                              identity, latest capture wins)
+    2. domain blocklist cut  (urls.url_blocklist_filter: spam/adult
+                              domains and their subdomains)
+    3. politeness scheduling (urls.frontier_waves: bounded per-host
+                              concurrency per wave)
+
+    Every input row gets a disposition: ``malformed`` (unparseable URL
+    — route to error handling), ``duplicate`` (a fresher capture of
+    the same canonical URL exists), ``blocked`` (host on the list), or
+    ``fetch`` with its politeness ``wave``. Scale shape is inherited
+    stage-wise (struct-max dedup, broadcast blocklist, per-host
+    window); the chain adds only narrow filters and a final union.
+
+    Returns (id, url, disposition VARCHAR, wave BIGINT — NULL unless
+    disposition = 'fetch').
+    """
+    from gocrd_spark.operators.urls import (
+        frontier_waves,
+        url_blocklist_filter,
+        url_dedup,
+    )
+
+    none_wave = F.lit(None).cast("long").alias("wave")
+    deduped = url_dedup(urls, id_col=id_col, url_col=url_col, ts_col=ts_col)
+    malformed = deduped.filter(F.col("canonical_url").isNull()).select(
+        id_col, url_col, F.lit("malformed").alias("disposition"), none_wave
+    )
+    dups = deduped.filter(
+        F.col("canonical_url").isNotNull() & (F.col("keep") == 0)
+    ).select(id_col, url_col, F.lit("duplicate").alias("disposition"), none_wave)
+    survivors = deduped.filter(
+        F.col("canonical_url").isNotNull() & (F.col("keep") == 1)
+    ).select(id_col, url_col)
+    labeled = url_blocklist_filter(
+        survivors, blocked_hosts, id_col=id_col, url_col=url_col
+    )
+    blocked = labeled.filter(F.col("blocked") == 1).select(
+        id_col, url_col, F.lit("blocked").alias("disposition"), none_wave
+    )
+    fetch = frontier_waves(
+        labeled.filter(F.col("blocked") == 0).select(id_col, url_col),
+        per_host=per_host,
+        id_col=id_col,
+        url_col=url_col,
+    ).select(id_col, url_col, F.lit("fetch").alias("disposition"), "wave")
+    return (
+        malformed.unionByName(dups).unionByName(blocked).unionByName(fetch)
+    )
+
+
 def training_corpus(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,

@@ -166,3 +166,45 @@ class TestCorpusJobCli:
         assert files
         row = json.loads(gzip.open(files[0], "rt").readline())
         assert {"doc_id", "source", "text", "n_tokens"} <= set(row)
+
+
+class TestCrawlPlan:
+    def test_dispositions_partition_the_frontier(self, spark):
+        """crawl_plan labels EVERY input row with exactly one
+        disposition, and each stage's semantics survive the chain:
+        duplicates lose to a fresher capture of the same canonical
+        URL, blocked hosts (and subdomains) never reach a wave, and
+        no host exceeds per_host slots in any wave."""
+        from gocrd_spark.operators.compose import crawl_plan
+
+        rows = [
+            # three captures of one page identity (differing scheme
+            # case / default port / query order); ts=3 wins
+            (1, "HTTP://WWW.A.COM:80/p?b=2&a=1#f", 1),
+            (2, "http://www.a.com/p?a=1&b=2", 3),
+            (3, "http://www.a.com/p?a=1&b=2", 2),
+            # blocked host and a subdomain of it
+            (4, "http://evil.com/x", 1),
+            (5, "http://ads.evil.com/y", 1),
+            # a busy host: 5 urls at per_host=2 -> waves 0,0,1,1,2
+            (6, "http://big.com/1", 1),
+            (7, "http://big.com/2", 1),
+            (8, "http://big.com/3", 1),
+            (9, "http://big.com/4", 1),
+            (10, "http://big.com/5", 1),
+            # malformed
+            (11, "not a url", 1),
+        ]
+        urls = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+        out = crawl_plan(urls, ["evil.com"], per_host=2)
+        got = {r.doc_id: (r.disposition, r.wave) for r in out.collect()}
+
+        assert len(got) == len(rows)  # total relabeling, no loss/dup
+        assert got[2] == ("fetch", 0)
+        assert got[1][0] == "duplicate" and got[3][0] == "duplicate"
+        assert got[4][0] == "blocked" and got[5][0] == "blocked"
+        assert got[11] == ("malformed", None)
+        big = sorted(got[d][1] for d in range(6, 11))
+        assert big == [0, 0, 1, 1, 2]
+        # non-fetch rows never carry a wave
+        assert all(w is None for d, (disp, w) in got.items() if disp != "fetch")
