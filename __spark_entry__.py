@@ -1593,6 +1593,39 @@ def _q_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tiers per language: sample-derived cost
+    cutoffs (deterministic multiplicative hash), broadcast compare —
+    the full corpus never sorts. Oracle replays the unigram LM, the
+    fixed-point cost, the sample, and the cutoff rule in SQL."""
+    from gocrd_spark.operators.textstats import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
+def _q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction tier over the pages table: title /
+    description / rel=canonical / robots meta / og:title / html@lang via
+    the page_meta Arrow batch kernel. Oracle: spec-derived golden
+    parquet (datagen template metadata, tools/gen_goldens.py emit_meta —
+    the kernel never runs on the golden side)."""
+    from gocrd_spark.pipeline import page_metadata
+
+    return page_metadata(_pages(spark, sf_dir))
+
+
+def _q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical dedup chained on the metadata tier: every page
+    labeled (url, target, keep) where target is its declared canonical
+    page (or itself) and the winner is the self-canonical capture, else
+    latest. Oracle replays the window rule over the spec-derived
+    metadata golden."""
+    from gocrd_spark.operators.urls import canonical_dedup
+    from gocrd_spark.pipeline import page_metadata
+
+    return canonical_dedup(page_metadata(_pages(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1614,6 +1647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "source_overlap": _q_source_overlap,
         "crawl_plan": _q_crawl_plan,
+        "page_metadata": _q_page_metadata,
+        "canonical_dedup": _q_canonical_dedup,
+        "perplexity_buckets": _q_perplexity_buckets,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -1862,8 +1898,33 @@ def oracle_sql() -> dict[str, str]:
     def _golden(name: str, cols: str) -> str:
         return f"SELECT {cols} FROM read_parquet('{_tools_import().golden_path(name)}')"
 
+    meta_golden = _tools_import().golden_path("page_metadata")
     return {
         "extract_text": _golden("extract_text", "url, text, error"),
+        "page_metadata": _golden(
+            "page_metadata",
+            "url, warc_ts_epoch, title, description, canonical_url, "
+            "og_title, lang_attr, robots, noindex, nofollow, error",
+        ),
+        # window replay of canonical_dedup's struct-min winner rule over
+        # the spec-derived metadata golden (self-canonical first, then
+        # latest capture, lowest url) — deterministic total order, so
+        # row_number == the operator's map-side-combinable struct min
+        "canonical_dedup": f"""
+            WITH t AS (
+              SELECT url, coalesce(canonical_url, url) AS target, warc_ts_epoch
+              FROM read_parquet('{meta_golden}')),
+            r AS (
+              SELECT url, target,
+                     row_number() OVER (
+                       PARTITION BY target
+                       ORDER BY CASE WHEN url = target THEN 0 ELSE 1 END,
+                                warc_ts_epoch DESC, url) AS rn
+              FROM t)
+            SELECT url, target,
+                   (CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM r
+        """,
         "extract_spans": _golden(
             "extract_spans",
             "url, region_id, ro_index, byte_start, byte_end, char_start, char_end",
@@ -2111,6 +2172,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # CCNet bucket twin: unigram-LM cost (same fixed-point ladder as
+        # unigram_logprob), multiplicative-hash sample, per-lang cutoff
+        # ranks ceil(j*m/3) over the sample, value-threshold labeling —
+        # all-integer after the one rounded ln(), so the compare is exact
+        "perplexity_buckets": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+            tot AS (SELECT sum(tf)::DOUBLE AS t FROM tf),
+            lm AS (SELECT term,
+                          CAST(round(round(ln(tf / (SELECT t FROM tot)), 6) * 1000000) AS BIGINT) AS lnp_e6
+                   FROM tf),
+            dc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term),
+            sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                          sum(c * lnp_e6)::BIGINT AS s_e6
+                   FROM dc JOIN lm USING (term) GROUP BY doc_id),
+            base AS (
+              SELECT sc.doc_id, d.lang, n_tokens,
+                     ((-s_e6) * 1000) // n_tokens AS cost_e9
+              FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+            samp AS (
+              SELECT * FROM base
+              WHERE (doc_id * 2654435761) % 4294967296 < 2147483648),
+            ranked AS (
+              SELECT lang, cost_e9,
+                     row_number() OVER (PARTITION BY lang ORDER BY cost_e9, doc_id) AS r
+              FROM samp),
+            sizes AS (SELECT lang, count(*) AS m FROM samp GROUP BY lang),
+            cuts AS (
+              SELECT rk.lang,
+                     max(CASE WHEN rk.r = (1*s.m + 2) // 3 THEN rk.cost_e9 END) AS c1,
+                     max(CASE WHEN rk.r = (2*s.m + 2) // 3 THEN rk.cost_e9 END) AS c2
+              FROM ranked rk JOIN sizes s ON rk.lang = s.lang
+              GROUP BY rk.lang)
+            SELECT b.doc_id, b.lang, b.n_tokens, b.cost_e9,
+                   CASE WHEN c.c1 IS NULL THEN 'unsampled'
+                        WHEN b.cost_e9 <= c.c1 THEN 'head'
+                        WHEN b.cost_e9 <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS tier
+            FROM base b LEFT JOIN cuts c ON b.lang = c.lang
         """,
         # crawl-plan chain replayed end-to-end in SQL: regexp
         # canonicalization + window dedup (url_dedup oracle), parent-

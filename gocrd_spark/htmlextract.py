@@ -168,3 +168,114 @@ def extract_html(
         return assemble(blocks())
     except Exception as exc:
         return {"text": None, "spans": None, "error": stable_error(exc)}
+
+
+# ---------------------------------------------------------------------------
+# page metadata (head extraction tier)
+# ---------------------------------------------------------------------------
+
+class _MetaParser(HTMLParser):
+    """First-wins head-metadata collector: html@lang, <title> text,
+    meta[name=description], meta[name=robots] (raw directive string),
+    link[rel~=canonical]/@href, meta[property=og:title]. Tolerant of
+    malformed HTML the same way _MainContentParser is; non-HTML payloads
+    (PAGE-XML, METS, garbage) simply collect nothing."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.lang: Optional[str] = None
+        self.title: Optional[str] = None
+        self.description: Optional[str] = None
+        self.robots: Optional[str] = None
+        self.canonical: Optional[str] = None
+        self.og_title: Optional[str] = None
+        self._title_chars: Optional[list[str]] = None
+        self._title_done = False
+        self._html_seen = False
+
+    @staticmethod
+    def _first_attrs(attrs) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in out and v is not None:
+                out[k] = v
+        return out
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "html" and not self._html_seen:
+            self._html_seen = True
+            lang = self._first_attrs(attrs).get("lang", "").strip()
+            self.lang = lang or None
+        elif tag == "title" and not self._title_done:
+            self._title_chars = []
+        elif tag == "meta":
+            a = self._first_attrs(attrs)
+            content = a.get("content")
+            if content is None:
+                return
+            name = a.get("name", "").lower()
+            prop = a.get("property", "").lower()
+            if name == "description" and self.description is None:
+                self.description = _normalize(content) or None
+            elif name == "robots" and self.robots is None:
+                self.robots = content
+            elif prop == "og:title" and self.og_title is None:
+                self.og_title = _normalize(content) or None
+        elif tag == "link" and self.canonical is None:
+            a = self._first_attrs(attrs)
+            if "canonical" in a.get("rel", "").lower().split():
+                href = a.get("href", "").strip()
+                if href:
+                    self.canonical = href
+
+    def handle_data(self, data: str) -> None:
+        if self._title_chars is not None and not self._title_done:
+            self._title_chars.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title" and self._title_chars is not None and not self._title_done:
+            self._title_done = True  # first <title> element wins, even if empty
+            self.title = _normalize("".join(self._title_chars)) or None
+            self._title_chars = None
+
+
+def robots_meta_flags(raw: Optional[str]) -> tuple[int, int]:
+    """(noindex, nofollow) from a robots meta directive string: tokens
+    are comma-separated, case-insensitive; ``none`` implies both
+    (Google/Bing robots-meta semantics)."""
+    toks = [t.strip().lower() for t in raw.split(",")] if raw else []
+    noindex = int("noindex" in toks or "none" in toks)
+    nofollow = int("nofollow" in toks or "none" in toks)
+    return noindex, nofollow
+
+
+def page_meta(data: bytes) -> dict[str, Any]:
+    """bytes -> head metadata dict: {title, description, canonical_url,
+    og_title, lang_attr, robots, noindex 0/1, nofollow 0/1, error}.
+    Non-HTML payloads yield all-null metadata with error=None — metadata
+    absence is data, not failure."""
+    try:
+        from .charset import decode_bytes
+
+        raw, _enc, _src = decode_bytes(data)
+        p = _MetaParser()
+        p.feed(raw)
+        p.close()
+        noindex, nofollow = robots_meta_flags(p.robots)
+        return {
+            "title": p.title,
+            "description": p.description,
+            "canonical_url": p.canonical,
+            "og_title": p.og_title,
+            "lang_attr": p.lang,
+            "robots": p.robots,
+            "noindex": noindex,
+            "nofollow": nofollow,
+            "error": None,
+        }
+    except Exception as exc:
+        return {
+            "title": None, "description": None, "canonical_url": None,
+            "og_title": None, "lang_attr": None, "robots": None,
+            "noindex": 0, "nofollow": 0, "error": stable_error(exc),
+        }

@@ -133,6 +133,47 @@ def mets_kernel_factory(use: str = "", file_id: str = "", mimetype: str = ""):
     return kernel
 
 
+PAGE_META_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts_epoch", LongType()),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("canonical_url", StringType()),
+        StructField("og_title", StringType()),
+        StructField("lang_attr", StringType()),
+        StructField("robots", StringType()),
+        StructField("noindex", LongType()),
+        StructField("nofollow", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+_PAGE_META_FIELDS = (
+    "title", "description", "canonical_url", "og_title",
+    "lang_attr", "robots", "noindex", "nofollow", "error",
+)
+
+
+def page_meta_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(url, warc_ts_epoch, html) -> head metadata per page
+    (htmlextract.page_meta). Narrow map, no shuffle: metadata extraction
+    shares extraction's scan so at crawl scale it rides the same
+    partitioning; payload bytes never leave the task."""
+    from .htmlextract import page_meta
+
+    for pdf in batches:
+        out: dict[str, list] = {"url": [], "warc_ts_epoch": []}
+        out.update({k: [] for k in _PAGE_META_FIELDS})
+        for url, ts, html in zip(pdf["url"], pdf["warc_ts_epoch"], pdf["html"]):
+            meta = page_meta(bytes(html) if html is not None else b"")
+            out["url"].append(url)
+            out["warc_ts_epoch"].append(None if pd.isna(ts) else int(ts))
+            for k in _PAGE_META_FIELDS:
+                out[k].append(meta[k])
+        yield pd.DataFrame(out)
+
+
 def salted_partition_key(salt: int = 42):
     """Deterministic salted url-hash key (SURVEY.md §4.3): defeats
     host/domain-level input skew; keyed on (url, salt) so partition

@@ -1475,3 +1475,85 @@ def classifier_score(
         )
         .withColumn("keep", (F.col("score_e6") >= 0).cast("long"))
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    sample_permille: int = 500,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning (Wenzek et al.
+    2020): rank documents by per-token LM cost under the corpus's own
+    unigram LM (unigram_logprob) and split each language into
+    ``n_buckets`` tiers — ``head`` (most fluent) feeds training first,
+    ``tail`` is the boilerplate/garbage candidate pool.
+
+    Scale shape — the CCNet trick, not a corpus-wide sort: bucket
+    CUTOFFS come from a deterministic multiplicative-hash sample
+    (``(doc_id * 2654435761) % 2^32 < permille-threshold`` — engine-
+    reproducible, no RNG), ranked per language (a window over the
+    SAMPLE only); every document is then labeled by a broadcast
+    compare against its language's cutoffs. The full corpus never
+    sorts and never windows — at 100 TB the only per-language sort
+    touches the sample sliver, and label assignment is a narrow map
+    behind a broadcast join.
+
+    Exactness: per-token cost is fixed-point BIGINT —
+    ``((-sum_logprob_e6) * 1000) div n_tokens`` with every operand
+    positive (floor == truncate in both engines). Tie policy is
+    value-based: all documents sharing a boundary cost land in the
+    same tier (no positional ntile nondeterminism). Cutoff j is the
+    ceil(j*m/n_buckets)-th smallest sampled cost. A language absent
+    from the sample labels as ``unsampled``.
+
+    Returns (doc_id, lang, n_tokens, cost_e9, tier VARCHAR) for every
+    document with at least one token.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(docs)
+    base = docs.select("doc_id", "lang").join(scored, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("((-sum_logprob_e6) * 1000) div n_tokens").alias("cost_e9"),
+    )
+    thr = (4294967296 * sample_permille) // 1000
+    samp = base.filter((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(thr))
+    w = Window.partitionBy("lang").orderBy("cost_e9", "doc_id")
+    ranked = samp.select("lang", "cost_e9", F.row_number().over(w).alias("r"))
+    sizes = samp.groupBy("lang").agg(F.count(F.lit(1)).alias("m"))
+    # cutoff ranks k_j = ceil(j*m/n_buckets), j = 1..n_buckets-1
+    ks = sizes.select(
+        "lang",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(f"({j} * m + {n_buckets - 1}) div {n_buckets}").alias("k"),
+                )
+                for j in range(1, n_buckets)
+            ])
+        ).alias("jk"),
+    ).select("lang", F.col("jk.j").alias("j"), F.col("jk.k").alias("k"))
+    cuts = (
+        ranked.join(ks, (ranked["lang"] == ks["lang"]) & (ranked["r"] == ks["k"]))
+        .select(ranked["lang"].alias("lang"), "j", "cost_e9")
+        .groupBy("lang")
+        .pivot("j", list(range(1, n_buckets)))
+        .agg(F.first("cost_e9"))
+    )
+    cut_cols = [F.col(str(j)).alias(f"c{j}") for j in range(1, n_buckets)]
+    cuts = cuts.select("lang", *cut_cols)
+    tier = F.when(F.col("c1").isNull(), F.lit("unsampled"))
+    names = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(n_buckets)]
+    )
+    for j in range(1, n_buckets):
+        tier = tier.when(F.col("cost_e9") <= F.col(f"c{j}"), F.lit(names[j - 1]))
+    tier = tier.otherwise(F.lit(names[n_buckets - 1]))
+    return base.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id", "lang", "n_tokens", "cost_e9", tier.alias("tier")
+    )

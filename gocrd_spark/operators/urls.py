@@ -285,3 +285,58 @@ def frontier_waves(
     return waved.unionByName(bad).select(
         F.col("_id").alias(id_col), F.col("_url").alias(url_col), "host", "wave"
     )
+
+
+def canonical_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+    ts_col: str = "warc_ts_epoch",
+) -> DataFrame:
+    """Dedup by the page's OWN rel=canonical declaration (the
+    page_metadata tier's output) — the crawl-dedup tier that catches
+    what URL-string canonicalization cannot: mobile/AMP/print variants
+    and tracking-parameter mirrors that declare their canonical page
+    in-document. Target = coalesce(canonical, url); the winner per
+    target is the SELF-CANONICAL capture if one was crawled (url ==
+    target), else the latest capture, lowest url on ties.
+
+    Scale shape mirrors url_dedup: one groupBy on target whose winner
+    is a map-side-combinable min of a (not_self, -ts, url) struct —
+    the shuffle carries (target, small struct), never page content —
+    then a key join to label every input row. At crawl scale the
+    canonical graph is shallow (pages point at one canonical target,
+    depth 1 by construction), so no iteration is needed — unlike
+    dedup_clusters there is no transitive closure to chase.
+
+    Returns every input row labeled: (url, target, keep BIGINT 0/1).
+    """
+    target = F.coalesce(F.col(canonical_col), F.col(url_col))
+    keyed = df.select(
+        F.col(url_col).alias("_url"),
+        target.alias("target"),
+        F.col(ts_col).alias("_ts"),
+    )
+    winners = (
+        keyed.groupBy("target")
+        .agg(
+            F.min(
+                F.struct(
+                    F.when(F.col("_url") == F.col("target"), 0)
+                    .otherwise(1)
+                    .alias("not_self"),
+                    (-F.coalesce(F.col("_ts"), F.lit(0))).alias("neg_ts"),
+                    F.col("_url").alias("url"),
+                )
+            ).alias("w")
+        )
+        .select("target", F.col("w.url").alias("_win_url"))
+    )
+    return keyed.join(winners, "target", "left").select(
+        F.col("_url").alias(url_col),
+        "target",
+        F.when(F.col("_url") == F.col("_win_url"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )

@@ -164,6 +164,30 @@ def extract_pages(
     return sel.mapInPandas(kernel, EXTRACTED_SCHEMA)
 
 
+def page_metadata(
+    df: DataFrame,
+    salt: int = 42,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Head-metadata extraction tier: (url, warc_ts, html) ->
+    (url, warc_ts_epoch, title, description, canonical_url, og_title,
+    lang_attr, robots, noindex, nofollow, error) via the page_meta
+    Arrow batch kernel (htmlextract._MetaParser). Same plan shape as
+    extract_pages: column-pruned scan -> narrow mapInPandas; optional
+    salted repartition for skewed inputs. Non-HTML payloads (PAGE-XML,
+    METS, garbage) produce all-null metadata rows, not errors — at
+    crawl scale absence of a <title> is data the curation tier filters
+    on, not a failure path."""
+    from .kernel import PAGE_META_SCHEMA, page_meta_kernel, salted_partition_key
+
+    sel = df.select(
+        "url", F.unix_timestamp("warc_ts").alias("warc_ts_epoch"), "html"
+    )
+    if num_partitions:
+        sel = sel.repartition(num_partitions, salted_partition_key(salt))
+    return sel.mapInPandas(page_meta_kernel, PAGE_META_SCHEMA)
+
+
 def mets_files(
     df: DataFrame,
     use: str = "",

@@ -205,3 +205,88 @@ class TestDatagenHtmlRows:
         assert result["error"] is None
         assert len(result["text"]) > 100
         assert "never extracted" not in result["text"]
+
+
+class TestPageMeta:
+    """Head-metadata kernel edge cases beyond what datagen's template
+    exercises (htmlextract.page_meta / _MetaParser)."""
+
+    def test_full_head(self):
+        from gocrd_spark.htmlextract import page_meta
+
+        m = page_meta(
+            b'<html lang="en-GB"><head><title>A &amp; B</title>'
+            b'<meta name="description" content="  d1   d2 ">'
+            b'<meta name="ROBOTS" content="NOINDEX, nofollow">'
+            b'<link rel="Canonical alternate" href=" https://c.test/x ">'
+            b'<meta property="og:title" content="OG"></head><body><p>t</p></body></html>'
+        )
+        assert m["error"] is None
+        assert m["title"] == "A & B"          # charref decoded
+        assert m["description"] == "d1 d2"    # whitespace collapsed
+        assert m["canonical_url"] == "https://c.test/x"  # trimmed, multi-rel
+        assert m["og_title"] == "OG"
+        assert m["lang_attr"] == "en-GB"
+        assert m["robots"] == "NOINDEX, nofollow"
+        assert (m["noindex"], m["nofollow"]) == (1, 1)
+
+    def test_meta_name_robots_case_insensitive_but_value_preserved(self):
+        from gocrd_spark.htmlextract import page_meta, robots_meta_flags
+
+        assert robots_meta_flags("none") == (1, 1)
+        assert robots_meta_flags("noindex") == (1, 0)
+        assert robots_meta_flags("index, follow") == (0, 0)
+        assert robots_meta_flags(None) == (0, 0)
+
+    def test_first_wins(self):
+        from gocrd_spark.htmlextract import page_meta
+
+        m = page_meta(
+            b"<html><head><title>first</title><title>second</title>"
+            b'<meta name="description" content="d1">'
+            b'<meta name="description" content="d2">'
+            b'<link rel="canonical" href="https://a/"><link rel="canonical" href="https://b/">'
+            b"</head></html>"
+        )
+        assert m["title"] == "first"
+        assert m["description"] == "d1"
+        assert m["canonical_url"] == "https://a/"
+
+    def test_non_html_payloads_all_null_no_error(self):
+        from gocrd_spark import datagen
+        from gocrd_spark.htmlextract import page_meta
+
+        for doc_id in (0, 1, 7, 100):  # kant, mets fixture, mets, garbage
+            m = page_meta(datagen.make_row(doc_id)["html"])
+            assert m["error"] is None
+            assert m["title"] is None and m["canonical_url"] is None
+            assert (m["noindex"], m["nofollow"]) == (0, 0)
+        m = page_meta(b"")
+        assert m["error"] is None and m["title"] is None
+
+    def test_meta_without_content_ignored(self):
+        from gocrd_spark.htmlextract import page_meta
+
+        m = page_meta(b'<html><head><meta name="description"></head></html>')
+        assert m["description"] is None
+
+    def test_matches_datagen_spec(self):
+        from gocrd_spark import datagen
+        from gocrd_spark.htmlextract import page_meta, robots_meta_flags
+
+        checked = 0
+        for doc_id in range(3, 500, 10):  # the html rows
+            _row, kind, spec = datagen.make_row_with_spec(doc_id)
+            if kind != "html":
+                continue
+            m = page_meta(_row["html"])
+            s = spec["meta"]
+            assert m["title"] == s["title"]
+            assert m["description"] == s["description"]
+            assert m["canonical_url"] == s["canonical"]
+            assert m["og_title"] == s["og_title"]
+            assert m["lang_attr"] == s["lang_attr"]
+            assert m["robots"] == s["robots"]
+            assert (m["noindex"], m["nofollow"]) == robots_meta_flags(s["robots"])
+            checked += 1
+        assert checked > 30

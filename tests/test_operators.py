@@ -2577,3 +2577,47 @@ class TestMojibakeScore:
         assert got[1].n_mojibake == 3 and got[1].flag_mojibake == 1
         assert got[2].n_replacement == 2 and got[2].flag_mojibake == 1
         assert got[3].n_mojibake == 1
+
+
+class TestPerplexityBuckets:
+    def test_tiers_partition_and_tie_policy(self, spark):
+        """Head/middle/tail cover every tokenized doc per language;
+        value-based tie policy (equal costs share a tier) and the
+        monotone invariant head-cost <= middle-cost <= tail-cost."""
+        from gocrd_spark.operators.textstats import perplexity_buckets
+
+        rows = [
+            (i, ("common words here " * 5) if i % 3 else "zzz rare qqq xxy", ["en", "de"][i % 2], "s", 1)
+            for i in range(40)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = perplexity_buckets(docs, sample_permille=1000).cache()
+        got = {r.doc_id: r for r in out.collect()}
+        assert len(got) == 40  # every tokenized doc labeled
+        for lang in ("en", "de"):
+            tiers = [r.tier for r in got.values() if r.lang == lang]
+            assert set(tiers) <= {"head", "middle", "tail"}
+            # monotone: max head cost <= min tail cost
+            costs = {t: [r.cost_e9 for r in got.values() if r.lang == lang and r.tier == t] for t in set(tiers)}
+            if "head" in costs and "tail" in costs:
+                assert max(costs["head"]) <= min(costs["tail"])
+        # equal-cost docs land in the same tier (value ties, not ntile)
+        by_cost = {}
+        for r in got.values():
+            by_cost.setdefault((r.lang, r.cost_e9), set()).add(r.tier)
+        assert all(len(ts) == 1 for ts in by_cost.values())
+
+    def test_unsampled_language(self, spark):
+        """A language the sample misses entirely labels 'unsampled',
+        never silently head/tail."""
+        from gocrd_spark.operators.textstats import perplexity_buckets
+
+        # permille=0 -> empty sample -> every language unsampled
+        docs = spark.createDataFrame(
+            [(1, "a b c", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = perplexity_buckets(docs, sample_permille=0).collect()
+        assert [r.tier for r in out] == ["unsampled"]

@@ -22,6 +22,7 @@ Usage: python tools/gen_goldens.py [--sf 0.01]
 
 from __future__ import annotations
 
+import datetime
 import os
 import sys
 
@@ -139,6 +140,44 @@ def build_tables(n_docs: int) -> dict[str, pa.Table]:
         "char_start", "char_end")}
     mets_rows = {k: [] for k in (
         "url", "file_id", "mimetype", "flocat_type", "flocat_url")}
+    meta_rows: dict[str, list] = {k: [] for k in (
+        "url", "warc_ts_epoch", "title", "description", "canonical_url",
+        "og_title", "lang_attr", "robots", "noindex", "nofollow", "error")}
+
+    def _robots_flags_spec(raw):
+        """Spec-level robots-meta token rule (comma-separated,
+        case-insensitive, 'none' implies both) — written from the
+        documented rule, independent of htmlextract.robots_meta_flags."""
+        toks = [t.strip().lower() for t in raw.split(",")] if raw else []
+        return (
+            1 if ("noindex" in toks or "none" in toks) else 0,
+            1 if ("nofollow" in toks or "none" in toks) else 0,
+        )
+
+    def emit_meta(url: str, warc_ts, meta) -> None:
+        """page_metadata golden row from the TEMPLATE SPEC: html rows
+        carry the spec's decoded metadata, every other payload kind is
+        all-null with flags 0 (absence is data, not error)."""
+        epoch = int((warc_ts - datetime.datetime(1970, 1, 1)).total_seconds())
+        meta_rows["url"].append(url)
+        meta_rows["warc_ts_epoch"].append(epoch)
+        if meta is None:
+            for k in ("title", "description", "canonical_url", "og_title",
+                      "lang_attr", "robots"):
+                meta_rows[k].append(None)
+            meta_rows["noindex"].append(0)
+            meta_rows["nofollow"].append(0)
+        else:
+            meta_rows["title"].append(meta["title"])
+            meta_rows["description"].append(meta["description"])
+            meta_rows["canonical_url"].append(meta["canonical"])
+            meta_rows["og_title"].append(meta["og_title"])
+            meta_rows["lang_attr"].append(meta["lang_attr"])
+            meta_rows["robots"].append(meta["robots"])
+            ni, nf = _robots_flags_spec(meta["robots"])
+            meta_rows["noindex"].append(ni)
+            meta_rows["nofollow"].append(nf)
+        meta_rows["error"].append(None)
 
     def emit(url: str, text, spans, error) -> None:
         text_rows["url"].append(url)
@@ -155,6 +194,7 @@ def build_tables(n_docs: int) -> dict[str, pa.Table]:
     for i in range(n_docs):
         row, kind, spec = datagen.make_row_with_spec(i)
         url, html = row["url"], row["html"]
+        emit_meta(url, row["warc_ts"], spec["meta"] if kind == "html" else None)
         if kind == "kant":
             text, spans = _expected_fixture_page(html)
             emit(url, text, spans, None)
@@ -210,6 +250,14 @@ def build_tables(n_docs: int) -> dict[str, pa.Table]:
              for k, v in span_rows.items()}
         ),
         "mets_files_alto": pa.table(mets_rows),
+        "page_metadata": pa.table(
+            {k: pa.array(
+                v,
+                type=pa.int64()
+                if k in ("warc_ts_epoch", "noindex", "nofollow")
+                else pa.string(),
+            ) for k, v in meta_rows.items()}
+        ),
     }
 
 
