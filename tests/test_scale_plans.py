@@ -451,3 +451,44 @@ class TestRound5PlanShapes:
         # over all captures anywhere
         assert "partial_max(struct" in plan
         assert "Window" not in plan
+
+
+class TestRound5Plans:
+    def test_page_metadata_is_shuffle_free_narrow_map(self, spark):
+        """The metadata tier must ride the scan's own splits: scan ->
+        project -> MapInPandas, ZERO Exchange — at 100 TB it shares
+        extraction's partitioning and payload bytes never move."""
+        from gocrd_spark import datagen
+        from gocrd_spark.pipeline import page_metadata
+
+        pages = datagen.pages_df(spark, 50)
+        plan = _plan(page_metadata(pages))
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
+
+    def test_canonical_dedup_shuffles_keys_not_content(self, spark):
+        """canonical_dedup's winner agg must partial-aggregate map-side
+        (struct-min combine before the Exchange) and its shuffles carry
+        only (target, struct) — no page/html column ever shuffles."""
+        from gocrd_spark.operators.urls import canonical_dedup
+
+        df = spark.createDataFrame(
+            [("u1", None, 1), ("u2", "u1", 2)],
+            "url string, canonical_url string, warc_ts_epoch long",
+        ).withColumn("html", F.lit(b"payload-bytes-never-shuffle"))
+        plan = _plan(canonical_dedup(df))
+        assert "partial_min" in plan  # map-side combine of the winner struct
+        for block in plan.split("+-"):
+            if "Exchange" in block.splitlines()[0]:
+                assert "html" not in block
+
+    def test_perplexity_buckets_window_only_over_sample(self, docs):
+        """The only window sort is over the SAMPLE (cutoff ranks); the
+        full corpus is labeled via a BROADCAST join against the tiny
+        cutoff table — no corpus-wide sort or window."""
+        from gocrd_spark.operators.textstats import perplexity_buckets
+
+        plan = _plan(perplexity_buckets(docs))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        # exactly one Window (sample ranking) — labeling adds none
+        assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
