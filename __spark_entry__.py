@@ -1593,6 +1593,29 @@ def _q_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate recrawl tiers over a formula-derived multi-snapshot
+    observation history (1 + doc_id%4 snapshots per url; digest flips
+    whenever (snap * doc_id%5) div 3 changes). Oracle replays lag() +
+    the integer rate/tier rule on the same formula."""
+    from gocrd_spark.operators.urls import recrawl_schedule
+
+    d = F.col("doc_id")
+    obs = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .select(d, F.explode(F.sequence(F.lit(1), (d % 4 + 1).cast("int"))).alias("snap_id"))
+        .select(
+            F.concat(F.lit("https://ex.test/"), d.cast("string")).alias("url"),
+            "snap_id",
+            F.concat(
+                F.lit("d"), F.expr("(snap_id * (doc_id % 5)) div 3").cast("string")
+            ).alias("digest"),
+        )
+    )
+    return recrawl_schedule(obs)
+
+
 def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail tiers per language: sample-derived cost
     cutoffs (deterministic multiplicative hash), broadcast compare —
@@ -1650,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": _q_page_metadata,
         "canonical_dedup": _q_canonical_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
+        "recrawl_schedule": _q_recrawl_schedule,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2172,6 +2196,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                    sum(c * lnp_e6)::BIGINT AS sum_logprob_e6
             FROM dc JOIN lm USING (term) GROUP BY doc_id
+        """,
+        # recrawl twin: same observation formula, lag() change detection,
+        # integer permille rate, threshold tiers (fast>=300, slow<=50)
+        "recrawl_schedule": """
+            WITH obs AS (
+              SELECT doc_id, unnest(range(1, 2 + doc_id % 4)) AS snap_id
+              FROM documents),
+            o AS (
+              SELECT 'https://ex.test/' || doc_id AS url, snap_id,
+                     'd' || ((snap_id * (doc_id % 5)) // 3) AS digest
+              FROM obs),
+            lagd AS (
+              SELECT url, digest,
+                     lag(digest) OVER (PARTITION BY url ORDER BY snap_id) AS pd
+              FROM o),
+            agg AS (
+              SELECT url, count(*) AS n_obs,
+                     sum(CASE WHEN pd IS NOT NULL AND digest <> pd THEN 1 ELSE 0 END) AS n_changes
+              FROM lagd GROUP BY url)
+            SELECT url, n_obs::BIGINT AS n_obs, n_changes::BIGINT AS n_changes,
+                   (CASE WHEN n_obs > 1 THEN (1000 * n_changes) // (n_obs - 1) END)::BIGINT AS rate_permille,
+                   CASE WHEN n_obs = 1 THEN 'once'
+                        WHEN (1000 * n_changes) // (n_obs - 1) >= 300 THEN 'fast'
+                        WHEN (1000 * n_changes) // (n_obs - 1) <= 50 THEN 'slow'
+                        ELSE 'medium' END AS tier
+            FROM agg
         """,
         # CCNet bucket twin: unigram-LM cost (same fixed-point ladder as
         # unigram_logprob), multiplicative-hash sample, per-lang cutoff

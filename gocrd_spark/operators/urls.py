@@ -340,3 +340,67 @@ def canonical_dedup(
         .cast("long")
         .alias("keep"),
     )
+
+
+def recrawl_schedule(
+    obs: DataFrame,
+    fast_permille: int = 300,
+    slow_permille: int = 50,
+    url_col: str = "url",
+    snap_col: str = "snap_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Freshness-aware recrawl scheduling from multi-snapshot change
+    history — the policy stage after :func:`snapshot_diff`: a recurring
+    crawl revisits fast-changing pages often and parks static ones, the
+    standard change-rate heuristic (Cho & Garcia-Molina's incremental
+    crawler). Per URL, count content CHANGES across consecutive
+    snapshot observations (digest != previous digest) and tier:
+
+    - ``fast``   — change rate >= fast_permille/1000 of revisits
+    - ``slow``   — change rate <= slow_permille/1000
+    - ``medium`` — between
+    - ``once``   — observed in a single snapshot (no rate yet)
+
+    rate_permille = (1000 * n_changes) div (n_obs - 1): all-integer,
+    engine-exact. Scale shape: ONE url-partitioned window ordered by
+    snap_id — group size is the snapshot count (a small constant at
+    crawl scale, ~monthly snapshots), so no straggler risk — followed
+    by a map-side-combinable groupBy on the same key (the window's
+    shuffle partitioning is reused; digests are small hashes, payloads
+    never enter this operator).
+
+    Returns (url, n_obs, n_changes, rate_permille BIGINT — NULL for
+    'once', tier VARCHAR).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(snap_col)
+    lagged = obs.select(
+        F.col(url_col).alias("url"),
+        F.col(digest_col).alias("_d"),
+        F.lag(F.col(digest_col)).over(w).alias("_pd"),
+    )
+    agg = lagged.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            F.when(
+                F.col("_pd").isNotNull() & (F.col("_d") != F.col("_pd")), 1
+            ).otherwise(0)
+        ).alias("n_changes"),
+    )
+    rate = F.when(
+        F.col("n_obs") > 1,
+        F.expr("(1000 * n_changes) div (n_obs - 1)"),
+    ).cast("long")
+    return agg.select(
+        "url",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        rate.alias("rate_permille"),
+        F.when(F.col("n_obs") == 1, F.lit("once"))
+        .when(rate >= fast_permille, F.lit("fast"))
+        .when(rate <= slow_permille, F.lit("slow"))
+        .otherwise(F.lit("medium"))
+        .alias("tier"),
+    )

@@ -2621,3 +2621,26 @@ class TestPerplexityBuckets:
         )
         out = perplexity_buckets(docs, sample_permille=0).collect()
         assert [r.tier for r in out] == ["unsampled"]
+
+
+class TestRecrawlSchedule:
+    def test_tiers_and_rates(self, spark):
+        from gocrd_spark.operators.urls import recrawl_schedule
+
+        rows = (
+            # u_static: 4 obs, never changes -> rate 0 -> slow
+            [("u_static", s, "same") for s in range(1, 5)]
+            # u_flappy: changes every snapshot -> rate 1000 -> fast
+            + [("u_flappy", s, f"d{s}") for s in range(1, 5)]
+            # u_mid: 1 change over 5 revisits -> 200 permille -> medium
+            + [("u_mid", s, "a" if s < 6 else "b") for s in range(1, 7)]
+            # u_once: single observation
+            + [("u_once", 1, "x")]
+        )
+        obs = spark.createDataFrame(rows, "url string, snap_id long, digest string")
+        got = {r.url: r for r in recrawl_schedule(obs).collect()}
+        assert got["u_static"].tier == "slow" and got["u_static"].rate_permille == 0
+        assert got["u_flappy"].tier == "fast" and got["u_flappy"].rate_permille == 1000
+        assert got["u_mid"].tier == "medium" and got["u_mid"].rate_permille == 200
+        assert got["u_once"].tier == "once" and got["u_once"].rate_permille is None
+        assert got["u_mid"].n_obs == 6 and got["u_mid"].n_changes == 1
