@@ -142,3 +142,49 @@ class TestRelationalJoins:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert df.count() > 0
+
+
+class TestExtractStream:
+    def test_incremental_drain_matches_batch_and_never_reextracts(self, spark, tmp_path):
+        """Two shard drops, two drains against one checkpoint: drain 1
+        extracts shard 1; drain 2 extracts ONLY shard 2 (checkpoint
+        manifest, not re-extraction); union equals the batch pipeline on
+        all shards — the streaming face is the same kernel, same plan."""
+        import glob
+
+        import pandas as pd
+
+        from gocrd_spark import datagen
+        from gocrd_spark.pipeline import extract_pages
+        from gocrd_spark.streaming.extract_stream import run_extract_stream
+
+        land = tmp_path / "land"
+        land.mkdir()
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drop_shard(name, lo, hi):
+            pdf = pd.DataFrame([datagen.make_row(i) for i in range(lo, hi)])
+            spark.createDataFrame(pdf, datagen.PAGES_SCHEMA).coalesce(1).write.parquet(
+                str(land / name)
+            )
+
+        drop_shard("shard1", 2, 30)
+        run_extract_stream(spark, str(land) + "/*", out, ckpt)
+        first = spark.read.parquet(out).select("url", "text", "error").cache()
+        n1 = first.count()
+        assert n1 == 28
+
+        drop_shard("shard2", 30, 60)
+        run_extract_stream(spark, str(land) + "/*", out, ckpt)
+        got = spark.read.parquet(out).select("url", "text", "error").cache()
+        assert got.count() == 58  # shard1 NOT re-extracted (no dup rows)
+
+        batch = extract_pages(
+            spark.createDataFrame(
+                pd.DataFrame([datagen.make_row(i) for i in range(2, 60)]),
+                datagen.PAGES_SCHEMA,
+            )
+        ).select("url", "text", "error")
+        assert got.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got).count() == 0
