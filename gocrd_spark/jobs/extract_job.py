@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--ts-start", default=None, help="warc_ts lower bound (inclusive)")
     parser.add_argument("--ts-end", default=None, help="warc_ts upper bound (exclusive)")
     parser.add_argument("--master", default=None, help="override spark master")
+    parser.add_argument("--with-metadata", action="store_true",
+                        help="also write the head-metadata side table (meta/) in the same pass")
     args = parser.parse_args(argv)
 
     import datetime
@@ -57,6 +59,7 @@ def main(argv: list[str] | None = None) -> int:
             ts_start=args.ts_start,
             ts_end=args.ts_end,
             input_format=args.input_format,
+            with_metadata=args.with_metadata,
         )
         print(json.dumps(summary))
         return 0

@@ -155,23 +155,35 @@ _PAGE_META_FIELDS = (
 )
 
 
+def page_meta_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One batch of (url, html) -> head metadata columns
+    (htmlextract.page_meta) — shared by the streaming query surface
+    (page_meta_kernel) and the resumable job's metadata side table."""
+    from .htmlextract import page_meta
+
+    out: dict[str, list] = {"url": []}
+    out.update({k: [] for k in _PAGE_META_FIELDS})
+    for url, html in zip(pdf["url"], pdf["html"]):
+        meta = page_meta(bytes(html) if html is not None else b"")
+        out["url"].append(url)
+        for k in _PAGE_META_FIELDS:
+            out[k].append(meta[k])
+    return pd.DataFrame(out)
+
+
 def page_meta_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(url, warc_ts_epoch, html) -> head metadata per page
     (htmlextract.page_meta). Narrow map, no shuffle: metadata extraction
     shares extraction's scan so at crawl scale it rides the same
     partitioning; payload bytes never leave the task."""
-    from .htmlextract import page_meta
-
     for pdf in batches:
-        out: dict[str, list] = {"url": [], "warc_ts_epoch": []}
-        out.update({k: [] for k in _PAGE_META_FIELDS})
-        for url, ts, html in zip(pdf["url"], pdf["warc_ts_epoch"], pdf["html"]):
-            meta = page_meta(bytes(html) if html is not None else b"")
-            out["url"].append(url)
-            out["warc_ts_epoch"].append(None if pd.isna(ts) else int(ts))
-            for k in _PAGE_META_FIELDS:
-                out[k].append(meta[k])
-        yield pd.DataFrame(out)
+        out = page_meta_batch(pdf)
+        out.insert(
+            1,
+            "warc_ts_epoch",
+            [None if pd.isna(ts) else int(ts) for ts in pdf["warc_ts_epoch"]],
+        )
+        yield out
 
 
 def salted_partition_key(salt: int = 42):

@@ -245,8 +245,15 @@ def run_extract_job(
     ts_end: Optional[str] = None,
     fail_group: Optional[int] = None,
     input_format: str = "parquet",
+    with_metadata: bool = False,
 ) -> dict:
     """Resumable extraction run. Returns a summary dict of counters.
+
+    ``with_metadata`` additionally writes the head-metadata side table
+    (``meta/g=<g>/part-*.parquet``, kernel.page_meta_batch) in the SAME
+    pass over the payload bytes — one scan, two tables, one commit
+    marker per group covering both (the marker is written only after
+    both files publish, so resume can never see a half-written group).
 
     Each commit group ``g`` (deterministic function of url+salt+n_groups)
     is written by exactly one task — ``repartition(n_groups, g)``
@@ -264,6 +271,8 @@ def run_extract_job(
     per-group buffering).
     """
     os.makedirs(os.path.join(output_dir, "data"), exist_ok=True)
+    if with_metadata:
+        os.makedirs(os.path.join(output_dir, "meta"), exist_ok=True)
     os.makedirs(_commit_dir(output_dir), exist_ok=True)
 
     # The commit log is only meaningful under the partitioning that wrote
@@ -297,8 +306,10 @@ def run_extract_job(
     df = df.repartition(n_groups, F.col("g"))
 
     data_dir = os.path.join(output_dir, "data")
+    meta_dir = os.path.join(output_dir, "meta")
     commit_dir = _commit_dir(output_dir)
     inject_fail = fail_group
+    emit_meta = with_metadata
 
     def writer_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
@@ -337,8 +348,19 @@ def run_extract_job(
                 pa.field("error", pa.string()),
             ]
         )
+        meta_schema = pa.schema(
+            [pa.field("url", pa.string())]
+            + [
+                pa.field(n, pa.string())
+                for n in ("title", "description", "canonical_url",
+                          "og_title", "lang_attr", "robots")
+            ]
+            + [pa.field("noindex", pa.int64()), pa.field("nofollow", pa.int64()),
+               pa.field("error", pa.string())]
+        )
         # state per commit group seen in this task
         writers: dict[int, tuple] = {}  # g -> (writer, tmp_path, final_path, stats)
+        meta_writers: dict[int, tuple] = {}  # g -> (writer, tmp_path, final_path)
         t0 = time.time()
 
         def get_writer(g: int):
@@ -358,6 +380,15 @@ def run_extract_job(
                          "bytes_in": 0, "bytes_out": 0}
                 writers[g] = (pq.ParquetWriter(tmp, arrow_schema, compression="zstd"),
                               tmp, final, stats)
+                if emit_meta:
+                    mgdir = os.path.join(meta_dir, f"g={g}")
+                    os.makedirs(mgdir, exist_ok=True)
+                    mtmp = os.path.join(mgdir, f".part-{uuid.uuid4().hex}.tmp")
+                    mfinal = os.path.join(mgdir, fname)
+                    meta_writers[g] = (
+                        pq.ParquetWriter(mtmp, meta_schema, compression="zstd"),
+                        mtmp, mfinal,
+                    )
             return writers[g]
 
         for pdf in batches:
@@ -377,11 +408,26 @@ def run_extract_job(
                     lambda t: len(t.encode("utf-8")) if t is not None else 0).sum())
                 writer.write_table(pa.Table.from_pandas(result, schema=arrow_schema,
                                                         preserve_index=False))
-        # close + atomic publish + commit markers
+                if emit_meta:
+                    from .kernel import page_meta_batch
+
+                    meta_writers[g][0].write_table(
+                        pa.Table.from_pandas(
+                            page_meta_batch(grp), schema=meta_schema,
+                            preserve_index=False,
+                        )
+                    )
+        # close + atomic publish + commit markers (meta publishes BEFORE
+        # the marker: a group is either fully present in both tables or
+        # uncommitted — never half)
         summaries = []
         for g, (writer, tmp, final, stats) in writers.items():
             writer.close()
             os.replace(tmp, final)  # atomic on one filesystem
+            if emit_meta:
+                mwriter, mtmp, mfinal = meta_writers[g]
+                mwriter.close()
+                os.replace(mtmp, mfinal)
             stats["wall_ms"] = int((time.time() - t0) * 1000)
             marker = os.path.join(commit_dir, f"g={g}.json")
             marker_tmp = marker + f".{uuid.uuid4().hex}.tmp"
@@ -415,6 +461,12 @@ def run_extract_job(
 def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
     """Read back a resumable run's output."""
     return spark.read.parquet(os.path.join(output_dir, "data"))
+
+
+def read_metadata(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Read back the head-metadata side table of a
+    ``with_metadata=True`` run."""
+    return spark.read.parquet(os.path.join(output_dir, "meta"))
 
 
 def filter_unprocessed(pages: DataFrame, extracted: DataFrame) -> DataFrame:

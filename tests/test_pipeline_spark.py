@@ -278,3 +278,34 @@ class TestResume:
         assert summary["ok_rows"] + summary["err_rows"] == N_DOCS
         assert summary["err_rows"] >= 1
         assert summary["bytes_in"] > summary["bytes_out"] > 0
+
+
+class TestJobMetadataSideTable:
+    def test_meta_table_written_same_pass_and_resume_safe(self, spark, pages, tmp_path):
+        """with_metadata=True writes meta/g=*/ alongside data/ under ONE
+        commit marker per group; the table equals the page_metadata
+        operator's output (minus the ts column the job does not carry),
+        and a rerun adds nothing."""
+        import os
+
+        from gocrd_spark.pipeline import page_metadata, read_metadata, run_extract_job
+
+        inp = str(tmp_path / "pages_in")
+        pages.write.parquet(inp)
+        out = str(tmp_path / "out")
+        summary = run_extract_job(spark, inp, out, n_groups=4, with_metadata=True)
+        assert summary["groups_committed_this_run"] == 4
+
+        got = read_metadata(spark, out).drop("g").cache()
+        want = page_metadata(pages).drop("warc_ts_epoch")
+        assert got.count() == pages.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # one parquet per group in BOTH tables
+        for sub in ("data", "meta"):
+            gdirs = [d for d in os.listdir(os.path.join(out, sub)) if d.startswith("g=")]
+            assert len(gdirs) == 4
+
+        again = run_extract_job(spark, inp, out, n_groups=4, with_metadata=True)
+        assert again["groups_committed_this_run"] == 0
+        assert read_metadata(spark, out).count() == pages.count()
