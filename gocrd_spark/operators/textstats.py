@@ -1536,9 +1536,16 @@ def perplexity_buckets(
             ])
         ).alias("jk"),
     ).select("lang", F.col("jk.j").alias("j"), F.col("jk.k").alias("k"))
+    # both sides descend from `samp`, so join on renamed columns — a
+    # column-object equality here resolves to the SAME attribute and
+    # Spark silently drops it as trivially true (self-join ambiguity)
+    ks_r = ks.select(
+        F.col("lang").alias("k_lang"), "j", F.col("k").alias("r")
+    )
     cuts = (
-        ranked.join(ks, (ranked["lang"] == ks["lang"]) & (ranked["r"] == ks["k"]))
-        .select(ranked["lang"].alias("lang"), "j", "cost_e9")
+        ranked.join(ks_r, ["r"])
+        .filter(F.col("lang") == F.col("k_lang"))
+        .select("lang", "j", "cost_e9")
         .groupBy("lang")
         .pivot("j", list(range(1, n_buckets)))
         .agg(F.first("cost_e9"))
