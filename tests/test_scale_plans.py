@@ -492,3 +492,15 @@ class TestRound5Plans:
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         # exactly one Window (sample ranking) — labeling adds none
         assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+
+    def test_recrawl_schedule_groupby_reuses_window_shuffle(self, spark):
+        """The post-window groupBy on the same key must NOT add a second
+        Exchange — the window's hash partitioning on url is reused."""
+        from gocrd_spark.operators.urls import recrawl_schedule
+
+        obs = spark.createDataFrame(
+            [("u", s, f"d{s//2}") for s in range(1, 5)],
+            "url string, snap_id long, digest string",
+        )
+        plan = _plan(recrawl_schedule(obs))
+        assert plan.count("Exchange") == 1
