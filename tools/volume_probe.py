@@ -258,7 +258,68 @@ def mega_probe(n_docs: int, mega: int, star_bucket: int = 512) -> dict:
     return out
 
 
+def meta_probe(n_docs: int) -> dict:
+    """Volume + scaling probe for the head-metadata tier: page_metadata
+    throughput over a datagen pages table at local[32], the
+    canonical_dedup chain on top, and the 2->8 core pair on a 1/5
+    corpus (north-rule scaling evidence for the new tier)."""
+    from gocrd_spark import datagen
+    from gocrd_spark.session import get_spark
+
+    def pages_path(n: int) -> str:
+        path = f"/tmp/gocrd_volume_pages_v{datagen.DATAGEN_VERSION}_{n}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            spark = get_spark(master="local[32]", app_name="volume-prep-pages")
+            datagen.write_pages(spark, n, path)
+            spark.stop()
+        return path
+
+    def run(master: str, path: str, chain: bool) -> dict[str, float]:
+        from gocrd_spark.operators.urls import canonical_dedup
+        from gocrd_spark.pipeline import page_metadata
+
+        spark = get_spark(master=master, app_name="volume-meta")
+        pages = spark.read.parquet(path)
+        # Warm codegen/Arrow paths so the timed run measures kernel
+        # throughput, not first-job compilation (same regime as bench.py).
+        _noop(page_metadata(pages.limit(256)))
+        res: dict[str, float] = {}
+        t0 = time.time()
+        _noop(page_metadata(pages))
+        res["page_metadata"] = round(time.time() - t0, 2)
+        if chain:
+            t0 = time.time()
+            _noop(canonical_dedup(page_metadata(pages)))
+            res["canonical_dedup_chain"] = round(time.time() - t0, 2)
+        spark.stop()
+        return res
+
+    big = pages_path(n_docs)
+    full = run("local[32]", big, chain=True)
+    # Pair corpus = the full table: the kernel is light (~2 ms/doc-core),
+    # so the per-job scan+Arrow setup (~2-3 s, constant in core count)
+    # must be amortized by job length or it dominates the ratio.
+    n_pair = n_docs
+    small = pages_path(n_pair)
+    lo = run("local[2]", small, chain=False)
+    hi = run("local[8]", small, chain=False)
+    eff = round((lo["page_metadata"] / hi["page_metadata"]) / 4, 3)
+    return {
+        "n_docs": n_docs,
+        "wall_sec_local32": full,
+        "docs_per_sec_local32": round(n_docs / full["page_metadata"], 0),
+        "scale_pair_n_docs": n_pair,
+        "meta_sec_local2": lo["page_metadata"],
+        "meta_sec_local8": hi["page_metadata"],
+        "scaling_efficiency_2_to_8": eff,
+    }
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "meta":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        print(json.dumps(meta_probe(n_docs)))
+        return 0
     if len(sys.argv) > 1 and sys.argv[1] == "mega":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
         mega = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
