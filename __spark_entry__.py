@@ -1649,6 +1649,35 @@ def _q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_dedup(page_metadata(_pages(spark, sf_dir)))
 
 
+def _q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped boilerplate-line removal over a formula-derived
+    multi-host corpus: every doc carries its host's nav line (100% of
+    host docs -> boilerplate), a unique content line (never removed), a
+    'subscribe' line on doc_id%3==0 (~33% of host docs -> BELOW the 0.4
+    ratio floor, kept), an empty line on doc_id%10==4 (excluded from
+    detection, always kept) and a 'copyright' line on doc_id%2==0 (~50%
+    -> boilerplate). Oracle replays the formula corpus and the
+    df/ratio rule in SQL, grouping by the line STRING (certifying the
+    operator's xxhash64 grouping)."""
+    from gocrd_spark.operators.textstats import host_boilerplate
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"))
+    arr = F.array(
+        F.concat(F.lit("nav home about contact "), host),
+        F.concat(F.lit("doc "), d.cast("string"), F.lit(" unique content alpha beta")),
+        F.when(d % 3 == 0, F.concat(F.lit("subscribe newsletter "), host)),
+        F.when(d % 10 == 4, F.lit("")),
+        F.when(d % 2 == 0, F.concat(F.lit("copyright "), host, F.lit(" all rights reserved"))),
+    )
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        host.alias("host"),
+        F.array_join(F.filter(arr, lambda x: x.isNotNull()), "\n").alias("text"),
+    )
+    return host_boilerplate(corpus, min_df=3, min_ratio_e6=400_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1674,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup": _q_canonical_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
         "recrawl_schedule": _q_recrawl_schedule,
+        "host_boilerplate": _q_host_boilerplate,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -1948,6 +1978,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, target,
                    (CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS keep
             FROM r
+        """,
+        # formula-corpus replay of host_boilerplate: same line templates,
+        # df/ratio rule grouped by the line STRING (the operator groups
+        # by xxhash64 — a green row certifies the hash grouping)
+        "host_boilerplate": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 7)::VARCHAR AS host,
+                     list_filter([
+                       'nav home about contact h' || (doc_id % 7)::VARCHAR,
+                       'doc ' || doc_id::VARCHAR || ' unique content alpha beta',
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'subscribe newsletter h' || (doc_id % 7)::VARCHAR END,
+                       CASE WHEN doc_id % 10 = 4 THEN '' END,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'copyright h' || (doc_id % 7)::VARCHAR
+                                 || ' all rights reserved' END
+                     ], x -> x IS NOT NULL) AS ln
+              FROM documents),
+            lines AS (
+              SELECT doc_id, host, unnest(ln) AS line FROM corpus),
+            hsize AS (
+              SELECT host, count(DISTINCT doc_id) AS n_docs
+              FROM corpus GROUP BY host),
+            dfc AS (
+              SELECT host, line, count(DISTINCT doc_id) AS df_docs
+              FROM lines WHERE line <> '' GROUP BY host, line),
+            boiler AS (
+              SELECT dfc.host, dfc.line
+              FROM dfc JOIN hsize USING (host)
+              WHERE df_docs >= 3 AND df_docs * 1000000 >= 400000 * n_docs),
+            bset AS (
+              SELECT host, list(line) AS bl FROM boiler GROUP BY host)
+            SELECT c.doc_id, c.host,
+                   coalesce(array_to_string(
+                     list_filter(c.ln, l -> NOT list_contains(coalesce(b.bl, []), l)),
+                     chr(10)), '') AS clean_text,
+                   len(c.ln)::BIGINT AS n_lines,
+                   (len(c.ln) - len(list_filter(
+                     c.ln, l -> NOT list_contains(coalesce(b.bl, []), l))))::BIGINT
+                     AS n_removed
+            FROM corpus c LEFT JOIN bset b USING (host)
         """,
         "extract_spans": _golden(
             "extract_spans",

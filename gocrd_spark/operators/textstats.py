@@ -1564,3 +1564,72 @@ def perplexity_buckets(
     return base.join(F.broadcast(cuts), "lang", "left").select(
         "doc_id", "lang", "n_tokens", "cost_e9", tier.alias("tier")
     )
+
+
+def host_boilerplate(
+    docs: DataFrame, min_df: int = 3, min_ratio_e6: int = 300_000
+) -> DataFrame:
+    """Host-scoped boilerplate-line removal — the CCNet/RefinedWeb
+    line-wise template filter: a non-empty line is boilerplate WITHIN a
+    host when it occurs in >= ``min_df`` distinct documents of that host
+    AND in at least ``min_ratio_e6``/1e6 of the host's documents. Unlike
+    :func:`gocrd_spark.operators.dedup.paragraph_dedup` (global
+    keep-first), boilerplate lines survive NOWHERE — nav bars, cookie
+    banners and footer templates are noise in every copy, so the rule is
+    remove-everywhere, scoped to the host that repeats them (the same
+    line appearing on two unrelated hosts is counted independently).
+
+    Input: (doc_id, host, text) with newline-separated lines. Returns
+    one row per input document: (doc_id, host, clean_text, n_lines,
+    n_removed) — all BIGINT/VARCHAR.
+
+    Shuffle accounting at crawl scale: the detection aggregate shuffles
+    ONLY (host, xxhash64(line), doc_id) with a map-side partial distinct
+    — line text never leaves the scan stage. Removal joins each doc
+    against its host's boilerplate-hash SET (collect_set per host,
+    bounded by the ratio floor: a line must recur across >=30% of the
+    host's docs, so the set holds template lines, not content) and
+    filters the doc's own line array map-side via a hash-membership HOF
+    — documents shuffle once by host, no per-line text exchange and no
+    reassembly aggregate. Empty lines are excluded from detection and
+    therefore always kept (paragraph structure is data). Line identity
+    is xxhash64 (suite-wide convention); the DuckDB oracle groups by the
+    line STRING itself, so a green driver row also certifies the
+    hash-grouping.
+    """
+    t = docs.select("doc_id", "host", F.split(F.col("text"), "\n").alias("ln"))
+    occ = (
+        t.select("doc_id", "host", F.explode("ln").alias("line"))
+        .where(F.col("line") != "")
+        .select("host", F.xxhash64("line").alias("h"), "doc_id")
+        .distinct()
+    )
+    df_counts = occ.groupBy("host", "h").agg(F.count("*").alias("df_docs"))
+    host_sizes = (
+        t.select("host", "doc_id")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    boiler = (
+        df_counts.join(host_sizes, "host")
+        .where(
+            (F.col("df_docs") >= F.lit(min_df))
+            & (F.col("df_docs") * F.lit(1_000_000) >= F.lit(min_ratio_e6) * F.col("n_docs"))
+        )
+        .select("host", "h")
+    )
+    bset = boiler.groupBy("host").agg(F.collect_set("h").alias("bl"))
+    kept = F.when(F.col("bl").isNull(), F.col("ln")).otherwise(
+        F.filter("ln", lambda l: ~F.array_contains("bl", F.xxhash64(l)))
+    )
+    return (
+        t.join(bset, "host", "left")
+        .select(
+            "doc_id",
+            "host",
+            F.array_join(kept, "\n").alias("clean_text"),
+            F.size("ln").cast("long").alias("n_lines"),
+            (F.size("ln") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )

@@ -2644,3 +2644,68 @@ class TestRecrawlSchedule:
         assert got["u_mid"].tier == "medium" and got["u_mid"].rate_permille == 200
         assert got["u_once"].tier == "once" and got["u_once"].rate_permille is None
         assert got["u_mid"].n_obs == 6 and got["u_mid"].n_changes == 1
+
+
+class TestHostBoilerplate:
+    def test_planted_cases(self, spark):
+        """Lines at/above the df+ratio floor vanish host-wide; repeated
+        lines below either floor survive; empty lines are structural and
+        always kept; scoping is per-host (same line on another host with
+        low df survives there)."""
+        from gocrd_spark.operators.textstats import host_boilerplate
+
+        docs = spark.createDataFrame(
+            [
+                # host a: 4 docs. "nav a" in 4/4 (boiler), "copy a" in
+                # 3/4 (>=0.4 ratio + df 3 -> boiler), "rare a" in 2/4
+                # (df 2 < min_df 3 -> kept).
+                (1, "a", "nav a\nbody one\ncopy a"),
+                (2, "a", "nav a\nbody two\n\ncopy a"),
+                (3, "a", "nav a\nbody three\ncopy a\nrare a"),
+                (4, "a", "nav a\nbody four\nrare a"),
+                # host b: 1 doc carrying host a's template — different
+                # host, df 1 there -> untouched.
+                (5, "b", "nav a\ncopy a\nbody five"),
+            ],
+            "doc_id long, host string, text string",
+        )
+        got = {
+            r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+            for r in host_boilerplate(docs, min_df=3, min_ratio_e6=400_000).collect()
+        }
+        assert got == {
+            1: ("body one", 3, 2),
+            2: ("body two\n", 4, 2),       # empty line kept
+            3: ("body three\nrare a", 4, 2),
+            4: ("body four\nrare a", 3, 1),
+            5: ("nav a\ncopy a\nbody five", 3, 0),
+        }
+
+    def test_intra_doc_repeat_counts_once(self, spark):
+        """df is DISTINCT docs: a line repeated 3x inside one doc has
+        df 1 and survives; the repeat across 3 docs has df 3 and dies."""
+        from gocrd_spark.operators.textstats import host_boilerplate
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a", "x\nx\nx\nu1"),
+                (2, "a", "y\nu2"),
+                (3, "a", "y\nu3"),
+                (4, "a", "y\nu4"),
+            ],
+            "doc_id long, host string, text string",
+        )
+        got = {r.doc_id: r.clean_text for r in
+               host_boilerplate(docs, min_df=3, min_ratio_e6=400_000).collect()}
+        assert got == {1: "x\nx\nx\nu1", 2: "u2", 3: "u3", 4: "u4"}
+
+    def test_all_lines_removed_yields_empty(self, spark):
+        from gocrd_spark.operators.textstats import host_boilerplate
+
+        docs = spark.createDataFrame(
+            [(i, "a", "tpl") for i in range(1, 5)],
+            "doc_id long, host string, text string",
+        )
+        got = {r.doc_id: (r.clean_text, r.n_removed) for r in
+               host_boilerplate(docs, min_df=3, min_ratio_e6=400_000).collect()}
+        assert got == {i: ("", 1) for i in range(1, 5)}

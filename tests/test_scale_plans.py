@@ -504,3 +504,25 @@ class TestRound5Plans:
         )
         plan = _plan(recrawl_schedule(obs))
         assert plan.count("Exchange") == 1
+
+
+class TestHostBoilerplatePlan:
+    def test_detection_exchanges_are_longs_only(self, docs):
+        """The df-count exchanges hash on (host, xxhash64(line)) — the
+        line STRING must never ride a detection exchange; document text
+        moves at most once (the host join for the membership filter),
+        and there is no cartesian and no Python."""
+        from gocrd_spark.operators.textstats import host_boilerplate
+
+        corpus = docs.select(
+            "doc_id",
+            (F.col("doc_id") % 5).cast("string").alias("host"),
+            F.col("text"),
+        )
+        plan = _plan(host_boilerplate(corpus, min_df=3))
+        assert "CartesianProduct" not in plan and "MapInPandas" not in plan
+        for block in plan.split("\n\n"):
+            head = block.splitlines()[0] if block.splitlines() else ""
+            if ") Exchange" in head and "hashpartitioning" in block:
+                if ", h#" in block.splitlines()[0] or "(h#" in block.splitlines()[0]:
+                    assert "line#" not in block and "text#" not in block, block
