@@ -1678,6 +1678,39 @@ def _q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_boilerplate(corpus, min_df=3, min_ratio_e6=400_000)
 
 
+def _q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trap detection over a formula-derived fetch log: a calendar trap
+    (125+ urls under cal/N/N, 3 digests), a faceted-listing trap (75
+    urls under list?page&sort, 5 digests), a healthy /post/N archive
+    (every page distinct — high fanout, ratio 1.0, NOT a trap) and a
+    3-url template below the min_urls floor (excluded). Oracle replays
+    template derivation (host/path/query regexps, digit-run collapse,
+    sorted query keys) and the distinct counts on STRINGS in SQL."""
+    from gocrd_spark.operators.urls import crawl_traps
+
+    d = F.col("doc_id")
+    b = d % 4
+    s = d.cast("string")
+    url = (
+        F.when(b == 0, F.concat(
+            F.lit("https://trap-cal.test/cal/"), (d % 200 + 2000).cast("string"),
+            F.lit("/"), (d % 12 + 1).cast("string")))
+        .when(b == 1, F.concat(
+            F.lit("https://shop.test/list?page="), ((d / 4).cast("long") % 25).cast("string"),
+            F.lit("&sort=s"), (d % 3).cast("string")))
+        .when(b == 2, F.concat(F.lit("https://blog.test/post/"), s))
+        .otherwise(F.concat(F.lit("https://tiny.test/about-"), (d % 3).cast("string")))
+    )
+    digest = (
+        F.when(b == 0, F.concat(F.lit("cal"), (d % 3).cast("string")))
+        .when(b == 1, F.concat(F.lit("shop"), (d % 5).cast("string")))
+        .when(b == 2, F.concat(F.lit("post"), s))
+        .otherwise(F.concat(F.lit("tiny"), (d % 3).cast("string")))
+    )
+    obs = _docs(spark, sf_dir).select(url.alias("url"), digest.alias("digest"))
+    return crawl_traps(obs, min_urls=20, max_digest_ratio_e6=200_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1704,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "recrawl_schedule": _q_recrawl_schedule,
         "host_boilerplate": _q_host_boilerplate,
+        "crawl_traps": _q_crawl_traps,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2020,6 +2054,51 @@ def oracle_sql() -> dict[str, str]:
                      c.ln, l -> NOT list_contains(coalesce(b.bl, []), l))))::BIGINT
                      AS n_removed
             FROM corpus c LEFT JOIN bset b USING (host)
+        """,
+        # independent template derivation (regexp host/path/query parse,
+        # digit-run collapse, sorted query keys) + string-distinct counts
+        # — certifies the operator's try_parse_url + xxhash64-distinct
+        "crawl_traps": """
+            WITH obs AS (
+              SELECT
+                CASE doc_id % 4
+                  WHEN 0 THEN 'https://trap-cal.test/cal/' || (doc_id % 200 + 2000)::VARCHAR
+                              || '/' || (doc_id % 12 + 1)::VARCHAR
+                  WHEN 1 THEN 'https://shop.test/list?page=' || ((doc_id // 4) % 25)::VARCHAR
+                              || '&sort=s' || (doc_id % 3)::VARCHAR
+                  WHEN 2 THEN 'https://blog.test/post/' || doc_id::VARCHAR
+                  ELSE 'https://tiny.test/about-' || (doc_id % 3)::VARCHAR
+                END AS url,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'cal' || (doc_id % 3)::VARCHAR
+                  WHEN 1 THEN 'shop' || (doc_id % 5)::VARCHAR
+                  WHEN 2 THEN 'post' || doc_id::VARCHAR
+                  ELSE 'tiny' || (doc_id % 3)::VARCHAR
+                END AS digest
+              FROM documents),
+            parsed AS (
+              SELECT url, digest,
+                lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                regexp_replace(
+                  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  '[0-9]+', 'N', 'g') AS path_norm,
+                regexp_extract(url, '\\?([^#]*)', 1) AS q
+              FROM obs),
+            t AS (
+              SELECT url, digest,
+                host || path_norm || (CASE WHEN q = '' THEN '' ELSE '?' ||
+                  array_to_string(list_sort(list_transform(
+                    string_split(q, '&'), kv -> string_split(kv, '=')[1])), '&')
+                END) AS template
+              FROM parsed),
+            g AS (
+              SELECT template,
+                     count(DISTINCT url) AS n_urls,
+                     count(DISTINCT digest) AS n_digests
+              FROM t GROUP BY template HAVING count(DISTINCT url) >= 20)
+            SELECT template, n_urls::BIGINT AS n_urls, n_digests::BIGINT AS n_digests,
+                   (n_digests * 1000000 <= 200000 * n_urls)::BIGINT AS is_trap
+            FROM g
         """,
         "extract_spans": _golden(
             "extract_spans",

@@ -404,3 +404,79 @@ def recrawl_schedule(
         .otherwise(F.lit("medium"))
         .alias("tier"),
     )
+
+
+def crawl_traps(
+    obs: DataFrame,
+    min_urls: int = 20,
+    max_digest_ratio_e6: int = 200_000,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Crawler-trap detection by path-template fanout: collapse every
+    URL to its TEMPLATE — lowercased host + path with each decimal-digit
+    run replaced by ``N`` + (when a query string exists) the sorted set
+    of query KEYS (values dropped) — and flag templates where many
+    distinct URLs serve few distinct content digests. Calendar pages,
+    faceted listings and session-ID mints all explode the URL space
+    under one template while the content barely changes; a frontier
+    should stop minting fetches for a flagged template.
+
+    Input: (url, digest) fetch observations (digest = content hash from
+    the fetch log). Returns one row per template with
+    ``n_urls >= min_urls``: (template, n_urls, n_digests, is_trap) —
+    is_trap = 1 when n_digests/n_urls <= max_digest_ratio_e6/1e6.
+    A high-fanout template whose every page is DISTINCT (a healthy
+    /post/N archive) keeps ratio ~1.0 and is not a trap. Malformed URLs
+    (no parseable host) are ignored.
+
+    Shuffle accounting at crawl scale: templates are computed map-side
+    (JVM ``try_parse_url`` + regexp — no Python); the two distinct
+    counts aggregate xxhash64(url)/xxhash64(digest) LONGS under the
+    template key with map-side partial distinct — raw urls and digests
+    never ride the exchange. The DuckDB oracle counts distinct STRINGS,
+    so a green driver row also certifies the hash-distinct at this
+    scale.
+    """
+    url, dig = F.col(url_col), F.col(digest_col)
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    path_norm = F.regexp_replace(path, "[0-9]+", "N")
+    key_set = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.split(query, "&"),
+                lambda kv: F.element_at(F.split(kv, "="), 1),
+            )
+        ),
+        "&",
+    )
+    template = F.concat(
+        host,
+        path_norm,
+        F.when(query.isNull(), F.lit("")).otherwise(F.concat(F.lit("?"), key_set)),
+    )
+    t = (
+        obs.where(host.isNotNull())
+        .select(
+            template.alias("template"),
+            F.xxhash64(url).alias("uh"),
+            F.xxhash64(dig).alias("dh"),
+        )
+    )
+    g = t.groupBy("template").agg(
+        F.countDistinct("uh").alias("n_urls"),
+        F.countDistinct("dh").alias("n_digests"),
+    )
+    return g.where(F.col("n_urls") >= F.lit(min_urls)).select(
+        "template",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_digests").cast("long").alias("n_digests"),
+        (
+            F.col("n_digests") * F.lit(1_000_000)
+            <= F.lit(max_digest_ratio_e6) * F.col("n_urls")
+        )
+        .cast("long")
+        .alias("is_trap"),
+    )

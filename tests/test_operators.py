@@ -2709,3 +2709,46 @@ class TestHostBoilerplate:
         got = {r.doc_id: (r.clean_text, r.n_removed) for r in
                host_boilerplate(docs, min_df=3, min_ratio_e6=400_000).collect()}
         assert got == {i: ("", 1) for i in range(1, 5)}
+
+
+class TestCrawlTraps:
+    def test_planted_traps(self, spark):
+        """Calendar + faceted templates flag as traps; a healthy /post/N
+        archive with the same fanout but distinct content does not;
+        sub-min_urls templates are excluded; malformed urls ignored."""
+        from gocrd_spark.operators.urls import crawl_traps
+
+        rows = []
+        for d in range(200):
+            rows.append((f"https://cal.test/c/{2000 + d % 50}/{d % 12}", f"cd{d % 3}"))
+            rows.append((f"https://blog.test/post/{d}", f"pd{d}"))
+            rows.append(
+                (f"https://shop.test/list?page={d % 25}&sort={'a' if d % 2 else 'd'}",
+                 f"sd{d % 4}")
+            )
+            rows.append(("not a url", "x"))
+        obs = spark.createDataFrame(rows, "url string, digest string")
+        got = {r.template: r for r in crawl_traps(obs, min_urls=10).collect()}
+        assert set(got) == {
+            "cal.test/c/N/N", "blog.test/post/N", "shop.test/list?page&sort",
+        }
+        assert got["cal.test/c/N/N"].is_trap == 1
+        assert got["cal.test/c/N/N"].n_urls == 200 and got["cal.test/c/N/N"].n_digests == 3
+        assert got["shop.test/list?page&sort"].is_trap == 1
+        assert got["blog.test/post/N"].is_trap == 0
+        assert got["blog.test/post/N"].n_digests == 200
+
+    def test_query_key_order_and_values_collapse(self, spark):
+        """?b=1&a=2 and ?a=9&b=9 share one template (sorted KEY set,
+        values dropped); a url with no query gets no '?' suffix."""
+        from gocrd_spark.operators.urls import crawl_traps
+
+        obs = spark.createDataFrame(
+            [(f"https://s.test/p?b={i}&a={i}", f"d{i}") for i in range(5)]
+            + [(f"https://s.test/p?a=9&b={i}", f"e{i}") for i in range(5)]
+            + [(f"https://s.test/p{i}", f"f{i}") for i in range(3)],
+            "url string, digest string",
+        )
+        got = {r.template: (r.n_urls, r.n_digests) for r in
+               crawl_traps(obs, min_urls=2).collect()}
+        assert got == {"s.test/p?a&b": (10, 10), "s.test/pN": (3, 3)}

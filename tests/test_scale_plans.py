@@ -526,3 +526,22 @@ class TestHostBoilerplatePlan:
             if ") Exchange" in head and "hashpartitioning" in block:
                 if ", h#" in block.splitlines()[0] or "(h#" in block.splitlines()[0]:
                     assert "line#" not in block and "text#" not in block, block
+
+
+class TestCrawlTrapsPlan:
+    def test_distinct_exchanges_carry_hashes_not_payloads(self, docs):
+        """The two distinct-counts ride xxhash64 longs under the template
+        key — raw url/digest strings never reach an exchange; no
+        cartesian, no Python."""
+        from gocrd_spark.operators.urls import crawl_traps
+
+        obs = docs.select(
+            F.concat(F.lit("https://h.test/p/"), F.col("doc_id").cast("string")).alias("url"),
+            (F.col("doc_id") % 5).cast("string").alias("digest"),
+        )
+        plan = _plan(crawl_traps(obs))
+        assert "CartesianProduct" not in plan and "MapInPandas" not in plan
+        for block in plan.split("\n\n"):
+            head = block.splitlines()[0] if block.splitlines() else ""
+            if ") Exchange" in head and "hashpartitioning" in block:
+                assert "url#" not in block and "digest#" not in block, block
