@@ -1711,6 +1711,33 @@ def _q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_traps(obs, min_urls=20, max_digest_ratio_e6=200_000)
 
 
+def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over a formula-derived 3xx graph:
+    docs group into 8-node chains (n{8g}..n{8g+7}); every 5th group
+    closes into a CYCLE (n{8g+7} -> n{8g}) and must come back
+    resolved=0/NULL, the rest resolve to their chain tail with exact
+    hop counts. Oracle walks the STRING graph with a recursive CTE
+    (certifying the operator's xxhash64 id mapping + pointer
+    doubling)."""
+    from gocrd_spark.operators.linkgraph import redirect_resolve
+
+    d = F.col("doc_id")
+    p = d % 8
+    g = F.expr("doc_id div 8")
+    edges = (
+        _docs(spark, sf_dir)
+        .where((p < 7) | ((p == 7) & (g % 5 == 0)))
+        .select(
+            F.concat(F.lit("n"), d.cast("string")).alias("src"),
+            F.concat(
+                F.lit("n"),
+                F.when(p < 7, d + 1).otherwise(d - 7).cast("string"),
+            ).alias("dst"),
+        )
+    )
+    return redirect_resolve(edges, max_hops=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1738,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": _q_recrawl_schedule,
         "host_boilerplate": _q_host_boilerplate,
         "crawl_traps": _q_crawl_traps,
+        "redirect_resolve": _q_redirect_resolve,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2099,6 +2127,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT template, n_urls::BIGINT AS n_urls, n_digests::BIGINT AS n_digests,
                    (n_digests * 1000000 <= 200000 * n_urls)::BIGINT AS is_trap
             FROM g
+        """,
+        # recursive-CTE walk of the STRING redirect graph vs the
+        # operator's xxhash64 pointer doubling; cycles exhaust the hop
+        # guard and surface as resolved=0/NULL via the left join
+        "redirect_resolve": """
+            WITH RECURSIVE raw AS (
+              SELECT 'n' || doc_id::VARCHAR AS src,
+                     CASE WHEN doc_id % 8 < 7 THEN 'n' || (doc_id + 1)::VARCHAR
+                          ELSE 'n' || (doc_id - 7)::VARCHAR END AS dst
+              FROM documents
+              WHERE doc_id % 8 < 7 OR (doc_id // 8) % 5 = 0),
+            e AS (SELECT src, min(dst) AS dst FROM raw GROUP BY src),
+            walk AS (
+              SELECT src, dst AS cur, 1 AS hops FROM e
+              UNION ALL
+              SELECT w.src, e2.dst, w.hops + 1
+              FROM walk w JOIN e e2 ON e2.src = w.cur
+              WHERE w.hops < 32),
+            term AS (
+              SELECT w.src, w.cur, w.hops
+              FROM walk w
+              WHERE w.hops <= 32
+                AND NOT EXISTS (SELECT 1 FROM e x WHERE x.src = w.cur))
+            SELECT e.src, t.cur AS final_url, t.hops::BIGINT AS hops,
+                   (t.src IS NOT NULL)::BIGINT AS resolved
+            FROM e LEFT JOIN term t USING (src)
         """,
         "extract_spans": _golden(
             "extract_spans",

@@ -323,3 +323,90 @@ def inlink_summary(links: DataFrame) -> DataFrame:
         F.col("n_src_hosts").cast("long").alias("n_src_hosts"),
         "top_anchor",
     )
+
+
+def redirect_resolve(
+    redirects: DataFrame,
+    max_hops: int = 32,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Redirect-chain resolution (the CDX/fetch-log 3xx graph) by
+    pointer DOUBLING: after round k every source points at the node
+    min(2^k, chain length) hops downstream, so a chain of length L
+    resolves in ceil(log2(L)) rounds — never L rounds of one-hop
+    walking. A source RESOLVES when its cursor reaches a node with no
+    outgoing redirect within ``max_hops`` hops; redirect CYCLES (and
+    chains longer than ``max_hops``) never go terminal and come back
+    ``resolved = 0`` with NULL final/hops — the caller drops or audits
+    them.
+
+    Input: one row per redirect edge (src, dst). A src with several
+    recorded targets (flapping 301s across snapshots) is collapsed to
+    its lexicographic MIN dst first — deterministic, engine-independent.
+    Returns one row per distinct src: (src, final_url, hops, resolved).
+
+    Shuffle accounting at crawl scale: URL strings ride exactly two
+    exchanges (the entry id-mapping and the exit string join-back);
+    every doubling round self-joins (xxhash64-id, xxhash64-id, hops)
+    LONGS, localCheckpoint-truncated per round so the plan depth stays
+    flat (the connected-components discipline, dedup.py:588). Hash
+    identity is xxhash64; the DuckDB oracle walks the STRING graph with
+    a recursive CTE, so a green driver row certifies the hash mapping.
+    """
+    e = (
+        redirects.groupBy(F.col(src_col).alias("src"))
+        .agg(F.min(F.col(dst_col)).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    ids = e.select(
+        F.xxhash64("src").alias("u"),
+        F.xxhash64("dst").alias("cur"),
+        F.lit(1).cast("long").alias("hops"),
+    ).localCheckpoint(eager=True)
+    srcs = ids.select("u").distinct().localCheckpoint(eager=True)
+    rounds = max(1, (max_hops - 1).bit_length())  # ceil(log2(max_hops))
+    state = ids
+    for _ in range(rounds):
+        nxt = state.select(
+            F.col("u").alias("ju"),
+            F.col("cur").alias("jcur"),
+            F.col("hops").alias("jhops"),
+        )
+        state = (
+            state.join(nxt, state.cur == nxt.ju, "left")
+            .select(
+                "u",
+                F.coalesce("jcur", "cur").alias("cur"),
+                (F.col("hops") + F.coalesce("jhops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    term = srcs.select(F.col("u").alias("tu"), F.lit(1).alias("has_out"))
+    labeled = state.join(term, state.cur == term.tu, "left").select(
+        "u",
+        "cur",
+        "hops",
+        (F.col("has_out").isNull() & (F.col("hops") <= F.lit(max_hops)))
+        .cast("long")
+        .alias("resolved"),
+    )
+    names = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(F.xxhash64("node").alias("nid"), "node")
+    )
+    out = (
+        labeled.join(names.select(F.col("nid").alias("u_id"), F.col("node").alias("src")),
+                     labeled.u == F.col("u_id"))
+        .join(names.select(F.col("nid").alias("c_id"), F.col("node").alias("_final")),
+              labeled.cur == F.col("c_id"))
+    )
+    r = F.col("resolved") == 1
+    return out.select(
+        "src",
+        F.when(r, F.col("_final")).alias("final_url"),
+        F.when(r, F.col("hops")).cast("long").alias("hops"),
+        "resolved",
+    )

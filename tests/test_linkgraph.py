@@ -225,3 +225,51 @@ class TestAnchorText:
         assert x.top_anchor == "apple"  # 2-2 tie -> lexicographic min
         y = got["https://t.test/y"]
         assert (y.n_inlinks, y.n_src_hosts, y.top_anchor) == (1, 1, "only")
+
+
+class TestRedirectResolve:
+    def test_chains_cycles_and_flapping(self, spark):
+        """Chains resolve to the tail with exact hop counts; a closed
+        group never resolves (NULL final/hops); a src with two recorded
+        targets collapses to the lexicographic min dst."""
+        from gocrd_spark.operators.linkgraph import redirect_resolve
+
+        rows = [(f"n{d}", f"n{d + 1}") for d in range(20) if d % 8 != 7]
+        rows += [("n15", "n8")]                     # group 1 closes: cycle
+        rows += [("flap", "b"), ("flap", "a")]      # min dst wins
+        df = spark.createDataFrame(rows, "src string, dst string")
+        got = {r.src: (r.final_url, r.hops, r.resolved)
+               for r in redirect_resolve(df, max_hops=32).collect()}
+        assert got["n0"] == ("n7", 7, 1)
+        assert got["n6"] == ("n7", 1, 1)
+        assert got["n16"] == ("n20", 4, 1)
+        for d in range(8, 16):
+            assert got[f"n{d}"] == (None, None, 0)
+        assert got["flap"] == ("a", 1, 1)
+        # srcs: n0-n6, n8-n15 (cycle group incl. the closing edge),
+        # n16-n19, flap — n7 has no out-edge and emits no row
+        assert len(got) == 20
+
+    def test_max_hops_cap(self, spark):
+        """A 10-hop chain resolves at max_hops=16 but NOT at max_hops=8
+        (chains past the cap are unresolved, not truncated)."""
+        from gocrd_spark.operators.linkgraph import redirect_resolve
+
+        df = spark.createDataFrame(
+            [(f"c{d}", f"c{d + 1}") for d in range(10)], "src string, dst string"
+        )
+        hi = {r.src: r for r in redirect_resolve(df, max_hops=16).collect()}
+        assert hi["c0"].final_url == "c10" and hi["c0"].hops == 10
+        lo = {r.src: r for r in redirect_resolve(df, max_hops=8).collect()}
+        assert lo["c0"].resolved == 0 and lo["c0"].final_url is None
+        assert lo["c2"].final_url == "c10" and lo["c2"].hops == 8
+
+    def test_self_redirect_is_cycle(self, spark):
+        from gocrd_spark.operators.linkgraph import redirect_resolve
+
+        df = spark.createDataFrame(
+            [("s", "s"), ("a", "b")], "src string, dst string"
+        )
+        got = {r.src: (r.final_url, r.resolved)
+               for r in redirect_resolve(df).collect()}
+        assert got == {"s": (None, 0), "a": ("b", 1)}

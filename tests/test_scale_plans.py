@@ -545,3 +545,24 @@ class TestCrawlTrapsPlan:
             head = block.splitlines()[0] if block.splitlines() else ""
             if ") Exchange" in head and "hashpartitioning" in block:
                 assert "url#" not in block and "digest#" not in block, block
+
+
+class TestRedirectResolvePlan:
+    def test_doubling_rounds_are_checkpointed_longs(self, docs):
+        """The iterative-loop audit (CLAUDE.md): the final plan reads
+        ExistingRDD checkpoints — the upstream edge derivation must not
+        replay per round; URL strings ride no doubling exchange (ids and
+        hops are longs until the exit join-back)."""
+        from gocrd_spark.operators.linkgraph import redirect_resolve
+
+        edges = docs.select(
+            F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("src"),
+            F.concat(F.lit("n"), (F.col("doc_id") + 1).cast("string")).alias("dst"),
+        )
+        plan = _plan(redirect_resolve(edges, max_hops=32))
+        assert "ExistingRDD" in plan
+        assert "CartesianProduct" not in plan and "MapInPandas" not in plan
+        for block in plan.split("\n\n"):
+            head = block.splitlines()[0] if block.splitlines() else ""
+            if ") Exchange" in head and "hashpartitioning(cur#" in block:
+                assert "src#" not in block and "dst#" not in block, block
