@@ -197,3 +197,44 @@ def salted_partition_key(salt: int = 42):
 def group_id(num_groups: int, salt: int = 42):
     """Logical commit-group id: pmod(xxhash64(url, salt), N)."""
     return F.pmod(salted_partition_key(salt), F.lit(num_groups)).cast("int")
+
+
+FEED_ITEMS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("feed_type", StringType()),
+        StructField("feed_title", StringType()),
+        StructField("item_idx", LongType()),
+        StructField("item_title", StringType()),
+        StructField("item_link", StringType()),
+        StructField("item_published", StringType()),
+        StructField("item_summary", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def feed_items_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(url, html) -> one row per feed ITEM (gocrd_spark.feed.parse_feed);
+    non-feed / unparseable payloads emit one all-null row with the error
+    string (absence is data, same contract as page_meta_kernel). Narrow
+    map, no shuffle; item fan-out happens inside the task."""
+    from .feed import parse_feed
+
+    cols = list(FEED_ITEMS_SCHEMA.fieldNames())
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            parsed = parse_feed(bytes(html) if html is not None else b"")
+            rows = parsed["items"] or [None]
+            for item in rows:
+                out["url"].append(url)
+                out["feed_type"].append(parsed["feed_type"])
+                out["feed_title"].append(parsed["feed_title"])
+                out["item_idx"].append(None if item is None else item["idx"])
+                out["item_title"].append(None if item is None else item["title"])
+                out["item_link"].append(None if item is None else item["link"])
+                out["item_published"].append(None if item is None else item["published"])
+                out["item_summary"].append(None if item is None else item["summary"])
+                out["error"].append(parsed["error"])
+        yield pd.DataFrame(out)

@@ -188,6 +188,29 @@ def page_metadata(
     return sel.mapInPandas(page_meta_kernel, PAGE_META_SCHEMA)
 
 
+def feed_items(
+    df: DataFrame,
+    salt: int = 42,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Syndication extraction tier: (url, html) -> one row per RSS/Atom
+    feed ITEM (url, feed_type, feed_title, item_idx, item_title,
+    item_link, item_published, item_summary, error) via the
+    feed_items_kernel Arrow batch kernel (gocrd_spark/feed.py — the
+    namespace-blind xmlwalk walker, same machinery as METS/PAGE). Same
+    plan shape as page_metadata: column-pruned scan -> narrow
+    mapInPandas; the item fan-out happens inside the task, so payload
+    bytes never move. Non-feed payloads produce one all-null row with
+    the error string — at crawl scale "not a feed" is data the
+    discovery tier filters on, not a failure path."""
+    from .kernel import FEED_ITEMS_SCHEMA, feed_items_kernel, salted_partition_key
+
+    sel = df.select("url", "html")
+    if num_partitions:
+        sel = sel.repartition(num_partitions, salted_partition_key(salt))
+    return sel.mapInPandas(feed_items_kernel, FEED_ITEMS_SCHEMA)
+
+
 def mets_files(
     df: DataFrame,
     use: str = "",
