@@ -1809,6 +1809,70 @@ def _q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_items(pages)
 
 
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol tier over formula-synthesized payloads:
+    namespaced <urlset> (lastmod on even entries, changefreq
+    daily/weekly by i%3, priority absent on entry 0), <sitemapindex>,
+    valid-XML-but-not-a-sitemap and unparseable-bytes error rows. Spark
+    parses the BYTES through the xmlwalk kernel; the oracle emits the
+    expected per-entry rows from the same formula."""
+    from gocrd_spark.pipeline import sitemap_urls
+
+    d = F.col("doc_id")
+    m = d % 3
+    ds = d.cast("string")
+    i_seq = F.sequence(F.lit(0), (d % 4).cast("int"))
+
+    def _url_entry(i):
+        istr = i.cast("string")
+        return F.concat(
+            F.lit("<url><loc>https://site.test/"), ds, F.lit("/p"), istr,
+            F.lit("</loc>"),
+            F.when(i % 2 == 0, F.concat(
+                F.lit("<lastmod>2024-03-0"), (i + 1).cast("string"),
+                F.lit("</lastmod>"))).otherwise(F.lit("")),
+            F.lit("<changefreq>"),
+            F.when(i % 3 == 0, F.lit("daily")).otherwise(F.lit("weekly")),
+            F.lit("</changefreq>"),
+            F.when(i > 0, F.concat(
+                F.lit("<priority>0."), istr, F.lit("</priority>"))
+            ).otherwise(F.lit("")),
+            F.lit("</url>"),
+        )
+
+    def _index_entry(i):
+        istr = i.cast("string")
+        return F.concat(
+            F.lit("<sitemap><loc>https://site.test/"), ds, F.lit("/s"), istr,
+            F.lit(".xml</loc><lastmod>2024-04-0"), (i + 1).cast("string"),
+            F.lit("</lastmod></sitemap>"),
+        )
+
+    urlset = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.concat_ws("", F.transform(i_seq, _url_entry)),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.concat_ws("", F.transform(i_seq, _index_entry)),
+        F.lit("</sitemapindex>"),
+    )
+    payload = (
+        F.when(m == 0, urlset)
+        .when(m == 1, index)
+        .otherwise(
+            F.when(d % 6 == 2, F.lit('<rss version="2.0"></rss>'))
+            .otherwise(F.concat(F.lit("not xml "), ds))
+        )
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://site.test/"), ds, F.lit("/sitemap.xml")).alias("url"),
+        F.encode(payload, "UTF-8").alias("html"),
+    )
+    return sitemap_urls(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1838,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_traps": _q_crawl_traps,
         "redirect_resolve": _q_redirect_resolve,
         "feed_items": _q_feed_items,
+        "sitemap_urls": _q_sitemap_urls,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2264,6 +2329,43 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'feed parse: ParseError' END AS error
               FROM base WHERE m = 2)
             SELECT * FROM rows_feed UNION ALL SELECT * FROM rows_err
+        """,
+        # expected sitemap entries straight from the synthesis formula
+        "sitemap_urls": """
+            WITH base AS (
+              SELECT doc_id,
+                     'https://site.test/' || doc_id::VARCHAR || '/sitemap.xml' AS url,
+                     doc_id % 3 AS m, doc_id % 4 + 1 AS n
+              FROM documents),
+            fan AS (
+              SELECT doc_id, url, m, unnest(range(0, n)) AS i
+              FROM base WHERE m IN (0, 1)),
+            rows_ok AS (
+              SELECT url,
+                CASE WHEN m = 0 THEN 'urlset' ELSE 'sitemapindex' END AS kind,
+                i::BIGINT AS entry_idx,
+                CASE WHEN m = 0
+                     THEN 'https://site.test/' || doc_id::VARCHAR || '/p' || i::VARCHAR
+                     ELSE 'https://site.test/' || doc_id::VARCHAR || '/s' || i::VARCHAR || '.xml'
+                END AS loc,
+                CASE WHEN m = 1 THEN '2024-04-0' || (i + 1)::VARCHAR
+                     WHEN i % 2 = 0 THEN '2024-03-0' || (i + 1)::VARCHAR
+                END AS lastmod,
+                CASE WHEN m = 0 THEN
+                       (CASE WHEN i % 3 = 0 THEN 'daily' ELSE 'weekly' END)
+                END AS changefreq,
+                CASE WHEN m = 0 AND i > 0 THEN '0.' || i::VARCHAR
+                END AS priority,
+                NULL::VARCHAR AS error
+              FROM fan),
+            rows_err AS (
+              SELECT url, NULL::VARCHAR AS kind, NULL::BIGINT AS entry_idx,
+                     NULL::VARCHAR AS loc, NULL::VARCHAR AS lastmod,
+                     NULL::VARCHAR AS changefreq, NULL::VARCHAR AS priority,
+                     CASE WHEN doc_id % 6 = 2 THEN 'not a sitemap (root ''rss'')'
+                          ELSE 'sitemap parse: ParseError' END AS error
+              FROM base WHERE m = 2)
+            SELECT * FROM rows_ok UNION ALL SELECT * FROM rows_err
         """,
         "extract_spans": _golden(
             "extract_spans",

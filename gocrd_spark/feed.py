@@ -80,3 +80,41 @@ def parse_feed(data: bytes) -> dict[str, Any]:
     else:
         out["error"] = f"not a feed (root {kind!r})"
     return out
+
+
+def parse_sitemap(data: bytes) -> dict[str, Any]:
+    """bytes -> {kind: 'urlset'|'sitemapindex'|None, entries: [...],
+    error}; entries are {idx, loc, lastmod, changefreq, priority} dicts
+    in document order (changefreq/priority None for index entries —
+    the protocol defines them for <url> only). Values stay raw strings;
+    a <url> without <loc> still emits its row (absence is data)."""
+    out: dict[str, Any] = {"kind": None, "entries": [], "error": None}
+    try:
+        root = parse_bytes(data)
+    except ET.ParseError as exc:
+        out["error"] = f"sitemap parse: {exc.__class__.__name__}"
+        return out
+    kind = local_name(root.tag)
+    if kind == "urlset":
+        out["kind"] = "urlset"
+        for idx, u in enumerate(children(root, "url")):
+            out["entries"].append({
+                "idx": idx,
+                "loc": _text(u, "loc"),
+                "lastmod": _text(u, "lastmod"),
+                "changefreq": _text(u, "changefreq"),
+                "priority": _text(u, "priority"),
+            })
+    elif kind == "sitemapindex":
+        out["kind"] = "sitemapindex"
+        for idx, s in enumerate(children(root, "sitemap")):
+            out["entries"].append({
+                "idx": idx,
+                "loc": _text(s, "loc"),
+                "lastmod": _text(s, "lastmod"),
+                "changefreq": None,
+                "priority": None,
+            })
+    else:
+        out["error"] = f"not a sitemap (root {kind!r})"
+    return out

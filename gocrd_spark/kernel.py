@@ -238,3 +238,41 @@ def feed_items_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 out["item_summary"].append(None if item is None else item["summary"])
                 out["error"].append(parsed["error"])
         yield pd.DataFrame(out)
+
+
+SITEMAP_URLS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("kind", StringType()),
+        StructField("entry_idx", LongType()),
+        StructField("loc", StringType()),
+        StructField("lastmod", StringType()),
+        StructField("changefreq", StringType()),
+        StructField("priority", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def sitemap_urls_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(url, html) -> one row per sitemap ENTRY (feed.parse_sitemap);
+    non-sitemap payloads emit one all-null row with the error string.
+    Narrow map, no shuffle — same contract as feed_items_kernel."""
+    from .feed import parse_sitemap
+
+    cols = list(SITEMAP_URLS_SCHEMA.fieldNames())
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            parsed = parse_sitemap(bytes(html) if html is not None else b"")
+            rows = parsed["entries"] or [None]
+            for ent in rows:
+                out["url"].append(url)
+                out["kind"].append(parsed["kind"])
+                out["entry_idx"].append(None if ent is None else ent["idx"])
+                out["loc"].append(None if ent is None else ent["loc"])
+                out["lastmod"].append(None if ent is None else ent["lastmod"])
+                out["changefreq"].append(None if ent is None else ent["changefreq"])
+                out["priority"].append(None if ent is None else ent["priority"])
+                out["error"].append(parsed["error"])
+        yield pd.DataFrame(out)

@@ -211,6 +211,25 @@ def feed_items(
     return sel.mapInPandas(feed_items_kernel, FEED_ITEMS_SCHEMA)
 
 
+def sitemap_urls(
+    df: DataFrame,
+    salt: int = 42,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Sitemap-protocol extraction tier: (url, html) -> one row per
+    <urlset>/<sitemapindex> entry (url, kind, entry_idx, loc, lastmod,
+    changefreq, priority, error) via the sitemap_urls_kernel Arrow batch
+    kernel (gocrd_spark/feed.py::parse_sitemap, the namespace-blind
+    xmlwalk walker). Same narrow no-shuffle plan shape as feed_items;
+    chain after robots_sitemaps discovery to seed the frontier."""
+    from .kernel import SITEMAP_URLS_SCHEMA, salted_partition_key, sitemap_urls_kernel
+
+    sel = df.select("url", "html")
+    if num_partitions:
+        sel = sel.repartition(num_partitions, salted_partition_key(salt))
+    return sel.mapInPandas(sitemap_urls_kernel, SITEMAP_URLS_SCHEMA)
+
+
 def mets_files(
     df: DataFrame,
     use: str = "",

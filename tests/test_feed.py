@@ -79,3 +79,59 @@ class TestFeedItemsTier:
         )
         plan = feed_items(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # rides the scan's own splits
+
+
+SITEMAP = (
+    b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    b"<url><loc>https://s.test/a</loc><lastmod>2024-03-01</lastmod>"
+    b"<changefreq>daily</changefreq><priority>0.8</priority></url>"
+    b"<url><loc>https://s.test/b</loc></url>"
+    b"<url><lastmod>2024-03-02</lastmod></url>"
+    b"</urlset>"
+)
+
+SITEMAP_INDEX = (
+    b"<sitemapindex><sitemap><loc>https://s.test/s1.xml</loc>"
+    b"<lastmod>2024-04-01</lastmod></sitemap></sitemapindex>"
+)
+
+
+class TestParseSitemap:
+    def test_urlset_fields_and_absences(self):
+        from gocrd_spark.feed import parse_sitemap
+
+        out = parse_sitemap(SITEMAP)
+        assert out["kind"] == "urlset" and out["error"] is None
+        assert [e["loc"] for e in out["entries"]] == [
+            "https://s.test/a", "https://s.test/b", None,  # loc-less row kept
+        ]
+        assert out["entries"][0]["priority"] == "0.8"
+        assert out["entries"][1]["lastmod"] is None
+        assert out["entries"][2]["lastmod"] == "2024-03-02"
+
+    def test_index_and_errors(self):
+        from gocrd_spark.feed import parse_sitemap
+
+        out = parse_sitemap(SITEMAP_INDEX)
+        assert out["kind"] == "sitemapindex"
+        assert out["entries"][0]["loc"] == "https://s.test/s1.xml"
+        assert out["entries"][0]["changefreq"] is None
+        assert parse_sitemap(b"<rss/>")["error"] == "not a sitemap (root 'rss')"
+        assert parse_sitemap(b"junk")["error"] == "sitemap parse: ParseError"
+
+
+class TestSitemapUrlsTier:
+    def test_fanout_and_narrow_plan(self, spark):
+        from gocrd_spark.pipeline import sitemap_urls
+
+        df = spark.createDataFrame(
+            [("u1", bytearray(SITEMAP)), ("u2", bytearray(b"x"))],
+            "url string, html binary",
+        )
+        q = sitemap_urls(df)
+        rows = q.collect()
+        assert sum(1 for r in rows if r.url == "u1") == 3
+        err = [r for r in rows if r.url == "u2"]
+        assert err[0].error == "sitemap parse: ParseError" and err[0].loc is None
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
