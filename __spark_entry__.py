@@ -1873,6 +1873,43 @@ def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_urls(pages)
 
 
+def _q_fetch_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier prioritization over formula-derived signals: urls on 5
+    hosts (h0..h4), ranks (k+1)*1e9 per host with h4 UNRANKED (NULL ->
+    +1 floor keeps it fetchable), recrawl tiers by doc_id%4 (3 ->
+    unscheduled), and the h3 template flagged as a trap (score 0).
+    Oracle replays the integer score rule over the same formulas."""
+    from gocrd_spark.operators.compose import fetch_priority
+
+    d = F.col("doc_id")
+    k = d % 5
+    ks = k.cast("string")
+    frontier = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://h"), ks, F.lit(".test/x/"), d.cast("string")).alias("url"),
+        d.alias("doc_id"),
+    )
+    ranks = (
+        _docs(spark, sf_dir)
+        .select((d % 4).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".test")).alias("host"),
+            ((F.col("k") + 1) * F.lit(1_000_000_000)).alias("rank_e12"),
+        )
+    )
+    schedules = frontier.where(d % 4 < 3).select(
+        "url",
+        F.when(d % 4 == 0, F.lit("fast"))
+        .when(d % 4 == 1, F.lit("slow"))
+        .otherwise(F.lit("medium"))
+        .alias("tier"),
+    )
+    traps = spark.createDataFrame(
+        [("h3.test/x/N", 1), ("h0.test/other/N", 1)], "template string, is_trap int"
+    )
+    return fetch_priority(frontier.select("url"), ranks, schedules, traps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1903,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirect_resolve,
         "feed_items": _q_feed_items,
         "sitemap_urls": _q_sitemap_urls,
+        "fetch_priority": _q_fetch_priority,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2366,6 +2404,26 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'sitemap parse: ParseError' END AS error
               FROM base WHERE m = 2)
             SELECT * FROM rows_ok UNION ALL SELECT * FROM rows_err
+        """,
+        # integer score-rule replay over the same formula signals
+        "fetch_priority": """
+            WITH f AS (
+              SELECT doc_id, doc_id % 5 AS k,
+                     'https://h' || (doc_id % 5)::VARCHAR || '.test/x/'
+                       || doc_id::VARCHAR AS url,
+                     'h' || (doc_id % 5)::VARCHAR || '.test' AS host
+              FROM documents),
+            scored AS (
+              SELECT url, host,
+                CASE
+                  WHEN k = 3 THEN 0  -- h3.test/x/N is the trap template
+                  ELSE (1 + (CASE WHEN k <= 3 THEN (k + 1) * 1000 ELSE 0 END))
+                       * (CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 1
+                                          WHEN 2 THEN 2 ELSE 3 END)
+                END AS score,
+                (k = 3)::BIGINT AS is_trap
+              FROM f)
+            SELECT url, host, score::BIGINT AS score, is_trap FROM scored
         """,
         "extract_spans": _golden(
             "extract_spans",

@@ -201,3 +201,66 @@ def training_corpus(
     # 6. shard layout of what remains
     shards = pack_shards(stage5, budget_tokens=budget_tokens)
     return stage5.join(shards.select("doc_id", "n_tokens", "shard_id"), "doc_id")
+
+
+def fetch_priority(
+    frontier: DataFrame,
+    host_ranks: DataFrame,
+    schedules: DataFrame | None = None,
+    traps: DataFrame | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Frontier prioritization — the score a fetch scheduler sorts by,
+    composed from the individually-oracle-checked signals:
+
+        weight(url)  = 4 fast / 2 medium / 1 slow (recrawl_schedule
+                       tier), 3 when unscheduled or 'once' (explore)
+        score(url)   = (1 + rank_e12 div 1e6) * weight   [BIGINT]
+        trap urls    -> score 0 (crawl_traps template match)
+
+    The +1 floor keeps unranked hosts (rank NULL -> 0) fetchable —
+    discovery must not starve. All-integer arithmetic, so the score is
+    engine- and order-independent. Returns (url, host, score, is_trap).
+
+    Scale shape: host/template derive map-side (url_template); the rank
+    join shuffles on host (dims of 1e8 hosts still hash-join fine), the
+    schedule join on url, and the trap list — templates, bounded by the
+    min_urls floor upstream — BROADCASTS. Malformed URLs (no host) are
+    dropped, same contract as crawl_traps.
+    """
+    from .urls import url_template
+
+    url = F.col(url_col)
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    base = frontier.where(host.isNotNull()).select(
+        url.alias("url"), host.alias("host"), url_template(url).alias("template")
+    )
+    j = base.join(host_ranks.select("host", "rank_e12"), "host", "left")
+    if schedules is not None:
+        j = j.join(schedules.select("url", "tier"), "url", "left")
+    else:
+        j = j.withColumn("tier", F.lit(None).cast("string"))
+    if traps is not None:
+        trap_list = (
+            traps.where(F.col("is_trap") == 1).select("template").distinct()
+            .withColumn("_trap", F.lit(1))
+        )
+        j = j.join(F.broadcast(trap_list), "template", "left")
+    else:
+        j = j.withColumn("_trap", F.lit(None).cast("int"))
+    weight = (
+        F.when(F.col("tier") == "fast", 4)
+        .when(F.col("tier") == "medium", 2)
+        .when(F.col("tier") == "slow", 1)
+        .otherwise(3)
+    )
+    is_trap = F.coalesce(F.col("_trap"), F.lit(0))
+    score = F.when(is_trap == 1, F.lit(0)).otherwise(
+        (F.lit(1) + F.expr("coalesce(rank_e12, 0L) div 1000000")) * weight
+    )
+    return j.select(
+        "url",
+        "host",
+        score.cast("long").alias("score"),
+        is_trap.cast("long").alias("is_trap"),
+    )

@@ -406,6 +406,33 @@ def recrawl_schedule(
     )
 
 
+def url_template(url: Column) -> Column:
+    """URL -> path TEMPLATE: lowercased host + path with each
+    decimal-digit run collapsed to ``N`` + (when a query string exists)
+    the sorted set of query KEYS, values dropped. The grouping key of
+    :func:`crawl_traps` and the trap-lookup key of
+    :func:`gocrd_spark.operators.compose.fetch_priority` — computed
+    map-side from JVM ``try_parse_url`` + regexp, no Python."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    path_norm = F.regexp_replace(path, "[0-9]+", "N")
+    key_set = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.split(query, "&"),
+                lambda kv: F.element_at(F.split(kv, "="), 1),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        host,
+        path_norm,
+        F.when(query.isNull(), F.lit("")).otherwise(F.concat(F.lit("?"), key_set)),
+    )
+
+
 def crawl_traps(
     obs: DataFrame,
     min_urls: int = 20,
@@ -440,23 +467,7 @@ def crawl_traps(
     """
     url, dig = F.col(url_col), F.col(digest_col)
     host = F.lower(F.try_parse_url(url, F.lit("HOST")))
-    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
-    query = F.try_parse_url(url, F.lit("QUERY"))
-    path_norm = F.regexp_replace(path, "[0-9]+", "N")
-    key_set = F.array_join(
-        F.array_sort(
-            F.transform(
-                F.split(query, "&"),
-                lambda kv: F.element_at(F.split(kv, "="), 1),
-            )
-        ),
-        "&",
-    )
-    template = F.concat(
-        host,
-        path_norm,
-        F.when(query.isNull(), F.lit("")).otherwise(F.concat(F.lit("?"), key_set)),
-    )
+    template = url_template(url)
     t = (
         obs.where(host.isNotNull())
         .select(

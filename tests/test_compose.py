@@ -208,3 +208,52 @@ class TestCrawlPlan:
         assert big == [0, 0, 1, 1, 2]
         # non-fetch rows never carry a wave
         assert all(w is None for d, (disp, w) in got.items() if disp != "fetch")
+
+
+class TestFetchPriority:
+    def test_score_composition(self, spark):
+        """rank x tier weight, +1 floor for unranked hosts, trap -> 0,
+        unscheduled -> explore weight 3."""
+        from gocrd_spark.operators.compose import fetch_priority
+
+        frontier = spark.createDataFrame(
+            [("https://a.test/p/1",), ("https://a.test/p/2",),
+             ("https://b.test/q/9",), ("https://trap.test/cal/3",),
+             ("junk",)],
+            "url string",
+        )
+        ranks = spark.createDataFrame(
+            [("a.test", 2_000_000_000)], "host string, rank_e12 long"
+        )
+        schedules = spark.createDataFrame(
+            [("https://a.test/p/1", "fast"), ("https://b.test/q/9", "slow")],
+            "url string, tier string",
+        )
+        traps = spark.createDataFrame(
+            [("trap.test/cal/N", 1)], "template string, is_trap int"
+        )
+        got = {r.url: (r.score, r.is_trap) for r in
+               fetch_priority(frontier, ranks, schedules, traps).collect()}
+        assert got == {
+            "https://a.test/p/1": ((1 + 2000) * 4, 0),   # ranked, fast
+            "https://a.test/p/2": ((1 + 2000) * 3, 0),   # unscheduled explore
+            "https://b.test/q/9": (1 * 1, 0),            # unranked floor, slow
+            "https://trap.test/cal/3": (0, 1),           # trap template
+        }  # malformed url dropped
+
+    def test_trap_list_broadcasts(self, spark):
+        from gocrd_spark.operators.compose import fetch_priority
+
+        frontier = spark.createDataFrame(
+            [(f"https://h.test/x/{i}",) for i in range(50)], "url string"
+        )
+        ranks = spark.createDataFrame(
+            [("h.test", 10**9)], "host string, rank_e12 long"
+        )
+        traps = spark.createDataFrame(
+            [("h.test/x/N", 1)], "template string, is_trap int"
+        )
+        q = fetch_priority(frontier, ranks, traps=traps)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert all(r.score == 0 and r.is_trap == 1 for r in q.collect())
