@@ -1910,13 +1910,26 @@ def _q_fetch_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_priority(frontier.select("url"), ranks, schedules, traps)
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives for 5 query vectors: top-10 cosine
+    neighbors restricted to a DIFFERENT label. Oracle replays the
+    scoring with list_dot_product at the shared 9dp rounding + id
+    tie-break (the module-wide engine-portability convention)."""
+    from gocrd_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hard_negatives(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
     # carries (a) queries never/least-recently driver-verified and (b)
     # queries whose implementation churned this round; the long-stable
     # extraction/text suite (50/50 green in r04) rotates to the back.
-    return {
+    # The dict literal below groups by THEME; _DRIVER_WINDOW (end of
+    # this function) imposes the priority order on the first 50 slots.
+    q = {
         # --- never driver-green in ANY round: multimodal trio first ---
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
@@ -1941,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items": _q_feed_items,
         "sitemap_urls": _q_sitemap_urls,
         "fetch_priority": _q_fetch_priority,
+        "hard_negatives": _q_hard_negatives,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2040,6 +2054,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
     }
+    # Priority order for the driver's 50-row window (round 5): the 39
+    # queries with NO green driver row in any round (multimodal trio +
+    # every round-5 addition), then the r04-green queries whose
+    # implementation churned this round (batched BPE, containment
+    # shingle-set change, adaptive pointer jumping, star valve,
+    # linkgraph anchor capture), then two round-3-green rotations.
+    # Everything else keeps its thematic literal order behind them.
+    window = [
+        "multimodal_features", "multimodal_resize", "video_frame_sample",
+        "image_phash", "phash_near_dups", "classifier_quality",
+        "dedup_survivors", "semdedup", "fuzzy_contamination",
+        "bigram_logprob", "source_overlap", "crawl_plan", "page_metadata",
+        "canonical_dedup", "perplexity_buckets", "recrawl_schedule",
+        "host_boilerplate", "crawl_traps", "redirect_resolve",
+        "feed_items", "sitemap_urls", "fetch_priority",
+        "containment_candidates_recall", "dsir_weights", "dsir_select",
+        "bloom_unprocessed", "events_window_stream", "cdx_fetch_plan",
+        "pack_sequences", "charset_decode", "mixture_plan",
+        "simhash_recall", "chunk_documents", "frontier_waves",
+        "quantize_embeddings", "dataset_card", "inlink_summary",
+        "mojibake_score", "robots_sitemaps", "hard_negatives",
+        # churned r04-greens
+        "bpe_merges", "bpe_vocab", "bpe_encode", "token_stats_bpe",
+        "containment_pairs", "dedup_clusters", "minhash_near_dups",
+        "host_pagerank", "outlinks",
+        # r03-green rotations
+        "media_dedup", "training_set_filter",
+    ]
+    assert set(window) <= set(q), sorted(set(window) - set(q))
+    return {**{k: q[k] for k in window}, **{k: v for k, v in q.items() if k not in window}}
 
 
 # Exact all-pairs shingle Jaccard at the driver threshold — the oracle
@@ -2424,6 +2468,25 @@ def oracle_sql() -> dict[str, str]:
                 (k = 3)::BIGINT AS is_trap
               FROM f)
             SELECT url, host, score::BIGINT AS score, is_trap FROM scored
+        """,
+        # exact replay at the shared 9dp + id tie-break convention,
+        # label-mismatch filter before ranking
+        "hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+              FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                     round(list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 9) AS cos
+              FROM q CROSS JOIN embeddings e WHERE e.label <> q.q_label),
+            ranked AS (
+              SELECT query_id, neighbor_id, neighbor_label,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, neighbor_label::BIGINT AS neighbor_label, rank
+            FROM ranked WHERE rank <= 10
         """,
         "extract_spans": _golden(
             "extract_spans",

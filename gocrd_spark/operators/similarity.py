@@ -659,3 +659,61 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
         F.round(_fin(F.col("_lo")) * 1_000_000).cast("long").alias("lo_e6"),
         F.round(_fin(F.col("_scale")) * 1_000_000).cast("long").alias("scale_e6"),
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k
+    most-cosine-similar vectors whose LABEL differs — the near-misses a
+    contrastive or reranker training set wants as negatives (easy
+    negatives are useless; same-label neighbors are positives, not
+    negatives).
+
+    Exact scoring over the corpus, same regime as
+    :func:`topk_bruteforce`: the bounded query set broadcasts, the
+    corpus scans ONCE — O(|Q| * N) work with no corpus self-join, the
+    honest shape when |Q| is a training batch. For corpus-x-corpus
+    mining at crawl scale, bucket first (``lsh_buckets``/``ivf_index``)
+    and apply the label filter inside the bucket join — same
+    composition as embedding_near_dups.
+
+    Returns (query_id, neighbor_id, neighbor_label, rank) — integer
+    columns only; cosine is rounded to 9dp before ranking with a
+    neighbor_id tie-break, the module-wide engine-portability
+    convention.
+    """
+    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("neighbor_label"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("q_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("neighbor_label").cast("long").alias("neighbor_label"),
+            "rank",
+        )
+    )

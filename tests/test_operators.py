@@ -2752,3 +2752,39 @@ class TestCrawlTraps:
         got = {r.template: (r.n_urls, r.n_digests) for r in
                crawl_traps(obs, min_urls=2).collect()}
         assert got == {"s.test/p?a&b": (10, 10), "s.test/pN": (3, 3)}
+
+
+class TestHardNegatives:
+    def test_label_filter_and_ranking(self, spark):
+        """Neighbors carry a different label only; ranking follows cosine
+        with the id tie-break; same-label near-duplicates never appear."""
+        from gocrd_spark.operators.similarity import hard_negatives
+
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.01], 0),   # same label as query 0: excluded
+            (2, [0.9, 0.1], 1),    # closest different-label
+            (3, [0.0, 1.0], 1),    # orthogonal different-label
+            (4, [-1.0, 0.0], 2),   # opposite
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = [(r.neighbor_id, r.neighbor_label, r.rank) for r in
+               hard_negatives(emb, query_ids=[0], k=3)
+               .orderBy("rank").collect()]
+        assert got == [(2, 1, 1), (3, 1, 2), (4, 2, 3)]
+
+    def test_queries_broadcast_no_corpus_self_join(self, spark):
+        from gocrd_spark.operators.similarity import hard_negatives
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0], i % 3) for i in range(50)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        plan = (
+            hard_negatives(emb, query_ids=[0, 1], k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan  # bounded query side only
+        assert plan.count("Scan ExistingRDD") <= 2
