@@ -1921,6 +1921,32 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror detection over a formula-derived fetch log: m1 fully
+    mirrors m0 (identical digest sets -> overlap 1e6, mirror), m2
+    shares every EVEN digest (~50% -> below the 0.8 floor, reported but
+    not a mirror), m3 is all-unique (no pair rows). Oracle co-occurs
+    the digest STRINGS (certifying the xxhash64 pair join)."""
+    from gocrd_spark.operators.urls import mirror_hosts
+
+    d = F.col("doc_id")
+    k = d % 4
+    g = F.expr("doc_id div 4")
+    digest = (
+        F.when(k < 2, F.concat(F.lit("sh"), g.cast("string")))
+        .when((k == 2) & (g % 2 == 0), F.concat(F.lit("sh"), g.cast("string")))
+        .when(k == 2, F.concat(F.lit("only2-"), d.cast("string")))
+        .otherwise(F.concat(F.lit("only3-"), d.cast("string")))
+    )
+    obs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://m"), k.cast("string"), F.lit(".test/p/"), d.cast("string")
+        ).alias("url"),
+        digest.alias("digest"),
+    )
+    return mirror_hosts(obs, min_shared=5, min_overlap_e6=800_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -1955,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": _q_sitemap_urls,
         "fetch_priority": _q_fetch_priority,
         "hard_negatives": _q_hard_negatives,
+        "mirror_hosts": _q_mirror_hosts,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2075,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall", "chunk_documents", "frontier_waves",
         "quantize_embeddings", "dataset_card", "inlink_summary",
         "mojibake_score", "robots_sitemaps", "hard_negatives",
+        "mirror_hosts",
         # churned r04-greens
         "bpe_merges", "bpe_vocab", "bpe_encode", "token_stats_bpe",
         "containment_pairs", "dedup_clusters", "minhash_near_dups",
@@ -2487,6 +2515,40 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, neighbor_label::BIGINT AS neighbor_label, rank
             FROM ranked WHERE rank <= 10
+        """,
+        # digest-STRING co-occurrence replay of mirror_hosts (operator
+        # joins on xxhash64(digest)); same fanout valve, pair rule,
+        # integer containment-of-the-smaller overlap
+        "mirror_hosts": """
+            WITH obs AS (
+              SELECT 'm' || (doc_id % 4)::VARCHAR || '.test' AS host,
+                     CASE
+                       WHEN doc_id % 4 < 2 THEN 'sh' || (doc_id // 4)::VARCHAR
+                       WHEN doc_id % 4 = 2 AND (doc_id // 4) % 2 = 0
+                            THEN 'sh' || (doc_id // 4)::VARCHAR
+                       WHEN doc_id % 4 = 2 THEN 'only2-' || doc_id::VARCHAR
+                       ELSE 'only3-' || doc_id::VARCHAR
+                     END AS digest
+              FROM documents),
+            hd AS (SELECT DISTINCT host, digest FROM obs),
+            kept AS (
+              SELECT host, digest FROM hd
+              QUALIFY count(*) OVER (PARTITION BY digest) <= 64),
+            sizes AS (SELECT host, count(*) AS n_docs FROM kept GROUP BY host),
+            pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+              FROM kept a JOIN kept b
+                ON a.digest = b.digest AND a.host < b.host
+              GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT p.host_a, p.host_b, p.n_shared::BIGINT AS n_shared,
+                   sa.n_docs::BIGINT AS n_a, sb.n_docs::BIGINT AS n_b,
+                   ((1000000 * p.n_shared) // least(sa.n_docs, sb.n_docs))::BIGINT
+                     AS overlap_e6,
+                   ((1000000 * p.n_shared) // least(sa.n_docs, sb.n_docs)
+                     >= 800000)::BIGINT AS is_mirror
+            FROM pairs p
+            JOIN sizes sa ON sa.host = p.host_a
+            JOIN sizes sb ON sb.host = p.host_b
         """,
         "extract_spans": _golden(
             "extract_spans",

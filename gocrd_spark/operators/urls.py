@@ -491,3 +491,70 @@ def crawl_traps(
         .cast("long")
         .alias("is_trap"),
     )
+
+
+def mirror_hosts(
+    obs: DataFrame,
+    min_shared: int = 5,
+    min_overlap_e6: int = 800_000,
+    max_hosts_per_digest: int = 64,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Mirror-site detection: host PAIRS whose content-digest sets
+    overlap — the containment rule lifted from documents to hosts. A
+    crawl that discovers ``cdn.example`` mirroring ``www.example`` should
+    fetch one of them; URL-level dedup never sees this because every
+    mirrored URL is distinct.
+
+    overlap_e6 = (1e6 * |A∩B|) div min(|A|,|B|)  — integer arithmetic
+    (containment of the smaller host, so a small full mirror of a big
+    site still scores 1e6). is_mirror = overlap_e6 >= min_overlap_e6 AND
+    |A∩B| >= min_shared. Returns
+    (host_a, host_b, n_shared, n_a, n_b, overlap_e6, is_mirror) for
+    every co-occurring pair with n_shared >= min_shared, host_a < host_b.
+
+    Skew valve: a digest served by more than ``max_hosts_per_digest``
+    hosts (empty pages, error templates, cookie walls — the universal
+    boilerplate payloads) is DROPPED before the pair join, the same
+    degenerate-bucket discipline as SimHash's max_bucket: such digests
+    assert nothing about mirroring and would otherwise mint |H|²/2
+    pairs. Shuffle accounting: the pair join carries (xxhash64(digest),
+    host) — the DuckDB oracle co-occurs the digest STRINGS, certifying
+    the hash grouping.
+    """
+    url = F.col(url_col)
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    hd = (
+        obs.where(host.isNotNull())
+        .select(host.alias("host"), F.xxhash64(F.col(digest_col)).alias("dh"))
+        .distinct()
+    )
+    fanout = hd.groupBy("dh").agg(F.count("*").alias("n_hosts"))
+    kept = hd.join(
+        fanout.where(F.col("n_hosts") <= F.lit(max_hosts_per_digest)).select("dh"),
+        "dh",
+    )
+    sizes = kept.groupBy("host").agg(F.count("*").alias("n_docs"))
+    left = kept.select("dh", F.col("host").alias("host_a"))
+    right = kept.select("dh", F.col("host").alias("host_b"))
+    pairs = (
+        left.join(right, "dh")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(min_shared))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("n_docs").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("n_docs").alias("n_b"))
+    out = pairs.join(sa, "host_a").join(sb, "host_b")
+    overlap = F.expr("(1000000 * n_shared) div least(n_a, n_b)")
+    return out.select(
+        "host_a",
+        "host_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        overlap.cast("long").alias("overlap_e6"),
+        (overlap >= F.lit(min_overlap_e6)).cast("long").alias("is_mirror"),
+    )

@@ -2788,3 +2788,50 @@ class TestHardNegatives:
         )
         assert "BroadcastNestedLoopJoin" in plan  # bounded query side only
         assert plan.count("Scan ExistingRDD") <= 2
+
+
+class TestMirrorHosts:
+    def test_full_and_partial_mirrors(self, spark):
+        from gocrd_spark.operators.urls import mirror_hosts
+
+        rows = []
+        for i in range(20):
+            rows.append((f"https://m0.test/a/{i}", f"sh{i}"))
+            rows.append((f"https://m1.test/b/{i}", f"sh{i}"))
+            rows.append((f"https://m2.test/c/{i}", f"sh{i}" if i < 10 else f"x{i}"))
+            rows.append((f"https://m3.test/d/{i}", f"y{i}"))
+        df = spark.createDataFrame(rows, "url string, digest string")
+        got = {(r.host_a, r.host_b): (r.n_shared, r.overlap_e6, r.is_mirror)
+               for r in mirror_hosts(df, min_shared=5).collect()}
+        assert got == {
+            ("m0.test", "m1.test"): (20, 1_000_000, 1),
+            ("m0.test", "m2.test"): (10, 500_000, 0),
+            ("m1.test", "m2.test"): (10, 500_000, 0),
+        }
+
+    def test_small_full_mirror_of_big_site(self, spark):
+        """Containment-of-the-smaller: a 6-page mirror of a 100-page
+        site scores 1e6 even though Jaccard would be tiny."""
+        from gocrd_spark.operators.urls import mirror_hosts
+
+        rows = [(f"https://big.test/{i}", f"d{i}") for i in range(100)]
+        rows += [(f"https://small.test/{i}", f"d{i}") for i in range(6)]
+        df = spark.createDataFrame(rows, "url string, digest string")
+        [r] = mirror_hosts(df, min_shared=5).collect()
+        assert (r.host_a, r.host_b) == ("big.test", "small.test")
+        assert r.overlap_e6 == 1_000_000 and r.is_mirror == 1
+
+    def test_universal_digest_valve(self, spark):
+        """A digest on more hosts than the cap (error template) asserts
+        nothing: with it excluded the hosts share too little."""
+        from gocrd_spark.operators.urls import mirror_hosts
+
+        rows = []
+        for h in range(8):
+            for i in range(6):
+                rows.append((f"https://h{h}.test/{i}", "errorpage"))
+                rows.append((f"https://h{h}.test/u/{i}", f"h{h}-{i}"))
+        df = spark.createDataFrame(rows, "url string, digest string")
+        assert mirror_hosts(df, min_shared=1, max_hosts_per_digest=4).count() == 0
+        # raise the cap: the universal digest now links every host pair
+        assert mirror_hosts(df, min_shared=1, max_hosts_per_digest=64).count() == 28
