@@ -842,6 +842,25 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges, n_iters=5).select("host", "rank_e12")
 
 
+def _q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the same formula-derived host graph: teleport
+    mass restricted to the 4 seed hosts (host{0,5,10,15}), exact BIGINT
+    recurrence — hosts linked only from outside the trust neighborhood
+    decay toward 0. Oracle unrolls the identical integer recurrence
+    with the seed-conditional base term."""
+    from gocrd_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        host_trustrank,
+    )
+
+    edges = host_edges(extract_outlinks(_linked_pages(spark, sf_dir)))
+    seeds = spark.createDataFrame(
+        [(f"host{k}.example.com",) for k in (0, 5, 10, 15)], "host string"
+    )
+    return host_trustrank(edges, seeds, n_iters=5)
+
+
 _BPE_MERGES_CACHE: dict[str, list] = {}
 # single source of truth for BOTH bpe queries — drift between the
 # fresh-train path and the memo path would make bpe_encode's output
@@ -1982,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_priority": _q_fetch_priority,
         "hard_negatives": _q_hard_negatives,
         "mirror_hosts": _q_mirror_hosts,
+        "host_trustrank": _q_host_trustrank,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2102,7 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall", "chunk_documents", "frontier_waves",
         "quantize_embeddings", "dataset_card", "inlink_summary",
         "mojibake_score", "robots_sitemaps", "hard_negatives",
-        "mirror_hosts",
+        "mirror_hosts", "host_trustrank",
         # churned r04-greens
         "bpe_merges", "bpe_vocab", "bpe_encode", "token_stats_bpe",
         "containment_pairs", "dedup_clusters", "minhash_near_dups",
@@ -3882,6 +3902,7 @@ def _linkgraph_oracles() -> dict[str, str]:
             """
         ),
         "host_pagerank": _host_pagerank_oracle(n, n_iters=5),
+        "host_trustrank": _host_trustrank_oracle(n, n_iters=5),
         "robots_filter": """
             SELECT doc_id,
                    'https://host' || (doc_id % 10) || '.example.com' ||
@@ -4389,6 +4410,56 @@ def _host_pagerank_oracle(n: int, n_iters: int = 5) -> str:
             GROUP BY 1) x ON x.host = h.host)""")
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT host, rank_e12 FROM r{n_iters}"
+    )
+
+
+def _host_trustrank_oracle(n: int, n_iters: int = 5) -> str:
+    """DuckDB twin of host_trustrank: the host_pagerank unroll with the
+    teleport term restricted to the seed hosts (host{0,5,10,15} — must
+    match _q_host_trustrank) and the seed-only initial vector."""
+    scale = 10**12
+    seed_pred = "host IN ('host0.example.com','host5.example.com'," \
+        "'host10.example.com','host15.example.com')"
+    ctes = [
+        f"links AS ({_linked_pages_links_sql(n)})",
+        """e AS (
+          SELECT 'host' || (i % 20) || '.example.com' AS src_host,
+                 'host' || (dst % 20) || '.example.com' AS dst_host,
+                 count(*)::BIGINT AS n_links
+          FROM links GROUP BY 1, 2)""",
+        """hosts AS (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM e
+            UNION ALL SELECT dst_host FROM e))""",
+        f"ns AS (SELECT count(*)::BIGINT AS n FROM hosts WHERE {seed_pred})",
+        """deg AS (
+          SELECT src_host, sum(n_links)::BIGINT AS out_total
+          FROM e GROUP BY 1)""",
+        f"""r0 AS (
+          SELECT host,
+                 (CASE WHEN {seed_pred} THEN {scale} // n ELSE 0 END)::BIGINT
+                   AS trust_e12
+          FROM hosts, ns)""",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(f"""r{k} AS (
+          SELECT h.host,
+                 ((CASE WHEN h.{seed_pred}
+                        THEN {15 * scale} // (100 * ns.n) ELSE 0 END)
+                  + (85 * coalesce(x.inc, 0)) // 100)::BIGINT AS trust_e12
+          FROM hosts h CROSS JOIN ns
+          LEFT JOIN (
+            -- widened split identity, same form as the operator
+            SELECT e.dst_host AS host,
+                   sum((r.trust_e12 // d.out_total) * e.n_links
+                       + ((r.trust_e12 % d.out_total) * e.n_links)
+                         // d.out_total)::BIGINT AS inc
+            FROM r{k - 1} r
+            JOIN deg d ON r.host = d.src_host
+            JOIN e ON e.src_host = d.src_host
+            GROUP BY 1) x ON x.host = h.host)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT host, trust_e12 FROM r{n_iters}"
     )
 
 

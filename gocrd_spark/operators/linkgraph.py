@@ -248,6 +248,99 @@ def host_pagerank(
     return ranks
 
 
+def host_trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 5,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """TrustRank (Gyongyi et al. 2004) over the weighted host graph —
+    PageRank personalized to a TRUSTED SEED set, in the same exact
+    BIGINT arithmetic as :func:`host_pagerank`:
+
+        trust0[h]   = 1e12 div |S|              if h in S else 0
+        contrib(e)  = split-identity (trust[src] * n_links) div out[src]
+        trust'[h]   = [h in S] * (15*1e12) div (100*|S|)
+                      + (85 * sum(contrib)) div 100
+
+    Teleport mass flows ONLY to seeds, so trust decays with link
+    distance from the curated set — hosts reachable only through spam
+    farms score ~0, which is the demotion signal the crawl-curation
+    tier subtracts from raw PageRank. ``seeds`` is a (host) DataFrame;
+    seed hosts absent from the graph are ignored. Returns
+    (host, trust_e12) for every host in the graph. Every operation is
+    integer, so the result is partitioning/order/engine independent
+    (the DuckDB oracle replays the recurrence as chained CTEs).
+
+    Same scale discipline as host_pagerank: loop-invariant inputs
+    localCheckpoint'd ONCE at entry (the final plan reads ExistingRDD —
+    no per-round upstream replay), |S| rides a broadcast singleton,
+    per-round shuffles carry (host, long).
+    """
+    edges = edges.localCheckpoint(eager=True)
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    marked = (
+        hosts.join(
+            seeds.select(F.col("host")).distinct().withColumn("_s", F.lit(1)),
+            "host",
+            "left",
+        )
+        .select("host", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    ns_df = marked.agg(F.sum("is_seed").cast("long").alias("n_seeds"))
+    ranks = marked.crossJoin(F.broadcast(ns_df)).select(
+        "host",
+        "is_seed",
+        F.when(
+            F.col("is_seed") == 1, F.expr(f"{PAGERANK_SCALE} div n_seeds")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("trust_e12"),
+    )
+    deg = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+    weighted = edges.join(deg, "src_host").localCheckpoint(eager=True)
+    for i in range(n_iters):
+        inc = (
+            ranks.join(weighted, ranks.host == weighted.src_host)
+            .select(
+                F.col("dst_host").alias("host"),
+                # widened split identity — see host_pagerank
+                F.expr(
+                    "(trust_e12 div out_total) * n_links"
+                    " + ((trust_e12 % out_total) * n_links) div out_total"
+                ).alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            marked.join(inc, "host", "left")
+            .crossJoin(F.broadcast(ns_df))
+            .select(
+                "host",
+                "is_seed",
+                (
+                    F.when(
+                        F.col("is_seed") == 1,
+                        F.expr(f"{15 * PAGERANK_SCALE} div (100 * n_seeds)"),
+                    ).otherwise(F.lit(0))
+                    + F.expr("(85 * coalesce(inc, 0L)) div 100")
+                )
+                .cast("long")
+                .alias("trust_e12"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("host", "trust_e12")
+
+
 # --- deterministic linked-pages fixture (driver oracle corpus) ---------------
 
 

@@ -273,3 +273,43 @@ class TestRedirectResolve:
         got = {r.src: (r.final_url, r.resolved)
                for r in redirect_resolve(df).collect()}
         assert got == {"s": (None, 0), "a": ("b", 1)}
+
+
+class TestHostTrustrank:
+    def test_trust_decays_from_seeds(self, spark):
+        """A 4-host chain seeded at one end: trust strictly decreases
+        with hop distance; a host unreachable from the seed scores 0;
+        PageRank would rank the popular spam host highest but TrustRank
+        must not."""
+        from gocrd_spark.operators.linkgraph import host_pagerank, host_trustrank
+
+        # seed -> a -> b; spam heavily linked from everywhere EXCEPT
+        # the trust neighborhood never sees teleport or inflow
+        edges = spark.createDataFrame(
+            [("seed", "a", 2), ("a", "b", 1),
+             ("x1", "spam", 9), ("x2", "spam", 9), ("x3", "spam", 9)],
+            "src_host string, dst_host string, n_links long",
+        )
+        seeds = spark.createDataFrame([("seed",)], "host string")
+        trust = {r.host: r.trust_e12 for r in host_trustrank(edges, seeds).collect()}
+        assert trust["seed"] > trust["a"] > trust["b"] > 0
+        assert trust["spam"] == 0 and trust["x1"] == 0
+        rank = {r.host: r.rank_e12 for r in host_pagerank(edges).collect()}
+        assert rank["spam"] > rank["b"]  # raw popularity, the signal trust corrects
+
+    def test_missing_seed_ignored_and_plan_checkpointed(self, spark):
+        from gocrd_spark.operators.linkgraph import host_trustrank
+
+        edges = spark.createDataFrame(
+            [("s", "t", 1)], "src_host string, dst_host string, n_links long"
+        )
+        seeds = spark.createDataFrame(
+            [("s",), ("ghost.example",)], "host string"
+        )
+        out = host_trustrank(edges, seeds, n_iters=2)
+        got = {r.host: r.trust_e12 for r in out.collect()}
+        # |S ∩ graph| = 1: seed keeps full teleport share
+        assert got["s"] == 15 * 10**10  # (15*1e12) div (100*1)
+        assert got["t"] > 0 and "ghost.example" not in got
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan
