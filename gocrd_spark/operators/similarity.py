@@ -308,6 +308,9 @@ def kmeans_centroids_df(
     twin recomputes the same rounded values).
     Returns (cell int, centroid array<double>).
     """
+    # unpartitioned window BY CONSTRUCTION on <= n_cells rows: it runs
+    # after the limit, so the "single partition" WindowExec warns about
+    # holds the seed table (<= 4096 rows), never the corpus
     w = Window.orderBy("vec_id")
     cent = (
         embeddings.orderBy("vec_id")
