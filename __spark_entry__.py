@@ -1966,6 +1966,15 @@ def _q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mirror_hosts(obs, min_shared=5, min_overlap_e6=800_000)
 
 
+def _q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-disjoint split over the documents table keyed on source —
+    every doc of a source shares its split. Oracle replays the
+    md5-first-byte band rule on the group string."""
+    from gocrd_spark.operators.textstats import grouped_split
+
+    return grouped_split(_docs(spark, sf_dir), group_col="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -2002,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "mirror_hosts": _q_mirror_hosts,
         "host_trustrank": _q_host_trustrank,
+        "grouped_split": _q_grouped_split,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2122,7 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall", "chunk_documents", "frontier_waves",
         "quantize_embeddings", "dataset_card", "inlink_summary",
         "mojibake_score", "robots_sitemaps", "hard_negatives",
-        "mirror_hosts", "host_trustrank",
+        "mirror_hosts", "host_trustrank", "grouped_split",
         # churned r04-greens
         "bpe_merges", "bpe_vocab", "bpe_encode", "token_stats_bpe",
         "containment_pairs", "dedup_clusters", "minhash_near_dups",
@@ -2569,6 +2579,20 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN sizes sa ON sa.host = p.host_a
             JOIN sizes sb ON sb.host = p.host_b
+        """,
+        # md5-first-byte band rule on the GROUP string (source)
+        "grouped_split": """
+            WITH b AS (
+              SELECT doc_id, source AS "group",
+                     (strpos('0123456789abcdef', substr(md5(source), 1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(md5(source), 2, 1))-1)
+                       AS bucket
+              FROM documents)
+            SELECT doc_id, "group",
+                   CASE WHEN bucket < 25 THEN 'test'
+                        WHEN bucket < 50 THEN 'valid'
+                        ELSE 'train' END AS split
+            FROM b
         """,
         "extract_spans": _golden(
             "extract_spans",

@@ -1633,3 +1633,37 @@ def host_boilerplate(
             (F.size("ln") - F.size(kept)).cast("long").alias("n_removed"),
         )
     )
+
+
+def grouped_split(
+    docs: DataFrame,
+    group_col: str = "source",
+    valid_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """GROUP-disjoint train/valid/test assignment — the domain-leakage
+    guard :func:`corpus_split` (content-keyed) cannot give: every doc of
+    a group (host, source, site) lands in the SAME split, so near-dups,
+    templated siblings and topical twins within a domain can never
+    straddle the train/eval boundary (Soldaini et al. Dolma §4, the
+    URL-level split practice). The bucket is the first byte of
+    md5(group key): deterministic, engine-independent, stable under
+    corpus growth — adding documents to a group never moves the group.
+
+    Narrow map, no shuffle, no group table: the hash computes per-row
+    from the group column itself. Returns (doc_id, group, split) — the
+    realized per-split fractions converge to the requested percentages
+    only in expectation over many groups (20 sources at sf scale is
+    deliberately lumpy; that lumpiness is the honest cost of the
+    leakage guard).
+    """
+    g = F.col(group_col).cast("string")
+    bucket = F.conv(F.substring(F.md5(F.encode(g, "utf-8")), 1, 2), 16, 10).cast("int")
+    test_hi = int(256 * test_pct / 100)
+    valid_hi = test_hi + int(256 * valid_pct / 100)
+    split = (
+        F.when(bucket < test_hi, F.lit("test"))
+        .when(bucket < valid_hi, F.lit("valid"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", g.alias("group"), split.alias("split"))

@@ -2835,3 +2835,38 @@ class TestMirrorHosts:
         assert mirror_hosts(df, min_shared=1, max_hosts_per_digest=4).count() == 0
         # raise the cap: the universal digest now links every host pair
         assert mirror_hosts(df, min_shared=1, max_hosts_per_digest=64).count() == 28
+
+
+class TestGroupedSplit:
+    def test_group_disjoint_and_deterministic(self, spark):
+        """Every group maps to exactly one split; assignment is stable
+        under corpus growth (adding docs never moves a group)."""
+        from gocrd_spark.operators.textstats import grouped_split
+
+        docs = spark.createDataFrame(
+            [(i, f"host{i % 7}", "x") for i in range(70)],
+            "doc_id long, source string, text string",
+        )
+        rows = grouped_split(docs, group_col="source").collect()
+        by_group: dict = {}
+        for r in rows:
+            by_group.setdefault(r.group, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_group.values())
+        # growth stability: the 7 groups keep their splits in a 10x corpus
+        big = spark.createDataFrame(
+            [(i, f"host{i % 7}", "x") for i in range(700)],
+            "doc_id long, source string, text string",
+        )
+        big_map = {r.group: r.split
+                   for r in grouped_split(big, group_col="source").collect()}
+        small_map = {g: next(iter(s)) for g, s in by_group.items()}
+        assert big_map == small_map
+
+    def test_no_shuffle(self, docs):
+        from gocrd_spark.operators.textstats import grouped_split
+
+        plan = (
+            grouped_split(docs, group_col="source")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
