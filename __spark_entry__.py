@@ -1975,6 +1975,32 @@ def _q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_split(_docs(spark, sf_dir), group_col="source")
 
 
+def _q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the documents table, exploded (term, doc_id,
+    tf, df) form — the oracle-checked face of posting_lists."""
+    from gocrd_spark.operators.search import postings_flat
+
+    return postings_flat(_docs(spark, sf_dir))
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 top-10 for the deterministic corpus-derived
+    two-term query workload (search.corpus_queries)."""
+    from gocrd_spark.operators.search import bm25_topk, corpus_queries
+
+    d = _docs(spark, sf_dir)
+    return bm25_topk(d, corpus_queries(d), k=10)
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index consecutive-bigram search for the top corpus
+    bigrams (search.corpus_phrases)."""
+    from gocrd_spark.operators.search import corpus_phrases, phrase_search
+
+    d = _docs(spark, sf_dir)
+    return phrase_search(d, corpus_phrases(d))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -2012,6 +2038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _q_mirror_hosts,
         "host_trustrank": _q_host_trustrank,
         "grouped_split": _q_grouped_split,
+        # --- corpus search (round-5 session 2: inverted index + BM25) ---
+        "inverted_postings": _q_inverted_postings,
+        "bm25_search": _q_bm25_search,
+        "phrase_search": _q_phrase_search,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2119,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # linkgraph anchor capture), then two round-3-green rotations.
     # Everything else keeps its thematic literal order behind them.
     window = [
+        "inverted_postings", "bm25_search", "phrase_search",
         "multimodal_features", "multimodal_resize", "video_frame_sample",
         "image_phash", "phash_near_dups", "classifier_quality",
         "dedup_survivors", "semdedup", "fuzzy_contamination",
@@ -2593,6 +2624,90 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 50 THEN 'valid'
                         ELSE 'train' END AS split
             FROM b
+        """,
+        # inverted index, exploded form: tf per (doc, term), df per term
+        "inverted_postings": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2)
+            SELECT term, doc_id, tf,
+                   (count(*) OVER (PARTITION BY term))::BIGINT AS df
+            FROM tf
+        """,
+        # integer-exact BM25 (search.py spec): idf is the one 6dp
+        # fixed-pointed transcendental; norm/contrib are BIGINT
+        # multiply + floor-divide, so scores hash-match across engines.
+        # Query workload: top-8 df-banded terms paired i <-> i+4.
+        "bm25_search": """
+            WITH t0 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS term FROM t0),
+            dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM t0),
+            scal AS (SELECT count(*)::BIGINT AS n_docs,
+                            sum(len(t))::BIGINT AS t_tokens FROM t0),
+            dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM tok GROUP BY term),
+            qterms AS (
+              SELECT term,
+                     row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS rn
+              FROM dfs, scal
+              WHERE df >= 2 AND df * 10 <= n_docs * 9
+              ORDER BY df DESC, term ASC LIMIT 8),
+            queries AS (SELECT rn % 4 AS query_id, term FROM qterms),
+            tf AS (SELECT query_id, q.term AS term, doc_id,
+                          count(*)::BIGINT AS tf
+                   FROM tok t JOIN queries q ON t.term = q.term
+                   GROUP BY 1, 2, 3),
+            contrib AS (
+              SELECT query_id, tf.doc_id AS doc_id,
+                     (CAST(round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0),
+                                       6) * 1000000) AS BIGINT)
+                      * 22000 * tf)
+                     // (10000 * tf
+                         + 12 * (250 + (750 * dl) // (t_tokens // n_docs))) AS c
+              FROM tf
+              JOIN dfs USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id, scal),
+            score AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_e6
+                      FROM contrib GROUP BY 1, 2),
+            ranked AS (
+              SELECT query_id::BIGINT AS query_id,
+                     (row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_e6 DESC, doc_id ASC))::BIGINT AS rank,
+                     doc_id, score_e6
+              FROM score)
+            SELECT query_id, rank, doc_id, score_e6 FROM ranked WHERE rank <= 10
+        """,
+        # consecutive-bigram phrase search; workload = top-4 bigrams by
+        # distinct-doc df (>=3), (df DESC, w1, w2) order
+        "phrase_search": """
+            WITH t0 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            allg AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                       i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS g
+              FROM t0 WHERE len(t) >= 2),
+            dfb AS (SELECT g.w1 AS w1, g.w2 AS w2,
+                           count(DISTINCT doc_id) AS df
+                    FROM allg GROUP BY 1, 2),
+            ph AS (SELECT w1, w2,
+                          (row_number() OVER (ORDER BY df DESC, w1 ASC, w2 ASC)
+                           - 1)::BIGINT AS phrase_id
+                   FROM dfb WHERE df >= 3
+                   ORDER BY df DESC, w1 ASC, w2 ASC LIMIT 4)
+            SELECT phrase_id, doc_id, count(*)::BIGINT AS n_occurrences
+            FROM allg JOIN ph ON g.w1 = ph.w1 AND g.w2 = ph.w2
+            GROUP BY 1, 2
         """,
         "extract_spans": _golden(
             "extract_spans",
