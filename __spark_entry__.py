@@ -2001,6 +2001,25 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(d, corpus_phrases(d))
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-token estimate (bounded-state
+    mergeable sketch) next to the exact count; integer-exact estimator
+    so the pure-Python twin golden hash-matches."""
+    from gocrd_spark.operators.sketch import hll_distinct_terms
+
+    return hll_distinct_terms(_docs(spark, sf_dir)).withColumnRenamed(
+        "group", "source"
+    )
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min top-8 corpus terms (4x1024 mergeable counters) with
+    exact counts as the audit column."""
+    from gocrd_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -2042,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": _q_inverted_postings,
         "bm25_search": _q_bm25_search,
         "phrase_search": _q_phrase_search,
+        "hll_distinct_terms": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2150,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its thematic literal order behind them.
     window = [
         "inverted_postings", "bm25_search", "phrase_search",
+        "hll_distinct_terms", "cms_heavy_hitters",
         "multimodal_features", "multimodal_resize", "video_frame_sample",
         "image_phash", "phash_near_dups", "classifier_quality",
         "dedup_survivors", "semdedup", "fuzzy_contamination",
@@ -3814,6 +3836,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pdf_extract_text": _ops_golden(
             "pdf_extract_text", "doc_id, text, n_blocks, error"
+        ),
+        "hll_distinct_terms": _ops_golden(
+            "hll_distinct_terms",
+            "\"group\" AS source, est_distinct, n_zero, exact_distinct, err_permille",
+        ),
+        "cms_heavy_hitters": _ops_golden(
+            "cms_heavy_hitters", "term, est_count, exact_count, rank"
         ),
         "winnowing_fingerprints": _ops_golden(
             "winnowing_fingerprints", "doc_id, n_fingerprints, min_fingerprint"

@@ -1,0 +1,217 @@
+"""Mergeable sketches: HyperLogLog distinct counting and count-min
+heavy hitters, in exact integer arithmetic.
+
+Corpus-profile statistics a 100 TB pipeline cannot compute exactly
+without a vocabulary-sized shuffle: "how many distinct tokens per
+source?" and "what are the most frequent terms?" become BOUNDED-STATE
+aggregations here — every executor emits at most (groups x 1024)
+register rows / 4096 counter rows regardless of input size, the
+partial max/sum combine happens map-side, and sketches from different
+days/shards MERGE by the same max/sum. That mergeability is the whole
+point: daily-crawl sketches fold into the running corpus profile
+without re-reading history (same durable-batch shape as
+dedup.minhash_append).
+
+Determinism contract: both sketches are specified in BIGINT arithmetic
+on the engine's xxhash64 (Flajolet et al. 2007's estimator re-derived
+over integer divmod; Cormode-Muthukrishnan count-min unchanged — its
+counters are plain sums). The HLL estimator's two constants are
+fixed-pointed once (alpha_e6; the small-range ln), after which every
+step is integer multiply/floor-divide — the pure-Python twin
+(tools/oracle_twins.py on pyxxh's from-scratch xxHash64) reproduces
+estimates hash-identically, which is what lets an APPROXIMATE sketch
+pass an EXACT oracle gate.
+
+HLL spec (p=10, m=1024 registers):
+
+    h      = xxhash64(item)                      # Spark seed 42, signed
+    bucket = (h >> 54) & 1023                    # top 10 bits
+    w      = h & (2^54 - 1)                      # low 54 bits
+    rho    = min(55 - bit_length(w), 32)         # w=0 -> 55 -> capped 32
+    M[b]   = max rho seen in bucket (absent = 0)
+    S      = sum over the 1024 buckets of 2^(32 - M[b])   # <= 2^42
+    Q, R   = divmod(2^52, S)                     # m^2 * 2^32 = 2^52
+    E      = (ALPHA_E6*Q + (ALPHA_E6*R) div S) div 10^6
+    if E <= 5*m/2 and V > 0:                     # V = zero registers
+        E  = (m * round6_e6(ln(m / V))) div 10^6 # linear counting
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+HLL_RHO_CAP = 32
+HLL_ALPHA_E6 = 720_541  # round6_e6(0.7213 / (1 + 1.079/1024))
+_W_MASK = (1 << (64 - HLL_P)) - 1  # low 54 bits
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def hll_registers(
+    items: DataFrame, group_col: str = "source", item_col: str = "item"
+) -> DataFrame:
+    """HLL register table (group, bucket, m) — the DURABLE/mergeable
+    face: registers from two runs merge by max(m) per (group, bucket).
+    At most groups x 1024 rows survive the map-side partial max; the
+    shuffle never scales with item count.
+    """
+    h = F.xxhash64(F.col(item_col))
+    bucket = F.shiftright(h, 64 - HLL_P).bitwiseAND(F.lit(HLL_M - 1))
+    w = h.bitwiseAND(F.lit(_W_MASK))
+    # bit_length via bin(): Spark's bin(bigint) has no leading zeros,
+    # so length(bin(w)) IS bit_length(w); w = 0 -> rho 55 (all-zero
+    # 54-bit suffix), then capped.
+    rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    rho = F.least(rho, F.lit(HLL_RHO_CAP))
+    return (
+        items.select(F.col(group_col).alias("group"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("group", "bucket")
+        .agg(F.max("rho").cast("long").alias("m"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Fold a register table into (group, est_distinct, n_zero) — the
+    integer-exact estimator from the module spec. One row per group.
+    """
+    # absent buckets carry m=0 and contribute 2^32 each to S
+    per = registers.groupBy("group").agg(
+        F.sum(F.expr(f"shiftleft(1L, cast(({HLL_RHO_CAP} - m) & 63 as int))")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+    )
+    s = F.col("s_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << HLL_RHO_CAP)
+    v = (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    # m^2 * 2^rho_cap = 2^52; alpha applied via divmod split so no
+    # intermediate exceeds alpha_e6 * 2^42
+    est_raw = F.expr(
+        f"({HLL_ALPHA_E6} * (cast({1 << 52} as bigint) div s)"
+        f" + ({HLL_ALPHA_E6} * (cast({1 << 52} as bigint) % s)) div s) div 1000000"
+    )
+    lc = F.expr(
+        f"({HLL_M} * cast(round(round(ln({HLL_M}.0 / v), 6) * 1000000) as bigint))"
+        " div 1000000"
+    )
+    return (
+        per.withColumn("s", s.cast("long"))
+        .withColumn("v", v)
+        .withColumn("est_raw", est_raw)
+        .select(
+            "group",
+            F.when((F.col("est_raw") <= F.lit(5 * HLL_M // 2)) & (F.col("v") > 0), lc)
+            .otherwise(F.col("est_raw"))
+            .cast("long")
+            .alias("est_distinct"),
+            F.col("v").alias("n_zero"),
+        )
+    )
+
+
+def hll_distinct_terms(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-source distinct-token estimate next to the exact answer:
+    (group, est_distinct, n_zero, exact_distinct, err_permille). The
+    exact side is the audit column (it IS vocabulary-shuffle-sized);
+    production profiles drop it and keep the bounded sketch path.
+    err_permille = |est - exact| * 1000 div exact.
+    """
+    items = docs.select(
+        F.col(group_col).alias("g"), F.explode(_tokens(F.col("text"))).alias("item")
+    )
+    est = hll_estimate(hll_registers(items, group_col="g"))
+    exact = (
+        items.distinct()
+        .groupBy(F.col("g").alias("group"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "group")
+        .withColumn(
+            "err_permille",
+            F.expr("abs(est_distinct - exact_distinct) * 1000 div exact_distinct"),
+        )
+        .select("group", "est_distinct", "n_zero", "exact_distinct", "err_permille")
+    )
+
+
+def cms_counters(items: DataFrame, item_col: str = "item") -> DataFrame:
+    """Count-min counter table (row, bucket, c): CMS_DEPTH x CMS_WIDTH
+    = 4096 counters regardless of corpus size. Row i's hash chains the
+    row index through xxhash64 (xxhash64(i, item), Spark's multi-column
+    fold); bucket = pmod(h, width). Counters from two runs merge by
+    SUM — the mergeable face.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(F.lit(i), F.col(item_col)), F.lit(CMS_WIDTH))
+                .cast("long")
+                .alias("bucket"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        items.select(F.explode(rows).alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_heavy_hitters(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Top-k corpus terms by count-min estimate, with the exact count
+    as the audit column: (term, est_count, exact_count, rank). The
+    4096-counter table broadcasts; candidate terms come from the
+    distinct-term table (vocabulary-sized, the same table every
+    vocab/df operator shuffles). CMS guarantees est >= exact; ordering
+    (est DESC, term ASC) is deterministic.
+    """
+    items = docs.select(F.explode(_tokens(F.col("text"))).alias("item"))
+    counters = cms_counters(items)
+    exact = items.groupBy(F.col("item").alias("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    probes = exact.select(
+        "term",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(F.xxhash64(F.lit(i), F.col("term")), F.lit(CMS_WIDTH))
+                        .cast("long")
+                        .alias("bucket"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        "term", "exact_count", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    top = est.orderBy(F.desc("est_count"), F.asc("term")).limit(k)
+    return top.select(
+        "term",
+        "est_count",
+        "exact_count",
+        F.row_number()
+        .over(Window.orderBy(F.desc("est_count"), F.asc("term")))
+        .cast("long")
+        .alias("rank"),
+    )

@@ -1,0 +1,133 @@
+"""Mergeable sketches (gocrd_spark/operators/sketch.py): HyperLogLog
+distinct estimation and count-min heavy hitters.
+
+The synthetic documents vocabulary is tiny (exact-regime for both
+sketches), so these tests stress the ESTIMATOR regimes with generated
+item tables: 50k distinct items exercises the raw HLL path (the
+goldens only reach linear counting), and 5k distinct terms in 1024 CMS
+buckets forces collisions so est > exact actually occurs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gocrd_spark.operators.sketch import (
+    HLL_M,
+    cms_counters,
+    cms_heavy_hitters,
+    hll_distinct_terms,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _items(spark, n: int, group: str = "g", prefix: str = "item"):
+    return spark.range(n).select(
+        F.lit(group).alias("source"),
+        F.concat(F.lit(prefix), F.col("id")).alias("item"),
+    )
+
+
+def test_hll_raw_regime_within_3_sigma(spark):
+    # 50_000 distinct >> 2.5*m: raw estimator path. Standard error is
+    # 1.04/sqrt(1024) ~ 3.25%; allow 3 sigma.
+    est = hll_estimate(hll_registers(_items(spark, 50_000))).collect()[0]
+    assert est.n_zero == 0
+    assert abs(est.est_distinct - 50_000) <= int(50_000 * 0.0975)
+
+
+def test_hll_linear_counting_small_range(spark):
+    est = hll_estimate(hll_registers(_items(spark, 200))).collect()[0]
+    assert abs(est.est_distinct - 200) <= 10  # LC is near-exact here
+
+
+def test_hll_registers_merge_by_max(spark):
+    # sketch(A union B) == merge(sketch(A), sketch(B)) by per-bucket max
+    a = hll_registers(_items(spark, 3_000))
+    b = hll_registers(
+        _items(spark, 6_000).filter(F.col("item") >= "item3000")  # overlap-free-ish
+    )
+    merged = (
+        a.unionAll(b).groupBy("group", "bucket").agg(F.max("m").alias("m"))
+    )
+    full = hll_registers(
+        _items(spark, 3_000).unionAll(
+            _items(spark, 6_000).filter(F.col("item") >= "item3000")
+        )
+    )
+    got = hll_estimate(merged).collect()[0]
+    want = hll_estimate(full).collect()[0]
+    assert (got.est_distinct, got.n_zero) == (want.est_distinct, want.n_zero)
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    once = hll_estimate(hll_registers(_items(spark, 1_000))).collect()[0]
+    tripled = hll_estimate(
+        hll_registers(
+            _items(spark, 1_000)
+            .unionAll(_items(spark, 1_000))
+            .unionAll(_items(spark, 1_000))
+        )
+    ).collect()[0]
+    assert once.est_distinct == tripled.est_distinct
+
+
+def test_hll_distinct_terms_shape(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c", "s1"), (1, "a b", "s1"), (2, "x y", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.group: r for r in hll_distinct_terms(docs).collect()}
+    assert rows["s1"].exact_distinct == 3 and rows["s2"].exact_distinct == 2
+    # tiny cardinality: linear counting is exact
+    assert rows["s1"].est_distinct == 3 and rows["s2"].est_distinct == 2
+    assert rows["s1"].err_permille == 0
+
+
+def test_cms_overestimates_never_under(spark):
+    # 5_000 distinct terms in 4x1024 buckets: collisions guaranteed;
+    # count-min may only overestimate.
+    docs = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    rows = cms_heavy_hitters(docs, k=5_000).collect()
+    assert all(r.est_count >= r.exact_count for r in rows)
+    assert any(r.est_count > r.exact_count for r in rows)  # collisions exist
+
+
+def test_cms_heavy_hitter_found(spark):
+    # plant one dominant term: it must rank first with est >= exact
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 300, F.lit("whale"))
+        .otherwise(F.concat(F.lit("rare"), F.col("id")))
+        .alias("text"),
+    )
+    top = cms_heavy_hitters(docs, k=2).orderBy("rank").collect()
+    assert top[0].term == "whale"
+    assert top[0].exact_count == 300
+    assert top[0].est_count >= 300
+
+
+def test_cms_counters_merge_by_sum(spark):
+    half1 = _items(spark, 500).select("item")
+    half2 = _items(spark, 1_000).select("item").subtract(half1)
+    merged = (
+        cms_counters(half1)
+        .unionAll(cms_counters(half2))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = cms_counters(half1.unionAll(half2))
+    assert (
+        merged.exceptAll(full).count() == 0 and full.exceptAll(merged).count() == 0
+    )
+
+
+def test_hll_registers_bounded(spark):
+    # register table never exceeds groups x m rows no matter the input
+    n = hll_registers(_items(spark, 50_000)).count()
+    assert n <= HLL_M

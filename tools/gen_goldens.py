@@ -266,6 +266,15 @@ def _load_documents(sf_dir: str = TESTDATA_SF001) -> list[tuple[int, str]]:
     return sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
 
 
+def _load_documents_src(sf_dir: str = TESTDATA_SF001) -> list[tuple[int, str, str]]:
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+    return sorted(
+        zip(t["doc_id"].to_pylist(), t["text"].to_pylist(), t["source"].to_pylist())
+    )
+
+
 def build_operator_tables(
     docs: list[tuple[int, str]] | None = None,
     sf: float = DEFAULT_SF,
@@ -332,6 +341,9 @@ def build_operator_tables(
             {n: pa.array([r[i] for r in rows], i64) for i, n in enumerate(names)}
         )
 
+    hll_rows = tw.hll_distinct_terms(_load_documents_src(testdata_dir(sf)))
+    cms_rows = tw.cms_heavy_hitters(docs)
+
     bpe_merges = tw.bpe_train(docs, n_merges=24, min_pair_count=2)
     bpe_enc = tw.bpe_encode(docs, bpe_merges)
     bpe_voc = tw.bpe_vocab(docs, bpe_merges)
@@ -396,6 +408,23 @@ def build_operator_tables(
         "ann_topk_lsh": _t(lsh, ["query_id", "neighbor_id", "rank"]),
         "ann_topk_ivf": _t(ivf, ["query_id", "neighbor_id", "rank"]),
         "semdedup": _t(sem, ["vec_id", "cell", "canonical_id", "keep"]),
+        "hll_distinct_terms": pa.table(
+            {
+                "group": pa.array([r[0] for r in hll_rows], pa.string()),
+                "est_distinct": pa.array([r[1] for r in hll_rows], i64),
+                "n_zero": pa.array([r[2] for r in hll_rows], i64),
+                "exact_distinct": pa.array([r[3] for r in hll_rows], i64),
+                "err_permille": pa.array([r[4] for r in hll_rows], i64),
+            }
+        ),
+        "cms_heavy_hitters": pa.table(
+            {
+                "term": pa.array([r[0] for r in cms_rows], pa.string()),
+                "est_count": pa.array([r[1] for r in cms_rows], i64),
+                "exact_count": pa.array([r[2] for r in cms_rows], i64),
+                "rank": pa.array([r[3] for r in cms_rows], i64),
+            }
+        ),
     }
 
 

@@ -693,3 +693,91 @@ def phash_near_dups_exact(
             if ham <= max_hamming:
                 out.append((min(ida, idb), max(ida, idb), ham))
     return sorted(out)
+
+
+# --- mergeable sketches (operators/sketch.py twins) -------------------
+
+HLL_M = 1024
+HLL_RHO_CAP = 32
+HLL_ALPHA_E6 = 720_541
+_HLL_W_MASK = (1 << 54) - 1
+
+
+def _sketch_tokens(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t]
+
+
+def hll_distinct_terms(
+    docs: list[tuple[int, str, str]],
+) -> list[tuple[str, int, int, int, int]]:
+    """Twin of sketch.hll_distinct_terms over (doc_id, text, source)
+    rows: per-source HLL token-distinct estimate (p=10, rho capped 32,
+    integer-divmod estimator, linear-counting small range) next to the
+    exact distinct count. Returns sorted
+    (source, est_distinct, n_zero, exact_distinct, err_permille)."""
+    import math
+    from collections import defaultdict
+
+    regs: dict[str, list[int]] = defaultdict(lambda: [0] * HLL_M)
+    exact: dict[str, set[str]] = defaultdict(set)
+    memo: dict[str, tuple[int, int]] = {}  # token -> (bucket, rho)
+    for _doc_id, text, source in docs:
+        for tok in _sketch_tokens(text):
+            exact[source].add(tok)
+            if tok not in memo:
+                h = spark_xxhash64(tok)  # signed, Spark semantics
+                bucket = (h >> 54) & (HLL_M - 1)
+                w = h & _HLL_W_MASK
+                rho = 55 if w == 0 else 55 - w.bit_length()
+                memo[tok] = (bucket, min(rho, HLL_RHO_CAP))
+            bucket, rho = memo[tok]
+            if rho > regs[source][bucket]:
+                regs[source][bucket] = rho
+    out = []
+    for source in sorted(regs):
+        m = regs[source]
+        s = sum(1 << (HLL_RHO_CAP - x) for x in m)
+        v = sum(1 for x in m if x == 0)
+        q, r = divmod(1 << 52, s)
+        est = (HLL_ALPHA_E6 * q + (HLL_ALPHA_E6 * r) // s) // 1_000_000
+        if est <= 5 * HLL_M // 2 and v > 0:
+            lc_e6 = round(round(math.log(HLL_M / v), 6) * 1_000_000)
+            est = (HLL_M * lc_e6) // 1_000_000
+        ex = len(exact[source])
+        out.append((source, est, v, ex, abs(est - ex) * 1000 // ex))
+    return out
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_heavy_hitters(
+    docs: list[tuple[int, str]], k: int = 8
+) -> list[tuple[str, int, int, int]]:
+    """Twin of sketch.cms_heavy_hitters: 4x1024 count-min counters on
+    xxhash64(row_index, term) (Spark's multi-column fold, int32 row
+    index), estimate = min over rows, top-k by (est DESC, term ASC).
+    Returns (term, est_count, exact_count, rank)."""
+    from collections import Counter, defaultdict
+
+    exact: Counter = Counter()
+    counters: list[dict[int, int]] = [defaultdict(int) for _ in range(CMS_DEPTH)]
+    memo: dict[str, list[int]] = {}  # token -> bucket per row
+    for _doc_id, text in docs:
+        for tok in _sketch_tokens(text):
+            exact[tok] += 1
+            if tok not in memo:  # pmod: Python % is already nonneg
+                memo[tok] = [
+                    spark_xxhash64(i, tok) % CMS_WIDTH for i in range(CMS_DEPTH)
+                ]
+            for i, b in enumerate(memo[tok]):
+                counters[i][b] += 1
+    ests = []
+    for term, ex in exact.items():
+        est = min(counters[i][b] for i, b in enumerate(memo[term]))
+        ests.append((term, est, ex))
+    ests.sort(key=lambda t: (-t[1], t[0]))
+    return [(term, est, ex, rank) for rank, (term, est, ex) in enumerate(ests[:k], 1)]
