@@ -2020,6 +2020,34 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(_docs(spark, sf_dir))
 
 
+# mojibake corruption plant: UTF-8 bytes of the clean snippet read back
+# through latin-1, once and twice (precomputed — bijective, so the
+# oracle's expected text is just the clean construction)
+_MOJI_CLEAN = "café à la ümlaut"
+_MOJI_ONCE = _MOJI_CLEAN.encode("utf-8").decode("latin-1")
+_MOJI_TWICE = _MOJI_ONCE.encode("utf-8").decode("latin-1")
+
+
+def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style encoding repair over deterministically corrupted
+    documents: doc_id%3==0 carries single latin-1 mojibake, %3==1
+    double, %3==2 stays clean; the kernel must invert the corruption
+    byte-exactly (charset.fix_mojibake), so the oracle's expected text
+    is the clean construction itself."""
+    from gocrd_spark.charset import mojibake_repair
+
+    d = F.col("doc_id")
+    snip = (
+        F.when(d % 3 == 0, F.lit(_MOJI_ONCE))
+        .when(d % 3 == 1, F.lit(_MOJI_TWICE))
+        .otherwise(F.lit(_MOJI_CLEAN))
+    )
+    corrupted = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), snip).alias("text")
+    )
+    return mojibake_repair(corrupted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -2063,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "hll_distinct_terms": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "mojibake_repair": _q_mojibake_repair,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2171,7 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its thematic literal order behind them.
     window = [
         "inverted_postings", "bm25_search", "phrase_search",
-        "hll_distinct_terms", "cms_heavy_hitters",
+        "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
         "multimodal_features", "multimodal_resize", "video_frame_sample",
         "image_phash", "phash_near_dups", "classifier_quality",
         "dedup_survivors", "semdedup", "fuzzy_contamination",
@@ -3837,6 +3866,18 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract_text": _ops_golden(
             "pdf_extract_text", "doc_id, text, n_blocks, error"
         ),
+        # expected = the clean construction (latin-1 round trip is
+        # bijective, so repair must reproduce it byte-exactly); flags
+        # follow the doc_id%3 plant rule
+        "mojibake_repair": """
+            SELECT doc_id,
+                   text || ' café à la ümlaut' AS text,
+                   (CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END)::BIGINT
+                     AS changed,
+                   (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                     ELSE 0 END)::BIGINT AS n_rounds
+            FROM documents
+        """,
         "hll_distinct_terms": _ops_golden(
             "hll_distinct_terms",
             "\"group\" AS source, est_distinct, n_zero, exact_distinct, err_permille",

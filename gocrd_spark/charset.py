@@ -134,3 +134,73 @@ def decode_pages(df, payload_col: str = "html"):
             yield pd.DataFrame(out)
 
     return df.select("doc_id", payload_col).mapInPandas(gen, DECODED_SCHEMA)
+
+
+def fix_mojibake(
+    text: str, codec: str = "latin-1", max_rounds: int = 3
+) -> Tuple[str, int]:
+    """ftfy-style mojibake repair: text whose characters all fit the
+    single-byte ``codec`` AND whose codec bytes form valid UTF-8 with
+    at least one multibyte sequence is almost certainly UTF-8 that was
+    mis-decoded through that codec — re-encode and decode properly.
+    Applied up to ``max_rounds`` times (double-encoded pages need two).
+    Returns (fixed_text, n_rounds_applied).
+
+    latin-1 is the default codec because it is BIJECTIVE on
+    0x00-0xFF <-> U+0000-U+00FF: the round trip is exactly invertible,
+    so single- and double-corruption repair to the byte-identical
+    original. Real crawls also meet cp1252 mojibake ('â€™' for the
+    right quote); pass codec='cp1252' for that table — same algorithm,
+    but undefined-byte gaps (0x81, 0x8D, 0x8F, 0x90, 0x9D) mean a few
+    double-corruptions are unrepairable (the encode step raises and
+    the text is left as-is, never corrupted further).
+
+    The inherent ambiguity (a page LEGITIMATELY discussing 'Ã©'
+    sequences gets "fixed") is the standard mojibake-repair trade-off;
+    genuine accented Latin-1 text is safe because stray 0xE0-0xFF
+    bytes followed by ASCII are invalid UTF-8 and the decode step
+    rejects them.
+    """
+    n = 0
+    cur = text
+    for _ in range(max_rounds):
+        try:
+            b = cur.encode(codec)
+            t = b.decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            break
+        if t == cur:  # pure-ASCII fixpoint: nothing to repair
+            break
+        cur = t
+        n += 1
+    return cur, n
+
+
+MOJIBAKE_SCHEMA = "doc_id long, text string, changed long, n_rounds long"
+
+
+def mojibake_repair(df, text_col: str = "text", codec: str = "latin-1"):
+    """Spark surface for :func:`fix_mojibake`: (doc_id, text) ->
+    (doc_id, repaired text, changed 0/1, n_rounds). Same narrow
+    Scan -> MapInPandas shape as decode_pages — zero shuffles, repairs
+    happen where the rows already live."""
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            fixed = []
+            rounds = []
+            for s in batch[text_col]:
+                f, n = fix_mojibake(s if s is not None else "", codec=codec)
+                fixed.append(f)
+                rounds.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "text": fixed,
+                    "changed": [1 if r > 0 else 0 for r in rounds],
+                    "n_rounds": rounds,
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(gen, MOJIBAKE_SCHEMA)

@@ -117,3 +117,81 @@ class TestSparkSurface:
         assert got[2].charset == "utf-16-le" and got[2].text == "utf16 text"
         assert got[3].charset == "iso8859-1" and got[3].text.endswith("café")
         assert got[4].text == "" and got[4].n_chars == 0
+
+
+# --- mojibake repair (charset.fix_mojibake / mojibake_repair) ---------
+
+
+class TestFixMojibake:
+    def test_single_latin1_round_trip(self):
+        from gocrd_spark.charset import fix_mojibake
+
+        clean = "café à la ümlaut"
+        moji = clean.encode("utf-8").decode("latin-1")
+        assert fix_mojibake(moji) == (clean, 1)
+
+    def test_double_latin1_round_trip(self):
+        from gocrd_spark.charset import fix_mojibake
+
+        clean = "déjà vu"
+        moji2 = (
+            clean.encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+        )
+        assert fix_mojibake(moji2) == (clean, 2)
+
+    def test_ascii_untouched(self):
+        from gocrd_spark.charset import fix_mojibake
+
+        assert fix_mojibake("plain ascii text") == ("plain ascii text", 0)
+
+    def test_genuine_latin1_text_untouched(self):
+        from gocrd_spark.charset import fix_mojibake
+
+        # stray accented chars followed by ASCII are invalid UTF-8:
+        # the decode guard rejects, text survives unmodified
+        s = "café au lait, naïve, über"
+        assert fix_mojibake(s) == (s, 0)
+
+    def test_non_latin1_chars_untouched(self):
+        from gocrd_spark.charset import fix_mojibake
+
+        s = "日本語テキスト"  # encode('latin-1') raises -> untouched
+        assert fix_mojibake(s) == (s, 0)
+
+    def test_cp1252_smart_quote(self):
+        from gocrd_spark.charset import fix_mojibake
+
+        clean = "it’s fine — really…"
+        moji = clean.encode("utf-8").decode("cp1252")
+        assert fix_mojibake(moji, codec="cp1252") == (clean, 1)
+
+    def test_cp1252_never_corrupts_on_gap_bytes(self):
+        from gocrd_spark.charset import fix_mojibake
+
+        # U+0081 is a cp1252 encode gap: repair must leave the text
+        # alone rather than raise or mangle
+        s = "prefix \x81 suffix"
+        assert fix_mojibake(s, codec="cp1252") == (s, 0)
+
+
+def test_mojibake_repair_spark(spark):
+    from gocrd_spark.charset import mojibake_repair
+
+    clean = "café à la ümlaut"
+    moji = clean.encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame(
+        [(0, f"doc {moji}"), (1, "plain"), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in mojibake_repair(df).collect()}
+    assert rows[0].text == f"doc {clean}" and rows[0].changed == 1
+    assert rows[1].text == "plain" and rows[1].changed == 0
+    assert rows[2].text == "" and rows[2].n_rounds == 0
+
+
+def test_mojibake_repair_plan_no_shuffle(spark):
+    from gocrd_spark.charset import mojibake_repair
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = mojibake_repair(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow Scan -> MapInPandas
