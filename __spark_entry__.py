@@ -2048,6 +2048,25 @@ def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_repair(corrupted)
 
 
+def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality tiers over a deterministic host layout
+    (doc_id%40 -> ~12 pages/host at sf0.01): the crawl-allowlist
+    curation table, integer-exact so the oracle hash-matches."""
+    from gocrd_spark.operators.urls import host_quality
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".test/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+        "lang",
+    )
+    return host_quality(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (VERDICT r04 #1): the driver's CORRECTNESS gate
     # records only the FIRST 50 entries. The front of this dict therefore
@@ -2092,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_terms": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "mojibake_repair": _q_mojibake_repair,
+        "host_quality": _q_host_quality,
         # --- r03-green but absent from the r04 window (code churned) ---
         "media_dedup": _q_media_dedup,
         "training_set_filter": _q_training_set,
@@ -2201,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         "inverted_postings", "bm25_search", "phrase_search",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
+        "host_quality",
         "multimodal_features", "multimodal_resize", "video_frame_sample",
         "image_phash", "phash_near_dups", "classifier_quality",
         "dedup_survivors", "semdedup", "fuzzy_contamination",
@@ -3866,6 +3887,47 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract_text": _ops_golden(
             "pdf_extract_text", "doc_id, text, n_blocks, error"
         ),
+        # same host layout as the Spark wrapper; per-page quality is
+        # the integer floor-div composite, summed as BIGINTs
+        "host_quality": f"""
+            WITH base AS (
+              SELECT 'h' || (doc_id % 40) || '.test' AS host, lang,
+                     length(text)::BIGINT AS n_chars,
+                     ({punct_expr})::BIGINT AS n_punct,
+                     ({digit_expr})::BIGINT AS n_digit,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            q AS (
+              SELECT host, lang,
+                greatest(0, least(1000000,
+                  1000000
+                  - 2 * (CASE WHEN n_chars > 0
+                         THEN (1000000 * n_punct) // n_chars ELSE 0 END)
+                  - 2 * (CASE WHEN n_chars > 0
+                         THEN (1000000 * n_digit) // n_chars ELSE 0 END)
+                  + least(CASE WHEN len(toks) > 0
+                          THEN (1000000 * len(list_filter(toks,
+                                x -> x IN {stop_list}))) // len(toks)
+                          ELSE 0 END, 200000)
+                ))::BIGINT AS q_e6
+              FROM base),
+            bl AS (SELECT host, lang, count(*)::BIGINT AS n,
+                          sum(q_e6)::BIGINT AS sq
+                   FROM q GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY host
+                        ORDER BY n DESC, lang ASC) AS rn FROM bl),
+            agg AS (SELECT host, sum(n)::BIGINT AS n_pages,
+                           sum(sq)::BIGINT AS sum_quality_e6,
+                           max(CASE WHEN rn = 1 THEN lang END) AS top_lang
+                    FROM r GROUP BY host)
+            SELECT host, n_pages, sum_quality_e6, top_lang,
+              CASE WHEN n_pages >= 3
+                    AND sum_quality_e6 >= 550000 * n_pages THEN 'allow'
+                   WHEN sum_quality_e6 < 350000 * n_pages THEN 'block'
+                   ELSE 'review' END AS tier
+            FROM agg
+        """,
         # expected = the clean construction (latin-1 round trip is
         # bijective, so repair must reproduce it byte-exactly); flags
         # follow the doc_id%3 plant rule

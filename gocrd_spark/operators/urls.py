@@ -558,3 +558,112 @@ def mirror_hosts(
         overlap.cast("long").alias("overlap_e6"),
         (overlap >= F.lit(min_overlap_e6)).cast("long").alias("is_mirror"),
     )
+
+
+def host_quality(
+    pages: DataFrame,
+    min_pages: int = 3,
+    allow_q_e6: int = 550_000,
+    block_q_e6: int = 350_000,
+) -> DataFrame:
+    """Per-host quality aggregation -> crawl allowlist tiers: the
+    domain-curation table every crawl planner maintains ("this host
+    reliably yields training-grade text; that one is digit soup").
+    Input (url, text, lang); output one row per host:
+    (host, n_pages, sum_quality_e6, top_lang, tier).
+
+    The per-page quality is the textstats.quality_score composite
+    re-specified in EXACT INTEGER arithmetic (ratios as
+    ``(10^6 * count) div n_chars`` floor divisions, clamped composite
+    in _e6 units) and summed as BIGINTs, so host aggregates are
+    aggregation-order-independent and the DuckDB oracle hash-matches.
+    Tier thresholds compare ``sum_quality_e6`` against
+    ``threshold * n_pages`` — no division anywhere:
+
+        allow : n_pages >= min_pages and sum >= allow_q_e6 * n
+        block : sum < block_q_e6 * n
+        review: everything else
+
+    top_lang is the majority page language, ties broken (count DESC,
+    lang ASC). Scale shape: one narrow map computes (host, q_e6, lang)
+    per page (URL parse + fixed character classes, all JVM); the
+    shuffles carry (host, lang, long) aggregation rows only — content
+    never leaves the scan stage.
+    """
+    text = F.col("text")
+    n_chars = F.length(text).cast("long")
+    n_punct = sum(
+        F.length(text) - F.length(F.replace(text, F.lit(c), F.lit("")))
+        for c in [".", ",", "!", "?", ";", ":"]
+    )
+    n_digit = sum(
+        F.length(text) - F.length(F.replace(text, F.lit(str(d)), F.lit("")))
+        for d in range(10)
+    )
+    toks = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to", "in"))
+    ).cast("long")
+    counts = pages.select(
+        F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+        F.col("lang"),
+        n_chars.alias("n_chars"),
+        n_punct.cast("long").alias("n_punct"),
+        n_digit.cast("long").alias("n_digit"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+    )
+    punct_e6 = F.when(
+        F.col("n_chars") > 0, F.expr("(1000000 * n_punct) div n_chars")
+    ).otherwise(F.lit(0))
+    digit_e6 = F.when(
+        F.col("n_chars") > 0, F.expr("(1000000 * n_digit) div n_chars")
+    ).otherwise(F.lit(0))
+    stop_e6 = F.when(
+        F.col("n_tokens") > 0, F.expr("(1000000 * n_stop) div n_tokens")
+    ).otherwise(F.lit(0))
+    per_page = counts.select(
+        "host",
+        "lang",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.lit(1_000_000)
+                - 2 * punct_e6
+                - 2 * digit_e6
+                + F.least(stop_e6, F.lit(200_000)),
+            ),
+        ).alias("q_e6"),
+    ).filter(F.col("host").isNotNull())
+    by_lang = per_page.groupBy("host", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q_e6").cast("long").alias("sq"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("lang"))
+    agg = (
+        by_lang.withColumn("rn", F.row_number().over(w))
+        .groupBy("host")
+        .agg(
+            F.sum("n").cast("long").alias("n_pages"),
+            F.sum("sq").cast("long").alias("sum_quality_e6"),
+            F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
+        )
+    )
+    return agg.select(
+        "host",
+        "n_pages",
+        "sum_quality_e6",
+        "top_lang",
+        F.when(
+            (F.col("n_pages") >= min_pages)
+            & (F.col("sum_quality_e6") >= F.lit(allow_q_e6) * F.col("n_pages")),
+            F.lit("allow"),
+        )
+        .when(F.col("sum_quality_e6") < F.lit(block_q_e6) * F.col("n_pages"), F.lit("block"))
+        .otherwise(F.lit("review"))
+        .alias("tier"),
+    )

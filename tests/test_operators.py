@@ -2870,3 +2870,49 @@ class TestGroupedSplit:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestHostQuality:
+    def test_tiers_and_majority_lang(self, spark):
+        from gocrd_spark.operators.urls import host_quality
+
+        rows = []
+        # good.test: 4 clean pages, 3 en / 1 de
+        for i, lang in enumerate(["en", "en", "en", "de"]):
+            rows.append((f"https://good.test/{i}", "clean plain words of text", lang))
+        # bad.test: 3 digit-soup pages
+        for i in range(3):
+            rows.append((f"https://bad.test/{i}", "1234567890 999 111 000", "en"))
+        # thin.test: below min_pages -> review even if clean
+        rows.append(("https://thin.test/0", "clean plain words", "en"))
+        rows.append(("notaurl", "dropped row", "en"))  # NULL host dropped
+        df = spark.createDataFrame(rows, "url string, text string, lang string")
+        out = {r.host: r for r in host_quality(df).collect()}
+        assert set(out) == {"good.test", "bad.test", "thin.test"}
+        assert out["good.test"].tier == "allow"
+        assert out["good.test"].top_lang == "en"
+        assert out["good.test"].n_pages == 4
+        assert out["bad.test"].tier == "block"
+        assert out["thin.test"].tier == "review"
+
+    def test_top_lang_tie_breaks_lexicographically(self, spark):
+        from gocrd_spark.operators.urls import host_quality
+
+        df = spark.createDataFrame(
+            [
+                ("https://h.test/1", "words here", "fr"),
+                ("https://h.test/2", "words here", "de"),
+            ],
+            "url string, text string, lang string",
+        )
+        assert host_quality(df).collect()[0].top_lang == "de"
+
+    def test_empty_text_is_floor_not_error(self, spark):
+        from gocrd_spark.operators.urls import host_quality
+
+        df = spark.createDataFrame(
+            [("https://e.test/1", "", "en")] * 3, "url string, text string, lang string"
+        )
+        r = host_quality(df).collect()[0]
+        # all ratios 0 -> composite = 1e6 per page
+        assert r.sum_quality_e6 == 3_000_000 and r.tier == "allow"
