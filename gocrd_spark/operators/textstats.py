@@ -1667,3 +1667,37 @@ def grouped_split(
         .otherwise(F.lit("train"))
     )
     return docs.select("doc_id", g.alias("group"), split.alias("split"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata: tuple[str, ...] = ("source", "lang"),
+    k: int = 5,
+    seed: str = "strat1",
+) -> DataFrame:
+    """Exact-quota stratified sampling: k documents from EVERY stratum
+    (eval-set construction, human-review queues, per-slice debugging —
+    places where rate-based sampling under-covers small strata). The
+    within-stratum order is (md5(seed:doc_id), doc_id): content-stable,
+    seed-switchable, engine-independent — rerunning tomorrow or on a
+    second engine picks the same documents. Strata with fewer than k
+    docs return all of them (quota, not guarantee).
+
+    Returns kept rows only: (doc_id, *strata, pick_order 1..k).
+
+    Scale shape: the shuffle carries (strata keys, 32-char digest,
+    doc_id) — never text. The per-stratum window sorts each stratum's
+    rows; with heavily skewed strata sizes, pre-filter on a digest
+    prefix to cap the sort input (the quota stays exact as long as the
+    prefix band keeps >= k rows — check with the stratum counts table).
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in strata]
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(*cols).orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", *strata)
+        .withColumn("pick_order", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_order") <= k)
+    )

@@ -667,3 +667,61 @@ def host_quality(
         .otherwise(F.lit("review"))
         .alias("tier"),
     )
+
+
+def url_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Lexical URL features for spam/quality classifiers — the
+    zero-content signal tier (rankable before a single byte of the
+    page is fetched): subdomain depth, digit density in the hostname,
+    path depth, query-parameter count, total length. All JVM
+    expressions over ``try_parse_url``; integer-exact (digit density
+    is a ``(10^6 * digits) div len`` floor division) so the oracle
+    hash-matches. Malformed URLs yield NULL host and zeroed features.
+
+    Returns (url, host, n_host_labels, host_digit_e6, path_depth,
+    n_params, url_len). Narrow map, no shuffle: compose with
+    classifier_score / fetch_priority downstream.
+    """
+    u = F.col(url_col)
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    path = F.try_parse_url(u, F.lit("PATH"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    digit_sum = " + ".join(
+        f"(length(host) - length(replace(host, '{d}', '')))" for d in range(10)
+    )
+    return urls.select(
+        u.alias("url"),
+        host.alias("host"),
+        path.alias("_path"),
+        query.alias("_query"),
+        F.length(u).cast("long").alias("url_len"),
+    ).select(
+        "url",
+        "host",
+        F.coalesce(F.size(F.split(F.col("host"), r"\.")), F.lit(0))
+        .cast("long")
+        .alias("n_host_labels"),
+        F.when(
+            F.col("host").isNotNull() & (F.length("host") > 0),
+            F.expr(f"(1000000 * ({digit_sum})) div length(host)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("host_digit_e6"),
+        F.coalesce(
+            F.size(F.filter(F.split(F.col("_path"), "/"), lambda x: x != F.lit(""))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("path_depth"),
+        F.coalesce(
+            F.when(
+                F.col("_query").isNotNull() & (F.col("_query") != ""),
+                F.size(F.split(F.col("_query"), "&")),
+            ).otherwise(F.lit(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_params"),
+        "url_len",
+    )

@@ -2916,3 +2916,57 @@ class TestHostQuality:
         r = host_quality(df).collect()[0]
         # all ratios 0 -> composite = 1e6 per page
         assert r.sum_quality_e6 == 3_000_000 and r.tier == "allow"
+
+
+class TestUrlFeatures:
+    def test_feature_values(self, spark):
+        from gocrd_spark.operators.urls import url_features
+
+        df = spark.createDataFrame(
+            [
+                ("https://h123.test/a/b/c?x=1&y=2",),
+                ("https://deep.x.y.z.test/a/b/c/d/e",),
+                ("not a url",),
+            ],
+            "url string",
+        )
+        rows = {r.url: r for r in url_features(df).collect()}
+        r = rows["https://h123.test/a/b/c?x=1&y=2"]
+        assert (r.host, r.n_host_labels, r.path_depth, r.n_params) == (
+            "h123.test", 2, 3, 2,
+        )
+        assert r.host_digit_e6 == (1_000_000 * 3) // len("h123.test")
+        deep = rows["https://deep.x.y.z.test/a/b/c/d/e"]
+        assert deep.n_host_labels == 5 and deep.path_depth == 5
+        bad = rows["not a url"]
+        assert bad.host is None and bad.n_host_labels == 0 and bad.n_params == 0
+
+
+class TestStratifiedSample:
+    def test_quota_and_small_strata(self, spark):
+        from gocrd_spark.operators.textstats import stratified_sample
+
+        rows = [(i, "big", "en") for i in range(50)] + [
+            (100, "tiny", "de"), (101, "tiny", "de")
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+        out = stratified_sample(df, k=5).collect()
+        by = {}
+        for r in out:
+            by.setdefault((r.source, r.lang), []).append(r)
+        assert len(by[("big", "en")]) == 5      # exact quota
+        assert len(by[("tiny", "de")]) == 2     # under-filled stratum: all rows
+        assert sorted(r.pick_order for r in by[("big", "en")]) == [1, 2, 3, 4, 5]
+
+    def test_deterministic_and_seed_switchable(self, spark):
+        from gocrd_spark.operators.textstats import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "s", "en") for i in range(200)],
+            "doc_id long, source string, lang string",
+        )
+        a = sorted(r.doc_id for r in stratified_sample(df, k=10).collect())
+        b = sorted(r.doc_id for r in stratified_sample(df, k=10).collect())
+        c = sorted(r.doc_id for r in stratified_sample(df, k=10, seed="other").collect())
+        assert a == b        # rerun-stable
+        assert a != c        # seed moves the pick set
