@@ -215,3 +215,96 @@ def cms_heavy_hitters(docs: DataFrame, k: int = 8) -> DataFrame:
         .cast("long")
         .alias("rank"),
     )
+
+
+
+# --- HDR-histogram quantile sketch ------------------------------------
+
+HDR_SUB = 32  # sub-buckets per power of two: <= 1/32 relative error
+
+
+def hdr_histogram(
+    items: DataFrame, value_col: str = "v", group_col: str = "group"
+) -> DataFrame:
+    """HdrHistogram bucket table (group, idx, cnt) — the mergeable
+    quantile sketch completing the family (HLL: distinct, CMS:
+    frequency, HDR: distribution). Pure integer bucketing of
+    non-negative BIGINTs, so both engines agree bit-exactly:
+
+        v < 32  : idx = v                      (unit buckets, exact)
+        v >= 32 : k   = bit_length(v) - 6      (v >> k lands in [32,64))
+                  idx = 32 + 32*k + ((v >> k) - 32)
+
+    Bucket idx >= 32 covers [(32+sub) << k, ((32+sub) << k) + 2^k - 1]
+    with sub = (idx-32) % 32 — relative width 1/32. The table is
+    bounded at ~32 + 32*58 rows per group for any BIGINT input; counts
+    merge across runs/days by SUM (map-side partial agg does the same
+    within a job, so the shuffle never scales with item count).
+    """
+    v = F.col(value_col).cast("long")
+    blen = F.length(F.bin(v)).cast("long")  # bit_length for v >= 1
+    k = blen - 6
+    idx = F.when(v < 32, v).otherwise(
+        F.lit(32)
+        + F.lit(32) * k
+        + (F.expr(f"shiftright(cast({value_col} as bigint), "
+                  f"cast((length(bin(cast({value_col} as bigint))) - 6) as int))")
+           - F.lit(32))
+    )
+    return (
+        items.select(F.col(group_col).alias("group"), idx.cast("long").alias("idx"))
+        .groupBy("group", "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hdr_bounds(idx: Column) -> tuple[Column, Column]:
+    """(lo, hi) value bounds of an HDR bucket index — inverse of the
+    hdr_histogram indexing, same integer arithmetic."""
+    lo_hi = F.expr(
+        "shiftleft(32 + ((idx - 32) % 32), cast((idx - 32) div 32 as int))"
+    )
+    width = F.expr("shiftleft(1L, cast((idx - 32) div 32 as int))")
+    lo = F.when(F.col("idx") < 32, F.col("idx")).otherwise(lo_hi)
+    hi = F.when(F.col("idx") < 32, F.col("idx")).otherwise(lo_hi + width - 1)
+    return lo.cast("long"), hi.cast("long")
+
+
+def hdr_quantiles(
+    items: DataFrame,
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    value_col: str = "v",
+    group_col: str = "group",
+) -> DataFrame:
+    """Quantile bounds from the HDR sketch: for each group and each
+    q (permille), the bucket holding rank ceil(q*n/1000) — returns
+    (group, q_permille, value_lo, value_hi) with the true quantile
+    value guaranteed inside [value_lo, value_hi] (width <= 1/32
+    relative). Rank rule: smallest 1-based rank r with cumulative
+    count >= r, r = (q*n + 999) div 1000 clamped to >= 1.
+
+    Plan: the window/cumsum runs over the BOUNDED bucket table (at
+    most ~1.9k rows per group), never the data; the quantile probe is
+    a bucket-table self-aggregation. Everything integer.
+    """
+    hist = hdr_histogram(items, value_col=value_col, group_col=group_col)
+    w = Window.partitionBy("group").orderBy("idx")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("group"))
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            cum.sparkSession.createDataFrame(
+                [(q,) for q in qs_permille], "q_permille long"
+            )
+        )
+    ).withColumn("r", F.greatest(F.expr("(q_permille * n + 999) div 1000"), F.lit(1)))
+    picked = (
+        qdf.filter(F.col("cum") >= F.col("r"))
+        .groupBy("group", "q_permille")
+        .agg(F.min("idx").alias("idx"))
+    )
+    lo, hi = hdr_bounds(F.col("idx"))
+    return picked.select(
+        "group", "q_permille", lo.alias("value_lo"), hi.alias("value_hi")
+    )

@@ -131,3 +131,74 @@ def test_hll_registers_bounded(spark):
     # register table never exceeds groups x m rows no matter the input
     n = hll_registers(_items(spark, 50_000)).count()
     assert n <= HLL_M
+
+
+# --- HDR-histogram quantile sketch ------------------------------------
+
+
+def test_hdr_bucket_width_bound(spark):
+    # every bucket's relative width is <= 1/32 for v >= 32; unit-exact below
+    from gocrd_spark.operators.sketch import hdr_histogram, hdr_bounds
+
+    items = spark.range(1, 100_000, 37).select(
+        F.lit("g").alias("group"), F.col("id").alias("v")
+    )
+    lo, hi = hdr_bounds(F.col("idx"))
+    rows = (
+        hdr_histogram(items)
+        .select("idx", lo.alias("lo"), hi.alias("hi"))
+        .collect()
+    )
+    for r in rows:
+        assert r.lo <= r.hi
+        if r.lo >= 32:
+            assert (r.hi - r.lo + 1) <= max(r.lo // 32, 1)
+
+
+def test_hdr_values_land_in_their_bucket(spark):
+    from gocrd_spark.operators.sketch import hdr_histogram, hdr_bounds
+
+    # distinct probe values, one per row: count per bucket must equal
+    # the number of probes inside [lo, hi]
+    probes = [0, 1, 31, 32, 33, 63, 64, 100, 357, 1_000, 65_535, 10**9]
+    items = spark.createDataFrame(
+        [("g", v) for v in probes], "group string, v long"
+    )
+    lo, hi = hdr_bounds(F.col("idx"))
+    rows = hdr_histogram(items).select("idx", "cnt", lo.alias("lo"), hi.alias("hi")).collect()
+    assert sum(r.cnt for r in rows) == len(probes)
+    for r in rows:
+        inside = [v for v in probes if r.lo <= v <= r.hi]
+        assert len(inside) == r.cnt
+
+
+def test_hdr_quantile_bounds_contain_exact_quantile(spark):
+    from gocrd_spark.operators.sketch import hdr_quantiles
+
+    import random
+
+    rng = random.Random(7)
+    vals = sorted(rng.randrange(1, 1_000_000) for _ in range(5_000))
+    items = spark.createDataFrame([("g", v) for v in vals], "group string, v long")
+    rows = {r.q_permille: r for r in hdr_quantiles(items).collect()}
+    for q in (500, 900, 990):
+        r_rank = max((q * len(vals) + 999) // 1000, 1)
+        exact = vals[r_rank - 1]
+        assert rows[q].value_lo <= exact <= rows[q].value_hi
+
+
+def test_hdr_histogram_merges_by_sum(spark):
+    from gocrd_spark.operators.sketch import hdr_histogram
+
+    a = spark.range(0, 3_000).select(F.lit("g").alias("group"), F.col("id").alias("v"))
+    b = spark.range(3_000, 9_000).select(
+        F.lit("g").alias("group"), F.col("id").alias("v")
+    )
+    merged = (
+        hdr_histogram(a)
+        .unionAll(hdr_histogram(b))
+        .groupBy("group", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = hdr_histogram(a.unionAll(b))
+    assert merged.exceptAll(full).count() == 0 and full.exceptAll(merged).count() == 0
