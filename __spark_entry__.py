@@ -861,6 +861,22 @@ def _q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_trustrank(edges, seeds, n_iters=5)
 
 
+def _q_frontier_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop frontier expansion from the trustrank seed hosts
+    over the same formula-derived host graph (3 hops)."""
+    from gocrd_spark.operators.linkgraph import (
+        extract_outlinks,
+        frontier_expand,
+        host_edges,
+    )
+
+    edges = host_edges(extract_outlinks(_linked_pages(spark, sf_dir)))
+    seeds = spark.createDataFrame(
+        [(f"host{k}.example.com",) for k in (0, 5, 10, 15)], "host string"
+    )
+    return frontier_expand(edges, seeds, max_hops=3)
+
+
 _BPE_MERGES_CACHE: dict[str, list] = {}
 # single source of truth for BOTH bpe queries — drift between the
 # fresh-train path and the memo path would make bpe_encode's output
@@ -2143,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "mirror_hosts": _q_mirror_hosts,
         "host_trustrank": _q_host_trustrank,
+        "frontier_expand": _q_frontier_expand,
         "grouped_split": _q_grouped_split,
         # --- corpus search (round-5 session 2: inverted index + BM25) ---
         "inverted_postings": _q_inverted_postings,
@@ -2265,7 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings", "bm25_search", "phrase_search",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
         "host_quality", "url_features", "stratified_sample",
-        "hdr_doclen_quantiles",
+        "hdr_doclen_quantiles", "frontier_expand",
         "multimodal_features", "multimodal_resize", "video_frame_sample",
         "image_phash", "phash_near_dups", "classifier_quality",
         "dedup_survivors", "semdedup", "fuzzy_contamination",
@@ -4307,6 +4324,7 @@ def _linkgraph_oracles() -> dict[str, str]:
         ),
         "host_pagerank": _host_pagerank_oracle(n, n_iters=5),
         "host_trustrank": _host_trustrank_oracle(n, n_iters=5),
+        "frontier_expand": _frontier_expand_oracle(n, max_hops=3),
         "robots_filter": """
             SELECT doc_id,
                    'https://host' || (doc_id % 10) || '.example.com' ||
@@ -4865,6 +4883,37 @@ def _host_trustrank_oracle(n: int, n_iters: int = 5) -> str:
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT host, trust_e12 FROM r{n_iters}"
     )
+
+
+def _frontier_expand_oracle(n: int, max_hops: int = 3) -> str:
+    """DuckDB twin of frontier_expand over the formula-derived host
+    graph: unrolled BFS (aggregates are legal in CHAINED CTEs, unlike
+    recursive terms — the host_pagerank discipline), seeds matching
+    _q_frontier_expand. Shortest hop distance is iteration-order-free,
+    so the unroll matches the operator's loop exactly."""
+    seed_pred = "host IN ('host0.example.com','host5.example.com'," \
+        "'host10.example.com','host15.example.com')"
+    ctes = [
+        f"links AS ({_linked_pages_links_sql(n)})",
+        """e AS (
+          SELECT DISTINCT 'host' || (i % 20) || '.example.com' AS src,
+                 'host' || (dst % 20) || '.example.com' AS dst
+          FROM links)""",
+        # seeds are a fixed list, not derived from the graph
+        """d0 AS (
+          SELECT host, 0 AS hop FROM (VALUES
+            ('host0.example.com'), ('host5.example.com'),
+            ('host10.example.com'), ('host15.example.com')) s(host))""",
+    ]
+    for k in range(1, max_hops + 1):
+        ctes.append(f"""d{k} AS (
+          SELECT host, min(hop)::BIGINT AS hop FROM (
+            SELECT host, hop FROM d{k - 1}
+            UNION ALL
+            SELECT e.dst AS host, {k} AS hop
+            FROM d{k - 1} f JOIN e ON e.src = f.host
+            WHERE f.hop = {k - 1}) GROUP BY host)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT host, hop FROM d{max_hops}"
 
 
 def _media_inline_sql(n: int, seed: int = 42) -> str:

@@ -503,3 +503,50 @@ def redirect_resolve(
         F.when(r, F.col("hops")).cast("long").alias("hops"),
         "resolved",
     )
+
+
+def frontier_expand(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Seed-set frontier expansion: label every host reachable from
+    the ``seeds`` within ``max_hops`` link-graph hops with its SHORTEST
+    hop distance — the crawl-scoping primitive ("fetch everything
+    within 3 hops of the curated seed list") that pairs with
+    host_trustrank (seeds rank trust; this bounds discovery).
+
+    Input: ``edges(src_host, dst_host, ...)`` (host_edges output),
+    ``seeds(host)``. Returns (host, hop), hop 0 for seeds, reached
+    hosts only. Hop distance is a shortest-path property — the answer
+    is iteration-order-independent, so the DuckDB unrolled-CTE twin
+    matches exactly.
+
+    Scale shape: ``max_hops`` fixed rounds; each round joins the
+    CURRENT frontier (hop == k-1 rows only) against the edge table on
+    the host key and folds new hosts in with a min-hop groupBy —
+    shuffles carry (host, hop) pairs, bounded by reachable-set size,
+    never the page corpus. Per-round ``localCheckpoint`` keeps the
+    plan flat (the iterative-loop discipline: loop state AND the
+    loop-invariant edge table are both pinned — see CLAUDE.md).
+    """
+    e = edges.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).localCheckpoint(eager=True)
+    reached = (
+        seeds.select(F.col("host"), F.lit(0).cast("long").alias("hop"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for k in range(1, max_hops + 1):
+        frontier = reached.filter(F.col("hop") == k - 1)
+        new = frontier.join(e, frontier.host == e.src, "inner").select(
+            F.col("dst").alias("host"), F.lit(k).cast("long").alias("hop")
+        )
+        reached = (
+            reached.unionAll(new)
+            .groupBy("host")
+            .agg(F.min("hop").cast("long").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    return reached

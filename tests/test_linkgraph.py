@@ -313,3 +313,46 @@ class TestHostTrustrank:
         assert got["t"] > 0 and "ghost.example" not in got
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "ExistingRDD" in plan
+
+
+class TestFrontierExpand:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, b, 1) for a, b in pairs],
+            "src_host string, dst_host string, n_links long",
+        )
+
+    def test_shortest_hop_wins(self, spark):
+        from gocrd_spark.operators.linkgraph import frontier_expand
+
+        # a -> b -> c and a -> c: c must be hop 1, not 2
+        edges = self._edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+        seeds = spark.createDataFrame([("a",)], "host string")
+        got = {r.host: r.hop for r in frontier_expand(edges, seeds).collect()}
+        assert got == {"a": 0, "b": 1, "c": 1}
+
+    def test_hop_budget_cuts_discovery(self, spark):
+        from gocrd_spark.operators.linkgraph import frontier_expand
+
+        chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+        seeds = spark.createDataFrame([("n0",)], "host string")
+        got = {r.host: r.hop for r in
+               frontier_expand(self._edges(spark, chain), seeds, max_hops=2).collect()}
+        assert got == {"n0": 0, "n1": 1, "n2": 2}  # n3+ out of budget
+
+    def test_cycles_terminate_and_keep_min(self, spark):
+        from gocrd_spark.operators.linkgraph import frontier_expand
+
+        edges = self._edges(spark, [("a", "b"), ("b", "a"), ("b", "c")])
+        seeds = spark.createDataFrame([("a",)], "host string")
+        got = {r.host: r.hop for r in
+               frontier_expand(edges, seeds, max_hops=4).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_unreached_and_disconnected_seeds(self, spark):
+        from gocrd_spark.operators.linkgraph import frontier_expand
+
+        edges = self._edges(spark, [("x", "y")])
+        seeds = spark.createDataFrame([("a",)], "host string")
+        got = {r.host: r.hop for r in frontier_expand(edges, seeds).collect()}
+        assert got == {"a": 0}  # seed kept even with no edges; x/y unreached
