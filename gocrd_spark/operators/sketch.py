@@ -308,3 +308,172 @@ def hdr_quantiles(
     return picked.select(
         "group", "q_permille", lo.alias("value_lo"), hi.alias("value_hi")
     )
+
+
+# --- durable corpus profile (daily-crawl maintenance) ------------------
+
+PROFILE_PARAMS = {
+    "hll_p": HLL_P,
+    "hll_rho_cap": HLL_RHO_CAP,
+    "hll_alpha_e6": HLL_ALPHA_E6,
+    "cms_depth": CMS_DEPTH,
+    "cms_width": CMS_WIDTH,
+    "hdr_sub": HDR_SUB,
+    "version": 1,
+}
+
+
+def _profile_tables(docs: DataFrame, group_col: str) -> dict[str, DataFrame]:
+    items = docs.select(
+        F.col(group_col).alias("group"), F.explode(_tokens(F.col("text"))).alias("item")
+    )
+    vals = docs.select(
+        F.col(group_col).alias("group"), F.col("n_chars").cast("long").alias("v")
+    )
+    return {
+        "hll": hll_registers(items, group_col="group"),
+        "cms": cms_counters(items.select("item")),
+        "hdr": hdr_histogram(vals),
+    }
+
+
+def profile_build(docs: DataFrame, path: str, group_col: str = "source") -> str:
+    """Materialize the corpus profile ONCE at ``path``: the three
+    bounded sketch tables (``hll`` registers, ``cms`` counters, ``hdr``
+    doc-length buckets) under one root with a ``_PARAMS.json`` pin —
+    the same write-once/resume/refuse-on-mismatch contract as the
+    MinHash/SimHash signature tables and the IVF index
+    (dedup.minhash_signatures), scheme-agnostic via the Hadoop
+    FileSystem API (fsio). Returns ``path``.
+
+    This is what replaces "re-scan 100 TB to answer corpus questions":
+    distinct-vocabulary, term-frequency, and length-distribution
+    queries all run against kilobytes of sketch state, and daily
+    crawls fold in via :func:`profile_append` without re-reading
+    history.
+    """
+    import json
+
+    from gocrd_spark import fsio
+
+    spark = docs.sparkSession
+    marker = f"{path.rstrip('/')}/_SUCCESS"
+    sidecar = f"{path.rstrip('/')}/_PARAMS.json"
+    if fsio.exists(spark, marker) and fsio.exists(spark, sidecar):
+        existing = json.loads(fsio.read_text(spark, sidecar))
+        if existing != PROFILE_PARAMS:
+            raise ValueError(
+                f"existing profile at {path} was built with {existing}, "
+                f"requested {PROFILE_PARAMS}"
+            )
+        return path
+    for name, df in _profile_tables(docs, group_col).items():
+        df.write.mode("overwrite").parquet(f"{path.rstrip('/')}/{name}")
+    fsio.write_text(spark, marker, "")
+    fsio.write_text(spark, sidecar, json.dumps(PROFILE_PARAMS))
+    return path
+
+
+def profile_append(
+    new_docs: DataFrame, path: str, batch_id: str, group_col: str = "source"
+) -> str:
+    """Idempotently fold a new batch into the durable profile — the
+    sketch-family twin of dedup.minhash_append (same commit-marker
+    machinery per sub-table; re-running a batch_id is a no-op). The
+    merge law is the sketch's own: readers take max over HLL register
+    rows and sum over CMS/HDR count rows, so appending commutes and
+    never rewrites the base tables."""
+    import json
+
+    from gocrd_spark import fsio
+    from gocrd_spark.operators.dedup import _append_sig_batch
+
+    spark = new_docs.sparkSession
+    existing = json.loads(fsio.read_text(spark, f"{path.rstrip('/')}/_PARAMS.json"))
+    if existing != PROFILE_PARAMS:
+        raise ValueError(
+            f"profile at {path} was built with {existing}, "
+            f"this build writes {PROFILE_PARAMS}"
+        )
+    for name, df in _profile_tables(new_docs, group_col).items():
+        _append_sig_batch(df, f"{path.rstrip('/')}/{name}", batch_id)
+    return path
+
+
+def _profile_read(spark, path: str, name: str) -> DataFrame:
+    from gocrd_spark.operators.dedup import _read_sig_table
+
+    return _read_sig_table(spark, f"{path.rstrip('/')}/{name}")
+
+
+def profile_distinct(spark, path: str) -> DataFrame:
+    """(group, est_distinct, n_zero) from the merged register table —
+    base plus every committed batch, folded by per-bucket max."""
+    regs = (
+        _profile_read(spark, path, "hll")
+        .groupBy("group", "bucket")
+        .agg(F.max("m").cast("long").alias("m"))
+    )
+    return hll_estimate(regs)
+
+
+def profile_term_counts(spark, path: str, terms: list[str]) -> DataFrame:
+    """Point-query the merged CMS: estimated corpus count for each
+    given term (est >= true count). No corpus scan — the probe joins a
+    |terms|-row literal table against 4096 merged counters."""
+    counters = (
+        _profile_read(spark, path, "cms")
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    probes = spark.createDataFrame([(t,) for t in terms], "term string").select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(F.xxhash64(F.lit(i), F.col("term")), F.lit(CMS_WIDTH))
+                        .cast("long")
+                        .alias("bucket"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_count"))
+    )
+
+
+def profile_length_quantiles(
+    spark, path: str, qs_permille: tuple[int, ...] = (500, 900, 990)
+) -> DataFrame:
+    """(group, q_permille, value_lo, value_hi) from the merged HDR
+    buckets — the length-distribution face of the profile."""
+    hist = (
+        _profile_read(spark, path, "hdr")
+        .groupBy("group", "idx")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("group").orderBy("idx")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("group"))
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(q,) for q in qs_permille], "q_permille long")
+        )
+    ).withColumn("r", F.greatest(F.expr("(q_permille * n + 999) div 1000"), F.lit(1)))
+    picked = (
+        qdf.filter(F.col("cum") >= F.col("r"))
+        .groupBy("group", "q_permille")
+        .agg(F.min("idx").alias("idx"))
+    )
+    lo, hi = hdr_bounds(F.col("idx"))
+    return picked.select(
+        "group", "q_permille", lo.alias("value_lo"), hi.alias("value_hi")
+    )

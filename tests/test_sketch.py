@@ -202,3 +202,62 @@ def test_hdr_histogram_merges_by_sum(spark):
     )
     full = hdr_histogram(a.unionAll(b))
     assert merged.exceptAll(full).count() == 0 and full.exceptAll(merged).count() == 0
+
+
+# --- durable corpus profile ---------------------------------------------
+
+
+def _docs_df(spark, lo, hi, source="s1"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 500).cast("string"),
+                 F.lit(" common word")).alias("text"),
+        F.lit(source).alias("source"),
+        (F.col("id") % 997 + 1).cast("long").alias("n_chars"),
+    )
+
+
+def test_profile_build_append_merge(spark, tmp_path):
+    from gocrd_spark.operators import sketch
+
+    path = str(tmp_path / "profile")
+    base = _docs_df(spark, 0, 2_000)
+    day2 = _docs_df(spark, 2_000, 5_000)
+    sketch.profile_build(base, path)
+    # build is write-once: second call resumes without error
+    sketch.profile_build(base, path)
+    sketch.profile_append(day2, path, "day2")
+    sketch.profile_append(day2, path, "day2")  # idempotent no-op
+
+    # merged estimates must equal the sketches computed over the UNION
+    merged_d = {r.group: r.est_distinct
+                for r in sketch.profile_distinct(spark, path).collect()}
+    want_d = {r.group: r.est_distinct
+              for r in sketch.hll_distinct_terms(
+                  base.unionAll(day2)).selectExpr(
+                      "group", "est_distinct").collect()}
+    assert merged_d == want_d
+
+    tc = {r.term: r.est_count
+          for r in sketch.profile_term_counts(
+              spark, path, ["common", "tok0", "nosuchterm"]).collect()}
+    assert tc["common"] >= 5_000         # every doc
+    assert tc["tok0"] >= 10              # id % 500 == 0 docs
+    assert tc["nosuchterm"] >= 0         # CMS may only overestimate
+
+    q = {(r.group, r.q_permille): (r.value_lo, r.value_hi)
+         for r in sketch.profile_length_quantiles(spark, path).collect()}
+    lo, hi = q[("s1", 500)]
+    assert lo <= 499 + 1 <= hi or lo <= 500 <= hi  # median of 1..997 cycle
+
+
+def test_profile_param_pin_refuses_mismatch(spark, tmp_path, monkeypatch):
+    from gocrd_spark.operators import sketch
+
+    path = str(tmp_path / "p2")
+    sketch.profile_build(_docs_df(spark, 0, 100), path)
+    monkeypatch.setitem(sketch.PROFILE_PARAMS, "hll_p", 11)
+    with pytest.raises(ValueError, match="built with"):
+        sketch.profile_build(_docs_df(spark, 0, 100), path)
+    with pytest.raises(ValueError, match="built with"):
+        sketch.profile_append(_docs_df(spark, 100, 200), path, "b1")
