@@ -269,3 +269,128 @@ def phrase_search(
         .groupBy("phrase_id", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     )
+
+
+SEARCH_INDEX_BUCKETS = 64
+
+
+def search_index(
+    docs: DataFrame, path: str, buckets: int = SEARCH_INDEX_BUCKETS,
+    text_col: str = "text",
+) -> str:
+    """Materialize the inverted index ONCE at ``path`` for serving-
+    scale retrieval — the search-tier counterpart of similarity.py's
+    ``ivf_index``: postings land in parquet PARTITIONED by
+    ``tbucket = pmod(xxhash64(term), buckets)``, so a query's scan
+    reads only its terms' buckets via storage-level partition pruning
+    (a 2-term query on a 64-bucket index touches <= 2/64 of the
+    postings bytes). Corpus scalars (n_docs, t_tokens) are computed at
+    build time and pinned EXACTLY in ``_PARAMS.json`` alongside the
+    bucket count — same write-once/resume/refuse-on-mismatch contract
+    as the signature tables, scheme-agnostic via the Hadoop FS API.
+
+    Layout: ``path/postings/tbucket=*/`` (term, doc_id, tf, df),
+    ``path/dl/`` (doc_id, dl). Returns ``path``.
+    """
+    import json
+
+    from gocrd_spark import fsio
+
+    spark = docs.sparkSession
+    marker = f"{path.rstrip('/')}/_SUCCESS"
+    sidecar = f"{path.rstrip('/')}/_PARAMS.json"
+    if fsio.exists(spark, marker) and fsio.exists(spark, sidecar):
+        existing = json.loads(fsio.read_text(spark, sidecar))
+        if existing.get("buckets") != buckets or existing.get("version") != 1:
+            raise ValueError(
+                f"existing search index at {path} was built with {existing}, "
+                f"requested buckets={buckets}"
+            )
+        return path
+    scal = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens(F.col(text_col)))).cast("long").alias("t_tokens"),
+    ).collect()[0]
+    (
+        postings_flat(docs, text_col)
+        .withColumn("tbucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(f"{path.rstrip('/')}/postings")
+    )
+    docs.select(
+        F.col("doc_id"), F.size(_tokens(F.col(text_col))).cast("long").alias("dl")
+    ).write.mode("overwrite").parquet(f"{path.rstrip('/')}/dl")
+    fsio.write_text(spark, marker, "")
+    fsio.write_text(
+        spark,
+        sidecar,
+        json.dumps(
+            {
+                "buckets": buckets,
+                "n_docs": int(scal["n_docs"]),
+                "t_tokens": int(scal["t_tokens"]),
+                "version": 1,
+            }
+        ),
+    )
+    return path
+
+
+def bm25_topk_from(
+    spark, path: str, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """BM25 top-k against a durable :func:`search_index` — score-
+    identical to :func:`bm25_topk` on the same corpus (same integer
+    spec; df comes from the index, n/t from the exact sidecar pin),
+    but the corpus is never re-scanned: the postings read is pruned to
+    the query terms' tbucket partitions, then filtered to the terms
+    themselves (both predicates reach the parquet scan). The dl join
+    touches only matched postings.
+    """
+    import json
+
+    from gocrd_spark import fsio
+
+    params = json.loads(fsio.read_text(spark, f"{path.rstrip('/')}/_PARAMS.json"))
+    buckets, n_docs, t_tokens = params["buckets"], params["n_docs"], params["t_tokens"]
+    q = queries.select(
+        "query_id",
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int").alias("tbucket"),
+    )
+    qlocal = q.collect()  # query workload is tiny by definition
+    want_buckets = sorted({r["tbucket"] for r in qlocal})
+    postings = (
+        spark.read.parquet(f"{path.rstrip('/')}/postings")
+        .filter(F.col("tbucket").isin(want_buckets))  # partition pruning
+        .join(
+            F.broadcast(spark.createDataFrame(qlocal, q.schema)),
+            ["tbucket", "term"],
+        )
+    )
+    dl = spark.read.parquet(f"{path.rstrip('/')}/dl")
+    avgdl = t_tokens // n_docs
+    scored = (
+        postings.join(dl, "doc_id")
+        .withColumn("norm_pm", F.expr(f"250 + (750 * dl) div {avgdl}"))
+        .withColumn(
+            "idf_e6",
+            F.expr(
+                f"cast(round(round(ln(({n_docs} - df + 0.5) / (df + 0.5) + 1.0), 6)"
+                " * 1000000) as bigint)"
+            ),
+        )
+        .withColumn(
+            "contrib_e6",
+            F.expr("(idf_e6 * 22000 * tf) div (10000 * tf + 12 * norm_pm)"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib_e6").cast("long").alias("score_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_e6")
+    )

@@ -178,3 +178,45 @@ def test_phrase_plan_no_cartesian(spark, docs):
     phrases = corpus_phrases(docs, n_phrases=2)
     plan = phrase_search(docs, phrases)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# --- durable search index ----------------------------------------------
+
+
+def test_search_index_parity_and_pruning(spark, docs, tmp_path):
+    from gocrd_spark.operators.search import (
+        bm25_topk, bm25_topk_from, corpus_queries, search_index,
+    )
+
+    path = str(tmp_path / "idx")
+    search_index(docs, path, buckets=16)
+    search_index(docs, path, buckets=16)  # write-once resume
+    queries = spark.createDataFrame(
+        [(0, "spark"), (0, "plan"), (1, "query")], "query_id long, term string"
+    )
+    inline = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score_e6)
+        for r in bm25_topk(docs, queries, k=5).collect()
+    )
+    from_table = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score_e6)
+        for r in bm25_topk_from(spark, path, queries, k=5).collect()
+    )
+    assert inline == from_table  # score-identical, corpus never re-scanned
+
+    plan = (
+        bm25_topk_from(spark, path, queries, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "tbucket" in plan
+
+
+def test_search_index_refuses_param_mismatch(spark, docs, tmp_path):
+    import pytest as _pytest
+
+    from gocrd_spark.operators.search import search_index
+
+    path = str(tmp_path / "idx2")
+    search_index(docs, path, buckets=16)
+    with _pytest.raises(ValueError, match="built with"):
+        search_index(docs, path, buckets=32)
