@@ -861,6 +861,29 @@ def _q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_trustrank(edges, seeds, n_iters=5)
 
 
+_SCRIPT_SNIPPETS = {
+    0: "漢字文本測試",        # cjk
+    1: "текст на русском",   # cyrillic (+ ASCII spaces)
+    2: "نص عربي",            # arabic
+    3: "κείμενο ελληνικό",   # greek
+}
+
+
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script distribution over a deterministically
+    multilingual corpus: doc_id%5 in 0..3 replaces the text with a
+    repeated non-Latin snippet (repeat count doc_id%7+1), %5==4 keeps
+    the original Latin text — so main_script varies across all five
+    classes."""
+    from gocrd_spark.operators.textstats import script_profile
+
+    d = F.col("doc_id")
+    text = F.col("text")
+    for k, snip in _SCRIPT_SNIPPETS.items():
+        text = F.when(d % 5 == k, F.repeat(F.lit(snip), (d % 7 + 1).cast("int"))).otherwise(text)
+    return script_profile(_docs(spark, sf_dir).select("doc_id", text.alias("text")))
+
+
 def _q_frontier_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest-hop frontier expansion from the trustrank seed hosts
     over the same formula-derived host graph (3 hops)."""
@@ -2160,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _q_mirror_hosts,
         "host_trustrank": _q_host_trustrank,
         "frontier_expand": _q_frontier_expand,
+        "script_profile": _q_script_profile,
         "grouped_split": _q_grouped_split,
         # --- corpus search (round-5 session 2: inverted index + BM25) ---
         "inverted_postings": _q_inverted_postings,
@@ -2282,7 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings", "bm25_search", "phrase_search",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
         "host_quality", "url_features", "stratified_sample",
-        "hdr_doclen_quantiles", "frontier_expand",
+        "hdr_doclen_quantiles", "frontier_expand", "script_profile",
         "multimodal_features", "multimodal_resize", "video_frame_sample",
         "image_phash", "phash_near_dups", "classifier_quality",
         "dedup_survivors", "semdedup", "fuzzy_contamination",
@@ -3991,6 +4015,47 @@ def oracle_sql() -> dict[str, str]:
                 AS n_params,
               length(url)::BIGINT AS url_len
             FROM parts
+        """,
+        # same snippet plant as the Spark wrapper; counts by
+        # strip-and-diff with RE2 \x{...} classes (Java \uXXXX on the
+        # Spark side — same BMP ranges)
+        "script_profile": """
+            WITH t AS (
+              SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN repeat('漢字文本測試', (doc_id % 7 + 1)::INT)
+                  WHEN 1 THEN repeat('текст на русском', (doc_id % 7 + 1)::INT)
+                  WHEN 2 THEN repeat('نص عربي', (doc_id % 7 + 1)::INT)
+                  WHEN 3 THEN repeat('κείμενο ελληνικό', (doc_id % 7 + 1)::INT)
+                  ELSE text END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT AS n_latin,
+                (length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')))::BIGINT AS n_cjk,
+                (length(text) - length(regexp_replace(text, '[\\x{0400}-\\x{04ff}]', '', 'g')))::BIGINT AS n_cyrillic,
+                (length(text) - length(regexp_replace(text, '[\\x{0600}-\\x{06ff}]', '', 'g')))::BIGINT AS n_arabic,
+                (length(text) - length(regexp_replace(text, '[\\x{0370}-\\x{03ff}]', '', 'g')))::BIGINT AS n_greek,
+                (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit,
+                (length(text) - length(regexp_replace(text, '[\\s]', '', 'g')))::BIGINT AS n_space,
+                length(text)::BIGINT AS n_all
+              FROM t)
+            SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic, n_greek,
+                   n_digit,
+                   (n_all - n_latin - n_cjk - n_cyrillic - n_arabic
+                    - n_greek - n_digit - n_space)::BIGINT AS n_other,
+                   CASE WHEN greatest(n_latin, n_cjk, n_cyrillic,
+                                      n_arabic, n_greek) = 0 THEN 'none'
+                        WHEN n_latin = greatest(n_latin, n_cjk, n_cyrillic,
+                                                n_arabic, n_greek) THEN 'latin'
+                        WHEN n_cjk = greatest(n_latin, n_cjk, n_cyrillic,
+                                              n_arabic, n_greek) THEN 'cjk'
+                        WHEN n_cyrillic = greatest(n_latin, n_cjk, n_cyrillic,
+                                                   n_arabic, n_greek) THEN 'cyrillic'
+                        WHEN n_arabic = greatest(n_latin, n_cjk, n_cyrillic,
+                                                 n_arabic, n_greek) THEN 'arabic'
+                        ELSE 'greek' END AS main_script
+            FROM c
         """,
         # HDR integer bucketing replayed: bit_length via bin-string
         # length, shift arithmetic, rank = ceil(q*n/1000) smallest

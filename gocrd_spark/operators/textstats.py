@@ -1701,3 +1701,60 @@ def stratified_sample(
         .withColumn("pick_order", F.row_number().over(w).cast("long"))
         .filter(F.col("pick_order") <= k)
     )
+
+
+# Unicode script ranges (BMP-only: Java strings are UTF-16, so
+# supplementary-plane classes would count surrogate units differently
+# than a codepoint engine — the profile stays in the BMP where both
+# engines agree)
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "cjk": "\\u4e00-\\u9fff",
+    "cyrillic": "\\u0400-\\u04ff",
+    "arabic": "\\u0600-\\u06ff",
+    "greek": "\\u0370-\\u03ff",
+}
+# fixed argmax priority: the FIRST script in this order whose count
+# equals the max wins ties — deterministic across engines
+SCRIPT_PRIORITY = ("latin", "cjk", "cyrillic", "arabic", "greek")
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script distribution — the multilingual
+    curation signal lang_id can't give you (stopword lists only cover
+    languages you enumerated; script counts classify EVERY page):
+    (doc_id, n_latin, n_cjk, n_cyrillic, n_arabic, n_greek, n_digit,
+    n_other, main_script). ``n_other`` = everything outside the five
+    scripts, digits, and ASCII whitespace. ``main_script`` = argmax
+    with the SCRIPT_PRIORITY tie order, ``'none'`` when no script
+    char occurs. All counts via character-class strip-and-diff (JVM
+    regexp, narrow map, zero shuffles, exact integers).
+    """
+    text = F.col(text_col)
+
+    def n_class(cls: str) -> Column:
+        return (
+            F.length(text) - F.length(F.regexp_replace(text, f"[{cls}]", ""))
+        ).cast("long")
+
+    counts = {name: n_class(rng) for name, rng in SCRIPT_RANGES.items()}
+    n_digit = n_class("0-9")
+    n_space = n_class("\\s")  # Java \\s: ASCII whitespace
+    n_other = (
+        F.length(text).cast("long")
+        - sum(counts.values())
+        - n_digit
+        - n_space
+    )
+    mx = F.greatest(*counts.values())
+    main = F.lit("none")
+    for name in reversed(SCRIPT_PRIORITY):
+        main = F.when(counts[name] == mx, F.lit(name)).otherwise(main)
+    main = F.when(mx == 0, F.lit("none")).otherwise(main)
+    return docs.select(
+        "doc_id",
+        *[counts[n].alias(f"n_{n}") for n in SCRIPT_PRIORITY],
+        n_digit.alias("n_digit"),
+        n_other.alias("n_other"),
+        main.alias("main_script"),
+    )

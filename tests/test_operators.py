@@ -2970,3 +2970,29 @@ class TestStratifiedSample:
         c = sorted(r.doc_id for r in stratified_sample(df, k=10, seed="other").collect())
         assert a == b        # rerun-stable
         assert a != c        # seed moves the pick set
+
+
+class TestScriptProfile:
+    def test_counts_and_main_script(self, spark):
+        from gocrd_spark.operators.textstats import script_profile
+
+        docs = spark.createDataFrame(
+            [
+                (0, "hello world 42"),
+                (1, "漢字 only 漢"),
+                (2, "текст y"),          # 5 cyrillic vs 1 latin
+                (3, ""),
+                (4, "ab 漢字"),           # tie 2-2: priority -> latin
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in script_profile(docs).collect()}
+        assert rows[0].n_latin == 10 and rows[0].n_digit == 2
+        assert rows[0].main_script == "latin" and rows[0].n_other == 0
+        # "漢字 only 漢": 4 latin chars vs 3 cjk -> latin wins on count
+        assert rows[1].n_cjk == 3 and rows[1].n_latin == 4
+        assert rows[1].main_script == "latin"
+        assert rows[2].n_cyrillic == 5 and rows[2].main_script == "cyrillic"
+        assert rows[3].main_script == "none"
+        assert rows[4].n_latin == 2 and rows[4].n_cjk == 2
+        assert rows[4].main_script == "latin"  # tie -> priority order
