@@ -861,6 +861,25 @@ def _q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_trustrank(edges, seeds, n_iters=5)
 
 
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot vocabulary drift with a deterministic
+    planted spam burst: the new snapshot appends spam terms to every
+    doc_id%5==0 page — those terms must surface as the top movers."""
+    from gocrd_spark.operators.textstats import vocab_drift
+
+    old = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    new = old.select(
+        "doc_id",
+        F.when(
+            d % 5 == 0, F.concat(F.col("text"), F.lit(" casino casino pills"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return vocab_drift(old, new)
+
+
 _SCRIPT_SNIPPETS = {
     0: "漢字文本測試",        # cjk
     1: "текст на русском",   # cyrillic (+ ASCII spaces)
@@ -2184,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": _q_host_trustrank,
         "frontier_expand": _q_frontier_expand,
         "script_profile": _q_script_profile,
+        "vocab_drift": _q_vocab_drift,
         "grouped_split": _q_grouped_split,
         # --- corpus search (round-5 session 2: inverted index + BM25) ---
         "inverted_postings": _q_inverted_postings,
@@ -2307,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
         "host_quality", "url_features", "stratified_sample",
         "hdr_doclen_quantiles", "frontier_expand", "script_profile",
+        "vocab_drift",
         "multimodal_features", "multimodal_resize", "video_frame_sample",
         "image_phash", "phash_near_dups", "classifier_quality",
         "dedup_survivors", "semdedup", "fuzzy_contamination",
@@ -4015,6 +4036,38 @@ def oracle_sql() -> dict[str, str]:
                 AS n_params,
               length(url)::BIGINT AS url_len
             FROM parts
+        """,
+        # planted spam burst replayed; integer ppm, (|delta| DESC,
+        # term ASC) top-50
+        "vocab_drift": """
+            WITH newdocs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                       THEN text || ' casino casino pills' ELSE text END AS text
+              FROM documents),
+            ot AS (SELECT unnest(list_filter(string_split_regex(lower(text),
+                     '\\s+'), x -> x <> '')) AS term FROM documents),
+            nt AS (SELECT unnest(list_filter(string_split_regex(lower(text),
+                     '\\s+'), x -> x <> '')) AS term FROM newdocs),
+            osum AS (SELECT count(*)::BIGINT AS t FROM ot),
+            nsum AS (SELECT count(*)::BIGINT AS t FROM nt),
+            of AS (SELECT term, (1000000 * count(*)) // (SELECT t FROM osum)
+                     AS old_ppm FROM ot GROUP BY term),
+            nf AS (SELECT term, (1000000 * count(*)) // (SELECT t FROM nsum)
+                     AS new_ppm FROM nt GROUP BY term),
+            j AS (SELECT coalesce(of.term, nf.term) AS term,
+                         coalesce(old_ppm, 0)::BIGINT AS old_ppm,
+                         coalesce(new_ppm, 0)::BIGINT AS new_ppm
+                  FROM of FULL OUTER JOIN nf ON of.term = nf.term
+                  WHERE coalesce(old_ppm, 0) >= 100
+                     OR coalesce(new_ppm, 0) >= 100)
+            SELECT term, old_ppm, new_ppm,
+                   (new_ppm - old_ppm)::BIGINT AS delta_ppm,
+                   CASE WHEN new_ppm > old_ppm THEN 'up'
+                        WHEN new_ppm < old_ppm THEN 'down'
+                        ELSE 'flat' END AS direction
+            FROM j
+            ORDER BY abs(new_ppm - old_ppm) DESC, term ASC LIMIT 50
         """,
         # same snippet plant as the Spark wrapper; counts by
         # strip-and-diff with RE2 \x{...} classes (Java \uXXXX on the

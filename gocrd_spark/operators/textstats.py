@@ -1758,3 +1758,57 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_other.alias("n_other"),
         main.alias("main_script"),
     )
+
+
+def vocab_drift(
+    old_docs: DataFrame, new_docs: DataFrame, min_ppm: int = 100, top: int = 50
+) -> DataFrame:
+    """Cross-snapshot vocabulary drift — the crawl-monitoring table
+    that catches template rollouts, spam bursts, and extraction
+    regressions before they poison a training mix: per-term frequency
+    (parts-per-million of each snapshot's token count, integer floor
+    div) in the OLD and NEW snapshots, with the absolute ppm delta,
+    top movers first.
+
+    Returns the ``top`` terms by (|delta_ppm| DESC, term ASC) among
+    terms reaching ``min_ppm`` in either snapshot: (term, old_ppm,
+    new_ppm, delta_ppm, direction 'up'/'down'/'flat').
+
+    Scale shape: each side is the standard vocabulary-sized term
+    count (map-side partial sums); the join is vocab x vocab on the
+    term key; snapshot totals are 1-row broadcast scalars. Exact
+    integer ppm, so the ordering — and the oracle — is deterministic.
+    """
+
+    def freqs(docs: DataFrame, alias: str) -> DataFrame:
+        toks = docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
+        total = toks.select(F.count(F.lit(1)).cast("long").alias("t"))
+        return (
+            toks.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .crossJoin(F.broadcast(total))
+            .select("term", F.expr("(1000000 * c) div t").alias(alias))
+        )
+
+    joined = (
+        freqs(old_docs, "old_ppm")
+        .join(freqs(new_docs, "new_ppm"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("old_ppm", F.lit(0)).alias("old_ppm"),
+            F.coalesce("new_ppm", F.lit(0)).alias("new_ppm"),
+        )
+        .filter((F.col("old_ppm") >= min_ppm) | (F.col("new_ppm") >= min_ppm))
+        .withColumn("delta_ppm", F.col("new_ppm") - F.col("old_ppm"))
+    )
+    ranked = joined.orderBy(F.abs(F.col("delta_ppm")).desc(), F.asc("term")).limit(top)
+    return ranked.select(
+        "term",
+        "old_ppm",
+        "new_ppm",
+        "delta_ppm",
+        F.when(F.col("delta_ppm") > 0, F.lit("up"))
+        .when(F.col("delta_ppm") < 0, F.lit("down"))
+        .otherwise(F.lit("flat"))
+        .alias("direction"),
+    )

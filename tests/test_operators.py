@@ -2996,3 +2996,37 @@ class TestScriptProfile:
         assert rows[3].main_script == "none"
         assert rows[4].n_latin == 2 and rows[4].n_cjk == 2
         assert rows[4].main_script == "latin"  # tie -> priority order
+
+
+class TestVocabDrift:
+    def test_planted_burst_tops_the_movers(self, spark):
+        from gocrd_spark.operators.textstats import vocab_drift
+
+        old = spark.createDataFrame(
+            [(i, "stable words here") for i in range(20)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(i, "stable words here" + (" spamword" * 3 if i < 10 else ""))
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        rows = vocab_drift(old, new, min_ppm=100, top=10).collect()
+        assert rows[0].term == "spamword"
+        assert rows[0].old_ppm == 0 and rows[0].direction == "up"
+        # stable terms dilute (denominator grew): direction down
+        by = {r.term: r for r in rows}
+        assert by["stable"].direction == "down"
+
+    def test_gone_term_direction_down(self, spark):
+        from gocrd_spark.operators.textstats import vocab_drift
+
+        old = spark.createDataFrame(
+            [(0, "aaa bbb"), (1, "aaa bbb")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(0, "aaa aaa"), (1, "aaa aaa")], "doc_id long, text string"
+        )
+        by = {r.term: r for r in vocab_drift(old, new, min_ppm=100).collect()}
+        assert by["bbb"].new_ppm == 0 and by["bbb"].direction == "down"
+        assert by["aaa"].direction == "up"
