@@ -2059,6 +2059,15 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(d, corpus_phrases(d))
 
 
+def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval for the corpus-derived query workload —
+    the exact-filter half of the search tier."""
+    from gocrd_spark.operators.search import boolean_search, corpus_queries
+
+    d = _docs(spark, sf_dir)
+    return boolean_search(d, corpus_queries(d))
+
+
 def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source HyperLogLog distinct-token estimate (bounded-state
     mergeable sketch) next to the exact count; integer-exact estimator
@@ -2209,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": _q_inverted_postings,
         "bm25_search": _q_bm25_search,
         "phrase_search": _q_phrase_search,
+        "boolean_search": _q_boolean_search,
         "hll_distinct_terms": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "mojibake_repair": _q_mojibake_repair,
@@ -2324,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its thematic literal order behind them.
     window = [
         "inverted_postings", "bm25_search", "phrase_search",
+        "boolean_search",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
         "host_quality", "url_features", "stratified_sample",
         "hdr_doclen_quantiles", "frontier_expand", "script_profile",
@@ -2862,6 +2873,35 @@ def oracle_sql() -> dict[str, str]:
                      doc_id, score_e6
               FROM score)
             SELECT query_id, rank, doc_id, score_e6 FROM ranked WHERE rank <= 10
+        """,
+        # AND retrieval: same query workload, doc qualifies when its
+        # distinct matched terms equal the query's term count
+        "boolean_search": """
+            WITH t0 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS term FROM t0),
+            dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM tok GROUP BY term),
+            scal AS (SELECT count(*)::BIGINT AS n_docs FROM t0),
+            qterms AS (
+              SELECT term,
+                     row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS rn
+              FROM dfs, scal
+              WHERE df >= 2 AND df * 10 <= n_docs * 9
+              ORDER BY df DESC, term ASC LIMIT 8),
+            queries AS (SELECT rn % 4 AS query_id, term FROM qterms),
+            qsizes AS (SELECT query_id, count(DISTINCT term) AS n_terms
+                       FROM queries GROUP BY query_id),
+            hits AS (SELECT DISTINCT query_id, doc_id, q.term AS term
+                     FROM tok t JOIN queries q ON t.term = q.term)
+            SELECT h.query_id::BIGINT AS query_id, doc_id
+            FROM (SELECT query_id, doc_id, count(*) AS m
+                  FROM hits GROUP BY 1, 2) h
+            JOIN qsizes s ON s.query_id = h.query_id
+            WHERE h.m = s.n_terms
         """,
         # consecutive-bigram phrase search; workload = top-4 bigrams by
         # distinct-doc df (>=3), (df DESC, w1, w2) order

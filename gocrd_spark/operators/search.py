@@ -398,3 +398,35 @@ def bm25_topk_from(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score_e6")
     )
+
+
+def boolean_search(docs: DataFrame, queries: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boolean AND retrieval: documents containing EVERY term of each
+    query in ``queries(query_id, term)`` — the unranked other half of
+    the search tier (BM25 ranks an OR match; this is the exact filter
+    a curation rule wants: "all of these words present"). Returns
+    (query_id, doc_id), one row per qualifying document.
+
+    Plan: same broadcast-queries-before-the-exchange shape as
+    bm25_topk — only query-term postings shuffle; the AND is a
+    distinct-(query,term,doc) count compared against the query's term
+    count (broadcast, one row per query). No window, no sort.
+    """
+    toks = docs.select(
+        F.col("doc_id"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    qsizes = queries.groupBy("query_id").agg(
+        F.countDistinct("term").cast("long").alias("n_terms")
+    )
+    hits = (
+        toks.join(F.broadcast(queries), "term")
+        .select("query_id", "doc_id", "term")
+        .distinct()
+    )
+    return (
+        hits.groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .join(F.broadcast(qsizes), "query_id")
+        .filter(F.col("n_matched") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )

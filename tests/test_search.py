@@ -220,3 +220,25 @@ def test_search_index_refuses_param_mismatch(spark, docs, tmp_path):
     search_index(docs, path, buckets=16)
     with _pytest.raises(ValueError, match="built with"):
         search_index(docs, path, buckets=32)
+
+
+def test_boolean_search_requires_all_terms(spark, docs):
+    from gocrd_spark.operators.search import boolean_search
+
+    queries = spark.createDataFrame(
+        [(0, "spark"), (0, "plan"), (1, "engine")], "query_id long, term string"
+    )
+    got = sorted((r.query_id, r.doc_id) for r in boolean_search(docs, queries).collect())
+    # q0 = spark AND plan: only doc 0 has both; q1 = engine: docs 0, 1
+    assert got == [(0, 0), (1, 0), (1, 1)]
+
+
+def test_boolean_search_duplicate_terms_in_doc_count_once(spark):
+    from gocrd_spark.operators.search import boolean_search
+
+    docs = spark.createDataFrame([(5, "x x x y")], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "x"), (0, "y"), (1, "x"), (1, "z")], "query_id long, term string"
+    )
+    got = [(r.query_id, r.doc_id) for r in boolean_search(docs, queries).collect()]
+    assert got == [(0, 5)]  # q1 misses z entirely
