@@ -2059,6 +2059,24 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(d, corpus_phrases(d))
 
 
+def _q_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation review queue over the deterministic host layout: 2
+    pages per (host-tier, lang) cell, md5 pick order."""
+    from gocrd_spark.operators.compose import review_queue
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".test/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+        "lang",
+    )
+    return review_queue(pages, k=2)
+
+
 def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean AND retrieval for the corpus-derived query workload —
     the exact-filter half of the search tier."""
@@ -2219,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "phrase_search": _q_phrase_search,
         "boolean_search": _q_boolean_search,
+        "review_queue": _q_review_queue,
         "hll_distinct_terms": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "mojibake_repair": _q_mojibake_repair,
@@ -2334,7 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its thematic literal order behind them.
     window = [
         "inverted_postings", "bm25_search", "phrase_search",
-        "boolean_search",
+        "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
         "host_quality", "url_features", "stratified_sample",
         "hdr_doclen_quantiles", "frontier_expand", "script_profile",
@@ -4194,6 +4213,51 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, source, lang, pick_order::BIGINT AS pick_order
             FROM r WHERE pick_order <= 3
+        """,
+        # host_quality tier chain replayed, then the md5('review1:'||url)
+        # pick window per (tier, lang) cell, k=2
+        "review_queue": f"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                     'h' || (doc_id % 40) || '.test' AS host,
+                     'https://h' || (doc_id % 40) || '.test/p/' || doc_id AS url,
+                     length(text)::BIGINT AS n_chars,
+                     ({punct_expr})::BIGINT AS n_punct,
+                     ({digit_expr})::BIGINT AS n_digit,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            q AS (
+              SELECT host, lang, url,
+                greatest(0, least(1000000,
+                  1000000
+                  - 2 * (CASE WHEN n_chars > 0
+                         THEN (1000000 * n_punct) // n_chars ELSE 0 END)
+                  - 2 * (CASE WHEN n_chars > 0
+                         THEN (1000000 * n_digit) // n_chars ELSE 0 END)
+                  + least(CASE WHEN len(toks) > 0
+                          THEN (1000000 * len(list_filter(toks,
+                                x -> x IN {stop_list}))) // len(toks)
+                          ELSE 0 END, 200000)
+                ))::BIGINT AS q_e6
+              FROM base),
+            agg AS (SELECT host, count(*)::BIGINT AS n_pages,
+                           sum(q_e6)::BIGINT AS sq
+                    FROM q GROUP BY host),
+            tiers AS (
+              SELECT host,
+                CASE WHEN n_pages >= 3 AND sq >= 550000 * n_pages THEN 'allow'
+                     WHEN sq < 350000 * n_pages THEN 'block'
+                     ELSE 'review' END AS tier
+              FROM agg),
+            r AS (
+              SELECT url, q.host AS host, tier, lang,
+                     row_number() OVER (
+                       PARTITION BY tier, lang
+                       ORDER BY md5('review1:' || url), url) AS pick_order
+              FROM q JOIN tiers ON tiers.host = q.host)
+            SELECT url, host, tier, lang, pick_order::BIGINT AS pick_order
+            FROM r WHERE pick_order <= 2
         """,
         # same host layout as the Spark wrapper; per-page quality is
         # the integer floor-div composite, summed as BIGINTs

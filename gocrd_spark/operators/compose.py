@@ -264,3 +264,38 @@ def fetch_priority(
         score.cast("long").alias("score"),
         is_trap.cast("long").alias("is_trap"),
     )
+
+
+def review_queue(
+    pages: DataFrame, k: int = 2, seed: str = "review1"
+) -> DataFrame:
+    """Human-audit sampling queue: k pages from every
+    (host-quality-tier, language) cell — the weekly curation review
+    every corpus team runs ("show me two blocked-German pages, two
+    allowed-English ones, ..."), composing host_quality (which domains
+    are allow/review/block) with stratified_sample's content-stable
+    md5 pick order. Input (url, text, lang); returns
+    (url, host, tier, lang, pick_order), pick_order 1..k per cell.
+
+    Scale shape: host tiers are a host-cardinality table (broadcast-
+    joinable); the per-cell window sorts only (tier x lang) strata of
+    (url, digest) keys — page text never shuffles.
+    """
+    from pyspark.sql import Window
+
+    from gocrd_spark.operators.urls import host_quality
+
+    tiers = host_quality(pages).select("host", "tier")
+    keyed = pages.select(
+        "url",
+        F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+        "lang",
+    ).filter(F.col("host").isNotNull())
+    joined = keyed.join(tiers, "host")
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("url")))
+    w = Window.partitionBy("tier", "lang").orderBy(key.asc(), F.col("url").asc())
+    return (
+        joined.withColumn("pick_order", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_order") <= k)
+        .select("url", "host", "tier", "lang", "pick_order")
+    )

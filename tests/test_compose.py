@@ -257,3 +257,34 @@ class TestFetchPriority:
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert all(r.score == 0 and r.is_trap == 1 for r in q.collect())
+
+
+class TestReviewQueue:
+    def test_quota_per_tier_lang_cell(self, spark):
+        from gocrd_spark.operators.compose import review_queue
+
+        rows = []
+        for i in range(6):  # good host: clean text
+            rows.append((f"https://good.test/{i}", "clean plain words of text", "en"))
+        for i in range(6):  # bad host: digit soup -> block tier
+            rows.append((f"https://bad.test/{i}", "1234567890 999 111", "en"))
+        pages = spark.createDataFrame(rows, "url string, text string, lang string")
+        out = review_queue(pages, k=2).collect()
+        cells = {}
+        for r in out:
+            cells.setdefault((r.tier, r.lang), []).append(r)
+        assert set(cells) == {("allow", "en"), ("block", "en")}
+        for members in cells.values():
+            assert len(members) == 2
+            assert sorted(m.pick_order for m in members) == [1, 2]
+
+    def test_rerun_stable(self, spark):
+        from gocrd_spark.operators.compose import review_queue
+
+        pages = spark.createDataFrame(
+            [(f"https://h.test/{i}", "clean words here", "en") for i in range(10)],
+            "url string, text string, lang string",
+        )
+        a = sorted(r.url for r in review_queue(pages, k=3).collect())
+        b = sorted(r.url for r in review_queue(pages, k=3).collect())
+        assert a == b and len(a) == 3
