@@ -1569,6 +1569,25 @@ def _q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, weights)
 
 
+def _q_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classifier TRAINING (the stage classifier_quality's
+    pretrained table comes from): 3 full-batch perceptron rounds over
+    md5-hashed unigram+bigram features, labels y=+1 for lang='en' docs
+    else -1, everything in exact BIGINT arithmetic (order-independent
+    sums + per-round clamp) so the learned margins hash-compare with
+    the DuckDB oracle's unrolled chained-CTE replay of the same
+    recurrence — the host_pagerank regime applied to model training.
+    Returns (doc_id, y, margin, pred_pos)."""
+    from gocrd_spark.operators.textstats import perceptron_quality
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    )
+    return perceptron_quality(docs, n_rounds=3)
+
+
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup retention: the same MinHash-LSH clusters as
     dedup_clusters, but the survivor is the HIGHEST-quality member
@@ -2209,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": _q_image_phash,
         "phash_near_dups": _q_phash_near_dups,
         "classifier_quality": _q_classifier_quality,
+        "perceptron_quality": _q_perceptron_quality,
         "dedup_survivors": _q_dedup_survivors,
         "semdedup": _q_semdedup,
         "fuzzy_contamination": _q_fuzzy_contamination,
@@ -2352,6 +2372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # linkgraph anchor capture), then two round-3-green rotations.
     # Everything else keeps its thematic literal order behind them.
     window = [
+        # new this session (never driver-verified)
+        "perceptron_quality",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -4354,6 +4376,79 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sc.score_e6, 0)::BIGINT AS score_e6,
                    (coalesce(sc.score_e6, 0) >= 0)::BIGINT AS keep
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # perceptron training replayed as unrolled chained CTEs (the
+        # host_pagerank pattern): round 1 updates on ALL docs (w=0 ->
+        # y*0 <= 0), rounds 2-3 on y*margin <= 0, clamp ±2^40 after
+        # every round; final margins scored with w3/b3.
+        "perceptron_quality": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            feats AS (
+              SELECT doc_id,
+                     unnest(list_concat(t,
+                       CASE WHEN len(t) >= 2
+                         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                         ELSE [] END)) AS f
+              FROM toks),
+            ids AS (
+              SELECT doc_id, (('0x' || substring(md5(f), 1, 8))::BIGINT % 1048576) AS fid
+              FROM feats),
+            lab AS (
+              SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT AS y
+              FROM documents),
+            cl AS (
+              SELECT i.doc_id, i.fid, count(*)::BIGINT AS c, any_value(l.y) AS y
+              FROM ids i JOIN lab l USING (doc_id) GROUP BY i.doc_id, i.fid),
+            w1 AS (
+              SELECT fid, greatest(least(sum(y * c), 1099511627776), -1099511627776)::BIGINT AS w
+              FROM cl GROUP BY fid),
+            b1 AS (SELECT greatest(least(sum(y), 1099511627776), -1099511627776)::BIGINT AS b FROM lab),
+            m2 AS (
+              SELECT l.doc_id, l.y, (coalesce(s.m, 0) + b.b)::BIGINT AS margin
+              FROM lab l
+              LEFT JOIN (SELECT cl.doc_id, sum(w1.w * cl.c) AS m
+                         FROM cl JOIN w1 USING (fid) GROUP BY cl.doc_id) s USING (doc_id)
+              CROSS JOIN b1 b),
+            wr2 AS (SELECT doc_id, y FROM m2 WHERE y * margin <= 0),
+            u2 AS (SELECT fid, sum(cl.y * cl.c) AS u FROM cl JOIN wr2 USING (doc_id) GROUP BY fid),
+            w2 AS (
+              SELECT coalesce(w1.fid, u2.fid) AS fid,
+                     greatest(least(coalesce(w1.w, 0) + coalesce(u2.u, 0),
+                              1099511627776), -1099511627776)::BIGINT AS w
+              FROM w1 FULL JOIN u2 ON w1.fid = u2.fid),
+            b2 AS (
+              SELECT greatest(least(b1.b + coalesce((SELECT sum(y) FROM wr2), 0),
+                              1099511627776), -1099511627776)::BIGINT AS b
+              FROM b1),
+            m3 AS (
+              SELECT l.doc_id, l.y, (coalesce(s.m, 0) + b.b)::BIGINT AS margin
+              FROM lab l
+              LEFT JOIN (SELECT cl.doc_id, sum(w2.w * cl.c) AS m
+                         FROM cl JOIN w2 USING (fid) GROUP BY cl.doc_id) s USING (doc_id)
+              CROSS JOIN b2 b),
+            wr3 AS (SELECT doc_id, y FROM m3 WHERE y * margin <= 0),
+            u3 AS (SELECT fid, sum(cl.y * cl.c) AS u FROM cl JOIN wr3 USING (doc_id) GROUP BY fid),
+            w3 AS (
+              SELECT coalesce(w2.fid, u3.fid) AS fid,
+                     greatest(least(coalesce(w2.w, 0) + coalesce(u3.u, 0),
+                              1099511627776), -1099511627776)::BIGINT AS w
+              FROM w2 FULL JOIN u3 ON w2.fid = u3.fid),
+            b3 AS (
+              SELECT greatest(least(b2.b + coalesce((SELECT sum(y) FROM wr3), 0),
+                              1099511627776), -1099511627776)::BIGINT AS b
+              FROM b2),
+            mf AS (
+              SELECT l.doc_id, l.y, (coalesce(s.m, 0) + b.b)::BIGINT AS margin
+              FROM lab l
+              LEFT JOIN (SELECT cl.doc_id, sum(w3.w * cl.c) AS m
+                         FROM cl JOIN w3 USING (fid) GROUP BY cl.doc_id) s USING (doc_id)
+              CROSS JOIN b3 b)
+            SELECT doc_id, y, margin, (margin > 0)::BIGINT AS pred_pos
+            FROM mf
         """,
         "bpe_merges": _ops_golden("bpe_merges", "rank, left_sym, right_sym"),
         "bpe_vocab": _ops_golden("bpe_vocab", "token_id, token"),

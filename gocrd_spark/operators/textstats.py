@@ -1812,3 +1812,139 @@ def vocab_drift(
         .otherwise(F.lit("flat"))
         .alias("direction"),
     )
+
+
+def _perceptron_margins(
+    labels: DataFrame, cl: DataFrame, w: DataFrame, bias: DataFrame
+) -> DataFrame:
+    """margin(doc) = sum_b w[b]*c[doc,b] + bias — the model table
+    broadcasts (<= n_features small rows), the per-doc sums partial-
+    aggregate map-side, docs with no features score the bare bias."""
+    s = (
+        cl.join(F.broadcast(w), "feature_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("c")).alias("_s"))
+    )
+    return (
+        labels.join(s, "doc_id", "left")
+        .crossJoin(F.broadcast(bias))
+        .select(
+            "doc_id",
+            "y",
+            (F.coalesce("_s", F.lit(0)) + F.col("b")).cast("long").alias("margin"),
+        )
+    )
+
+
+def perceptron_train(
+    docs: DataFrame,
+    n_features: int = 1 << 20,
+    bigrams: bool = True,
+    n_rounds: int = 3,
+    clip: int = 1 << 40,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed TRAINING of the linear quality/language classifier —
+    the stage ``classifier_score`` assumes already happened: full-batch
+    perceptron over the same hashed unigram+bigram feature map
+    (``hashed_features``), entirely in EXACT BIGINT arithmetic so the
+    learned model hash-compares across engines (the host_pagerank
+    regime: every per-round quantity is an order-independent integer
+    SUM, never a float fold, and the recurrence unrolls as chained
+    CTEs in the oracle).
+
+    ``docs`` carries (doc_id, text, y) with y in {+1, -1}. Each round:
+    margin(doc) = sum_b w[b]*c[doc,b] + bias over the per-doc feature
+    COUNTS c; every doc with y*margin <= 0 (round 1: all docs, w=0) is
+    wrong; w[b] += sum_{wrong} y*c[doc,b], bias += sum_{wrong} y, both
+    clamped to ±``clip`` (so at any corpus size |margin| <=
+    clip * 2L_doc — a PER-DOC bound, the integer-spec rule).
+
+    Scale shape: the (doc_id, feature_id, c, y) table is computed ONCE
+    and localCheckpoint'ed (loop-invariant input — the explode never
+    replays); each round is one broadcast join + two partial aggs; w
+    (<= n_features rows of two longs) broadcasts and is checkpointed
+    per round so the loop plan stays flat. No collect in the loop.
+
+    Returns (weights (feature_id, w), bias 1-row (b)).
+    """
+    cl, labels = _perceptron_inputs(docs, n_features, bigrams)
+    return _perceptron_loop(cl, labels, n_rounds, clip)
+
+
+def _perceptron_inputs(
+    docs: DataFrame, n_features: int, bigrams: bool
+) -> tuple[DataFrame, DataFrame]:
+    """The loop-invariant inputs, localCheckpoint'ed ONCE so no round —
+    and no later scoring pass — ever replays the feature explode."""
+    feats = hashed_features(docs.select("doc_id", "text"), n_features, bigrams)
+    labels = docs.select(
+        "doc_id", F.col("y").cast("long").alias("y")
+    ).localCheckpoint(eager=True)
+    cl = (
+        feats.groupBy("doc_id", "feature_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .join(labels, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    return cl, labels
+
+
+def _perceptron_loop(
+    cl: DataFrame, labels: DataFrame, n_rounds: int, clip: int
+) -> tuple[DataFrame, DataFrame]:
+    def clamp(c: Column) -> Column:
+        return F.greatest(F.least(c, F.lit(clip)), F.lit(-clip))
+
+    w: DataFrame | None = None
+    bias: DataFrame | None = None
+    for _ in range(n_rounds):
+        if w is None:
+            wrong = labels  # w=0, bias=0: y*0 <= 0 for every doc
+        else:
+            m = _perceptron_margins(labels, cl, w, bias)
+            wrong = m.filter(F.col("y") * F.col("margin") <= 0).select("doc_id", "y")
+        upd = (
+            cl.join(wrong.select("doc_id"), "doc_id")
+            .groupBy("feature_id")
+            .agg(F.sum(F.col("y") * F.col("c")).alias("u"))
+        )
+        b_upd = wrong.agg(F.coalesce(F.sum("y"), F.lit(0)).alias("bu"))
+        if w is None:
+            w = upd.select("feature_id", clamp(F.col("u")).cast("long").alias("w"))
+            bias = b_upd.select(clamp(F.col("bu")).cast("long").alias("b"))
+        else:
+            w = (
+                w.join(upd, "feature_id", "full_outer")
+                .select(
+                    "feature_id",
+                    clamp(F.coalesce("w", F.lit(0)) + F.coalesce("u", F.lit(0)))
+                    .cast("long")
+                    .alias("w"),
+                )
+            )
+            bias = (
+                bias.crossJoin(b_upd)
+                .select(clamp(F.col("b") + F.col("bu")).cast("long").alias("b"))
+            )
+        w = w.localCheckpoint(eager=True)
+        bias = bias.localCheckpoint(eager=True)
+    return w, bias
+
+
+def perceptron_quality(
+    docs: DataFrame,
+    n_features: int = 1 << 20,
+    bigrams: bool = True,
+    n_rounds: int = 3,
+    clip: int = 1 << 40,
+) -> DataFrame:
+    """Train the perceptron on ``docs`` (doc_id, text, y) and score the
+    same corpus with the learned model: (doc_id, y, margin, pred_pos)
+    with pred_pos = (margin > 0). The train/score composition a
+    model-based quality filter bootstraps from heuristic labels."""
+    cl, labels = _perceptron_inputs(docs, n_features, bigrams)
+    w, bias = _perceptron_loop(cl, labels, n_rounds, clip)
+    m = _perceptron_margins(labels, cl, w, bias)
+    return m.select(
+        "doc_id", "y", "margin", (F.col("margin") > 0).cast("long").alias("pred_pos")
+    )

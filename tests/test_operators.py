@@ -3030,3 +3030,108 @@ class TestVocabDrift:
         by = {r.term: r for r in vocab_drift(old, new, min_ppm=100).collect()}
         assert by["bbb"].new_ppm == 0 and by["bbb"].direction == "down"
         assert by["aaa"].direction == "up"
+
+
+class TestPerceptronTrain:
+    @staticmethod
+    def _twin(docs, n_rounds=3, clip=1 << 40, n_features=1 << 20):
+        """Independent single-node perceptron: dict arithmetic over the
+        same spec (md5-bucket features, y*margin<=0 wrong rule, clamp
+        after every round) — never calls the operator under test."""
+        import hashlib
+        import re
+
+        cl: dict = {}
+        ys: dict = {}
+        for doc_id, text, y in docs:
+            ys[doc_id] = y
+            t = [
+                x
+                for x in re.sub(r"\s+", " ", text.lower(), flags=re.ASCII)
+                .strip()
+                .split(" ")
+                if x
+            ]
+            fs = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+            for f_ in fs:
+                fid = int(hashlib.md5(f_.encode()).hexdigest()[:8], 16) % n_features
+                cl[(doc_id, fid)] = cl.get((doc_id, fid), 0) + 1
+
+        def clamp(v):
+            return max(-clip, min(clip, v))
+
+        w: dict = {}
+        b = 0
+
+        def margins():
+            m = {d: b for d in ys}
+            for (d, fid), c in cl.items():
+                m[d] += w.get(fid, 0) * c
+            return m
+
+        for _ in range(n_rounds):
+            m = margins()
+            wrong = {d for d in ys if ys[d] * m[d] <= 0}
+            for (d, fid), c in cl.items():
+                if d in wrong:
+                    w[fid] = w.get(fid, 0) + ys[d] * c
+            w = {fid: clamp(v) for fid, v in w.items()}
+            b = clamp(b + sum(ys[d] for d in wrong))
+        m = margins()
+        return {d: (ys[d], m[d], 1 if m[d] > 0 else 0) for d in ys}
+
+    def test_twin_parity_mixed_corpus(self, spark):
+        from gocrd_spark.operators.textstats import perceptron_quality
+
+        rows = [
+            (0, "good clean prose with many useful words", 1),
+            (1, "buy cheap pills buy cheap pills buy", -1),
+            (2, "useful words and clean prose again", 1),
+            (3, "cheap cheap pills discount", -1),
+            (4, "prose words pills", 1),  # mixed vocab
+            (5, "", -1),  # empty doc: scores bare bias
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, y long")
+        got = {
+            r.doc_id: (r.y, r.margin, r.pred_pos)
+            for r in perceptron_quality(docs, n_rounds=3).collect()
+        }
+        assert got == self._twin(rows, n_rounds=3)
+
+    def test_separable_data_converges(self, spark):
+        from gocrd_spark.operators.textstats import perceptron_quality
+
+        rows = [
+            (i, "alpha beta gamma delta", 1) if i % 2 == 0
+            else (i, "zork quux blort frobnicate", -1)
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, y long")
+        out = perceptron_quality(docs, n_rounds=3).collect()
+        assert len(out) == 20
+        for r in out:
+            assert (r.margin > 0) == (r.y == 1), (r.doc_id, r.margin, r.y)
+            assert r.pred_pos == (1 if r.y == 1 else 0)
+
+    def test_clip_bounds_weights(self, spark):
+        from gocrd_spark.operators.textstats import perceptron_train
+
+        rows = [(i, "hot " * 50, 1) for i in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, y long")
+        w, bias = perceptron_train(docs, n_rounds=3, clip=7)
+        for r in w.collect():
+            assert -7 <= r.w <= 7
+        assert all(-7 <= r.b <= 7 for r in bias.collect())
+
+    def test_loop_plan_reads_checkpoint_not_source(self, spark):
+        # the final margin plan must consume the localCheckpoint'ed
+        # feature table (ExistingRDD), never replay the token explode
+        from gocrd_spark.operators.textstats import perceptron_quality
+
+        rows = [(i, f"w{i % 3} common text", 1 if i % 2 else -1) for i in range(12)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, y long")
+        out = perceptron_quality(docs, n_rounds=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan
+        assert "Generate" not in plan  # explode only ran before the checkpoint
+        assert "BroadcastHashJoin" in plan  # model table broadcasts
