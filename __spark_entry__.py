@@ -532,6 +532,26 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(_emb(spark, sf_dir))
 
 
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (similarity.py::pq_encode over
+    pq_codebooks): m=8 subspaces x 16 codes, rounded-mean Lloyd —
+    each vector compresses to 8 small ints. Golden = the independent
+    pure-Python twin (tools/oracle_twins.py::pq_codes), bit-exact."""
+    from gocrd_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = _emb(spark, sf_dir)
+    return pq_encode(emb, pq_codebooks(emb, m=8, n_codes=16, n_iters=2), m=8)
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over PQ codes for queries 0-4 (similarity.py::
+    pq_topk): per-candidate distance = exact BIGINT sum of 6dp
+    fixed-point LUT entries, so ranking hash-compares with the twin."""
+    from gocrd_spark.operators.similarity import pq_topk
+
+    return pq_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
+
+
 def _q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling (urls.py::frontier_waves): synthesized
     frontier over 7 hosts with a malformed sliver; per_host=4 — no host
@@ -2318,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "frontier_waves": _q_frontier_waves,
         "quantize_embeddings": _q_quantize_embeddings,
+        "pq_codes": _q_pq_codes,
+        "pq_topk": _q_pq_topk,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2373,7 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its thematic literal order behind them.
     window = [
         # new this session (never driver-verified)
-        "perceptron_quality",
+        "perceptron_quality", "pq_codes", "pq_topk",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -4345,6 +4367,8 @@ def oracle_sql() -> dict[str, str]:
             "winnowing_fingerprints", "doc_id, n_fingerprints, min_fingerprint"
         ),
         "semdedup": _ops_golden("semdedup", "vec_id, cell, canonical_id, keep"),
+        "pq_codes": _ops_golden("pq_codes", "vec_id, sub, code"),
+        "pq_topk": _ops_golden("pq_topk", "query_id, neighbor_id, adc_e6, rank"),
         "image_phash": _ops_golden("image_phash", "id, phash"),
         "phash_near_dups": _ops_golden("phash_near_dups", "id_a, id_b, hamming"),
         # classifier inference re-derived end-to-end in SQL: same md5

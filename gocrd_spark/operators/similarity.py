@@ -664,6 +664,155 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     )
 
 
+def _subvectors(emb: DataFrame, m: int, id_col: str = "vec_id") -> DataFrame:
+    """(id, sub, subvec): the vector split into ``m`` contiguous
+    subspaces of dim/m dims each (dim must be divisible by m — the
+    standard PQ layout). Narrow: one bounded sequence() explode."""
+    width = (F.size("embedding") / m).cast("int")
+    return emb.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("embedding"),
+    ).select(
+        id_col,
+        "sub",
+        F.slice(
+            F.transform("embedding", lambda v: v.cast("double")),
+            F.col("sub") * width + 1,
+            width,
+        ).alias("subvec"),
+    )
+
+
+def _assign_codes(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest-code assignment per (vec_id, sub): the codebook table
+    (m*k small rows) broadcasts; min_by with a (d2, code) tie-break
+    keeps the result engine-portable. Returns (vec_id, sub, code)."""
+    d = subv.join(F.broadcast(codebooks), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        _dist2(F.col("subvec"), F.col("centroid")).alias("d2"),
+    )
+    return d.groupBy("vec_id", "sub").agg(
+        F.min_by("code", F.struct("d2", "code")).alias("code")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = 8, n_codes: int = 16, n_iters: int = 2
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): an
+    independent k-means per contiguous subspace — all m subspaces
+    trained in ONE DataFrame job (the subspace id is just another
+    grouping key, so Lloyd's assign/recompute steps cost the same
+    shuffle count as a single k-means).
+
+    Seeds are the n_codes lowest vec_ids' subvectors (the module's
+    deterministic seeding convention); centroid dims round to 6dp per
+    iteration so assignment is stable across engines/aggregation
+    orders (the kmeans_centroids_df regime — the oracle twin recomputes
+    the identical rounded values). A code whose cell empties drops out
+    of the codebook, exactly as in the coarse quantizer.
+
+    Returns (sub int, code int, centroid array<double> of dim/m).
+    """
+    subv = _subvectors(embeddings, m)
+    # seed table: n_codes * m rows — the windows below run on this
+    # bounded table only, never the corpus
+    w = Window.partitionBy("sub").orderBy("vec_id")
+    seeds = _subvectors(embeddings.orderBy("vec_id").limit(n_codes), m)
+    cent = seeds.select(
+        "sub",
+        (F.row_number().over(w) - 1).alias("code"),
+        F.transform("subvec", lambda v: F.round(v, 6)).alias("centroid"),
+    )
+    for _ in range(n_iters):
+        assigned = _assign_codes(subv, cent)
+        exploded = assigned.join(subv, ["vec_id", "sub"]).select(
+            "sub", "code", F.posexplode("subvec").alias("pos", "val")
+        )
+        per_dim = exploded.groupBy("sub", "code", "pos").agg(
+            F.round(F.avg("val"), 6).alias("m")
+        )
+        cent = (
+            per_dim.groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+            .select(
+                "sub", "code", F.transform("pairs", lambda p: p["m"]).alias("centroid")
+            )
+        )
+    return cent
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: DataFrame, m: int = 8
+) -> DataFrame:
+    """PQ codes: each vector compresses to m small ints — at m=8,
+    k=256 that is 8 bytes against 256+ for the float32 vector, the
+    storage tier that makes 10^12-vector search affordable. One
+    bounded explode + one broadcast join + one (vec_id, sub) partial
+    agg; raw vectors are read once and never shuffle.
+
+    Returns (vec_id, sub, code), the exploded layout the oracle can
+    hash (and a columnar store would keep for code scans)."""
+    return _assign_codes(_subvectors(embeddings, m), codebooks)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    a lookup table of exact subvector-to-centroid squared distances —
+    |Q| * m * n_codes tiny rows, broadcast — and a candidate's distance
+    is the SUM of m table entries selected by its codes. The corpus
+    contribution is the codes table (m ints per vector): raw vectors
+    are touched only at encode time, never at query time — the property
+    that lets a 10^12-vector index serve from RAM.
+
+    Engine-exactness: each LUT entry is one double fold fixed-pointed
+    to 6dp (d2p_e6 BIGINT); the per-candidate ADC distance is then a
+    SUM of m BIGINTs — order-independent — so ranking (adc_e6 ASC,
+    neighbor_id ASC) hash-compares with the pure-Python twin.
+
+    Returns (query_id, neighbor_id, adc_e6, rank), integer columns only.
+    """
+    cent = pq_codebooks(embeddings, m, n_codes, n_iters)
+    codes = pq_encode(embeddings, cent, m).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", "code"
+    )
+    q_sub = _subvectors(
+        embeddings.filter(F.col("vec_id").isin(query_ids)), m
+    ).select(F.col("vec_id").alias("query_id"), "sub", "subvec")
+    lut = q_sub.join(F.broadcast(cent), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(_dist2(F.col("subvec"), F.col("centroid")) * 1_000_000)
+        .cast("long")
+        .alias("d2p_e6"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2p_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_e6", "rank")
+    )
+
+
 def hard_negatives(
     embeddings: DataFrame, query_ids: list[int], k: int = 10
 ) -> DataFrame:

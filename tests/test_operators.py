@@ -3135,3 +3135,81 @@ class TestPerceptronTrain:
         assert "ExistingRDD" in plan
         assert "Generate" not in plan  # explode only ran before the checkpoint
         assert "BroadcastHashJoin" in plan  # model table broadcasts
+
+
+class TestProductQuantization:
+    @staticmethod
+    def _twins():
+        import sys
+
+        if "tools" not in sys.path:
+            sys.path.insert(0, "tools")
+        import oracle_twins as tw
+
+        return tw
+
+    @staticmethod
+    def _emb_rows(n=40, dim=16):
+        import numpy as np
+
+        rows = {}
+        for i in range(n):
+            rows[i] = [
+                float(np.float32(((i * 31 + d * 7) % 97 - 48) / 16.0))
+                for d in range(dim)
+            ]
+        # planted exact duplicate of vec 0
+        rows[n] = list(rows[0])
+        return rows
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, v) for i, v in rows.items()], "vec_id long, embedding array<float>"
+        )
+
+    def test_codes_match_twin(self, spark):
+        tw = self._twins()
+        from gocrd_spark.operators.similarity import pq_codebooks, pq_encode
+
+        rows = self._emb_rows()
+        df = self._df(spark, rows)
+        cb = pq_codebooks(df, m=4, n_codes=4, n_iters=2)
+        got = [
+            (r.vec_id, r.sub, r.code)
+            for r in pq_encode(df, cb, m=4).orderBy("vec_id", "sub").collect()
+        ]
+        assert got == tw.pq_codes(rows, m=4, n_codes=4, n_iters=2)
+
+    def test_topk_matches_twin_and_duplicate_is_rank1_at_adc0(self, spark):
+        tw = self._twins()
+        from gocrd_spark.operators.similarity import pq_topk
+
+        rows = self._emb_rows()
+        df = self._df(spark, rows)
+        got = [
+            (r.query_id, r.neighbor_id, r.adc_e6, r.rank)
+            for r in pq_topk(df, [0, 7], k=5, m=4, n_codes=4, n_iters=2)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        assert got == tw.pq_topk(rows, [0, 7], k=5, m=4, n_codes=4, n_iters=2)
+        # the planted duplicate of vec 0 shares all of vec 0's codes, so
+        # its ADC is the per-subspace minimum LUT sum — the smallest
+        # achievable distance -> rank 1 (ADC is query-to-CENTROID
+        # distance, so it is NOT zero even for an exact duplicate)
+        q0 = [g for g in got if g[0] == 0]
+        assert q0[0][1] == 40 and q0[0][3] == 1
+        assert q0[0][2] == min(g[2] for g in q0)
+
+    def test_search_plan_broadcasts_and_never_cartesians(self, spark):
+        from gocrd_spark.operators.similarity import pq_topk
+
+        df = self._df(spark, self._emb_rows())
+        plan = (
+            pq_topk(df, [0], k=3, m=4, n_codes=4, n_iters=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan

@@ -333,6 +333,8 @@ def build_operator_tables(
     lsh = tw.topk_lsh(emb, qids, k=10)
     ivf = tw.topk_ivf(emb, qids, k=10, n_cells=64, n_probe=16)
     sem = tw.semdedup_keep(emb, n_cells=16, n_iters=2, threshold=0.42)
+    pqc = tw.pq_codes(emb, m=8, n_codes=16, n_iters=2)
+    pqt = tw.pq_topk(emb, qids, k=10, m=8, n_codes=16, n_iters=2)
 
     i64 = pa.int64()
 
@@ -408,6 +410,8 @@ def build_operator_tables(
         "ann_topk_lsh": _t(lsh, ["query_id", "neighbor_id", "rank"]),
         "ann_topk_ivf": _t(ivf, ["query_id", "neighbor_id", "rank"]),
         "semdedup": _t(sem, ["vec_id", "cell", "canonical_id", "keep"]),
+        "pq_codes": _t(pqc, ["vec_id", "sub", "code"]),
+        "pq_topk": _t(pqt, ["query_id", "neighbor_id", "adc_e6", "rank"]),
         "hll_distinct_terms": pa.table(
             {
                 "group": pa.array([r[0] for r in hll_rows], pa.string()),

@@ -451,6 +451,102 @@ def semdedup_keep(
     )
 
 
+def _pq_sub(vec: list[float], sub: int, m: int) -> list[float]:
+    w = len(vec) // m
+    return vec[sub * w : (sub + 1) * w]
+
+
+def _pq_codebooks(
+    emb: dict[int, list[float]], m: int, n_codes: int, n_iters: int
+) -> dict[int, dict[int, list[float]]]:
+    """Twin of similarity.pq_codebooks: an independent rounded-mean
+    Lloyd per contiguous subspace, seeds = the n_codes lowest vec_ids'
+    subvectors, (d2, code) assignment tie-break, empty codes vanish
+    without renumbering. Returns sub -> {code -> centroid}."""
+    seeds = sorted(emb)[:n_codes]
+    cent: dict[int, dict[int, list[float]]] = {
+        s: {
+            i: [spark_round(x, 6) for x in _pq_sub(emb[v], s, m)]
+            for i, v in enumerate(seeds)
+        }
+        for s in range(m)
+    }
+    for _ in range(n_iters):
+        new: dict[int, dict[int, list[float]]] = {}
+        for s in range(m):
+            members: dict[int, list[int]] = {}
+            for vid in sorted(emb):
+                sv = _pq_sub(emb[vid], s, m)
+                code = min(cent[s], key=lambda c: (_dist2(sv, cent[s][c]), c))
+                members.setdefault(code, []).append(vid)
+            new[s] = {}
+            for c, vids in members.items():
+                vecs = [_pq_sub(emb[v], s, m) for v in vids]
+                dim = len(vecs[0])
+                new[s][c] = [
+                    spark_round(sum(v[d] for v in vecs) / len(vecs), 6)
+                    for d in range(dim)
+                ]
+        cent = new
+    return cent
+
+
+def pq_codes(
+    emb: dict[int, list[float]],
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+) -> list[tuple[int, int, int]]:
+    """Twin of similarity.pq_encode: (vec_id, sub, code) rows."""
+    cent = _pq_codebooks(emb, m, n_codes, n_iters)
+    out = []
+    for vid in sorted(emb):
+        for s in range(m):
+            sv = _pq_sub(emb[vid], s, m)
+            code = min(cent[s], key=lambda c: (_dist2(sv, cent[s][c]), c))
+            out.append((vid, s, code))
+    return out
+
+
+def pq_topk(
+    emb: dict[int, list[float]],
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+) -> list[tuple[int, int, int, int]]:
+    """Twin of similarity.pq_topk: ADC distances as exact BIGINT sums
+    of per-subspace 6dp-fixed-point LUT entries; (adc_e6, neighbor_id)
+    ranking. Returns (query_id, neighbor_id, adc_e6, rank) rows."""
+    cent = _pq_codebooks(emb, m, n_codes, n_iters)
+    codes = {}
+    for vid in sorted(emb):
+        codes[vid] = [
+            min(
+                cent[s],
+                key=lambda c: (_dist2(_pq_sub(emb[vid], s, m), cent[s][c]), c),
+            )
+            for s in range(m)
+        ]
+    out = []
+    for q in query_ids:
+        lut = {
+            (s, c): int(spark_round(_dist2(_pq_sub(emb[q], s, m), cent[s][c]) * 1_000_000, 0))
+            for s in range(m)
+            for c in cent[s]
+        }
+        scored = [
+            (sum(lut[(s, codes[nid][s])] for s in range(m)), nid)
+            for nid in sorted(emb)
+            if nid != q
+        ]
+        scored.sort()
+        for rank, (adc, nid) in enumerate(scored[:k], start=1):
+            out.append((q, nid, adc, rank))
+    return out
+
+
 def load_embeddings(path: str) -> dict[int, list[float]]:
     """vec_id -> vector as exact doubles (float32 -> double is exact)."""
     import pyarrow.parquet as pq
