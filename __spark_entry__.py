@@ -552,6 +552,26 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
 
 
+def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-data mining: one row per <table> cell via the
+    tag-soup-tolerant _TableParser kernel (htmlextract.py). Input pages
+    come from synth_table_html's deterministic formula — odd docs omit
+    </td>/</tr> (implied closes), every third doc wraps cells in <b>,
+    every fifth doc has no table — and the oracle replays the FORMULA
+    in pure SQL, never parsing HTML, so the kernel's implied-close and
+    normalization semantics are genuinely under test."""
+    from gocrd_spark.htmlextract import synth_table_html
+    from gocrd_spark.pipeline import html_tables
+
+    n = max(int(_sf_of(sf_dir) * 10_000), 10)
+    rows = [
+        (f"https://tables.test/{d}", bytearray(synth_table_html(d)))
+        for d in range(n)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    return html_tables(_reshape(spark, pages))
+
+
 def _q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling (urls.py::frontier_waves): synthesized
     frontier over 7 hosts with a malformed sliver; per_host=4 — no host
@@ -2340,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
+        "html_tables": _q_html_tables,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2395,7 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its thematic literal order behind them.
     window = [
         # new this session (never driver-verified)
-        "perceptron_quality", "pq_codes", "pq_topk",
+        "perceptron_quality", "pq_codes", "pq_topk", "html_tables",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -4638,6 +4659,36 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _html_tables_oracle(n: int) -> str:
+    """Formula replay of synth_table_html's spec (htmlextract.py) in
+    pure SQL — no HTML on the oracle side, so the _TableParser kernel's
+    implied-close/normalization semantics are independently checked.
+    d%5==4 pages contribute nothing; table t of doc d has a header row
+    iff (d+t)%2==0, 1+((d+t)%3) data rows, 2+((d+t)%2) columns."""
+    return f"""
+        WITH docs AS (SELECT range::BIGINT AS d FROM range({n}) WHERE range % 5 <> 4),
+        tabs AS (SELECT d, unnest(range(1 + d % 2))::BIGINT AS t FROM docs),
+        dims AS (
+          SELECT d, t, ((d + t) % 2 = 0) AS hh,
+                 1 + ((d + t) % 3) AS n_rows, 2 + ((d + t) % 2) AS n_cols
+          FROM tabs),
+        hdr AS (
+          SELECT 'https://tables.test/' || d AS url, t AS table_idx,
+                 0::BIGINT AS row_idx, c::BIGINT AS col_idx,
+                 1::BIGINT AS is_header,
+                 'h' || d || '-' || t || '-' || c AS cell
+          FROM dims, unnest(range(dims.n_cols)) AS cc(c) WHERE hh),
+        dat AS (
+          SELECT 'https://tables.test/' || d AS url, t AS table_idx,
+                 (r + CASE WHEN hh THEN 1 ELSE 0 END)::BIGINT AS row_idx,
+                 c::BIGINT AS col_idx, 0::BIGINT AS is_header,
+                 'v' || d || '-' || t || '-' || r || '-' || c AS cell
+          FROM dims, unnest(range(dims.n_rows)) AS rr(r),
+               unnest(range(dims.n_cols)) AS cc(c))
+        SELECT * FROM hdr UNION ALL SELECT * FROM dat
+    """
+
+
 def _linkgraph_oracles() -> dict[str, str]:
     """Formula-derived oracles for the linked-pages corpus (see
     _linked_pages_links_sql) — self-contained SQL, no filesystem
@@ -4666,6 +4717,7 @@ def _linkgraph_oracles() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle(n, n_iters=5),
         "host_trustrank": _host_trustrank_oracle(n, n_iters=5),
         "frontier_expand": _frontier_expand_oracle(n, max_hops=3),
+        "html_tables": _html_tables_oracle(n),
         "robots_filter": """
             SELECT doc_id,
                    'https://host' || (doc_id % 10) || '.example.com' ||

@@ -279,3 +279,160 @@ def page_meta(data: bytes) -> dict[str, Any]:
             "og_title": None, "lang_attr": None, "robots": None,
             "noindex": 0, "nofollow": 0, "error": stable_error(exc),
         }
+
+
+# ---------------------------------------------------------------------------
+# table extraction (structured-data mining tier)
+# ---------------------------------------------------------------------------
+
+class _TableParser(HTMLParser):
+    """From-scratch <table> walker with the tag-soup tolerance real
+    crawl HTML needs. Semantics (the spec the oracle formula and the
+    edge-case pytests pin):
+
+    - ``table_idx`` counts <table> STARTS in document order; cells
+      attach to the innermost open table (nested tables are emitted as
+      their own tables, their cells never leak into the parent's).
+    - <tr> implicitly closes any open cell/row; <td>/<th> implicitly
+      close a prior open cell and implicitly OPEN a row if none is
+      open (orphan cells are real-web HTML); col_idx is the cell's
+      ordinal within its row; ``is_header`` = the cell tag is <th>.
+    - text accumulates only inside an open cell (inline markup is
+      transparent); cell text is whitespace-normalized; a cell that
+      normalizes to '' is still a cell (empty string, not a drop).
+    - </table> pops the innermost table; EOF closes everything.
+    - colspan/rowspan are NOT expanded: col_idx is the source ordinal
+      (documented contract — span expansion is a downstream concern).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.cells: list[dict] = []
+        self._n_tables = 0
+        # stack of [table_idx, rows_started, cells_in_row, row_open]
+        self._stack: list[list] = []
+        self._cell: Optional[dict] = None
+        self._chars: list[str] = []
+
+    def _flush_cell(self) -> None:
+        if self._cell is not None:
+            self._cell["cell"] = _normalize("".join(self._chars))
+            self.cells.append(self._cell)
+            self._cell = None
+            self._chars = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "table":
+            self._flush_cell()
+            self._stack.append([self._n_tables, 0, 0, False])
+            self._n_tables += 1
+        elif tag == "tr" and self._stack:
+            self._flush_cell()
+            top = self._stack[-1]
+            top[1] += 1
+            top[2] = 0
+            top[3] = True
+        elif tag in ("td", "th") and self._stack:
+            self._flush_cell()
+            top = self._stack[-1]
+            if not top[3]:  # orphan cell: implicitly open a row
+                top[1] += 1
+                top[2] = 0
+                top[3] = True
+            self._cell = {
+                "table_idx": top[0],
+                "row_idx": top[1] - 1,
+                "col_idx": top[2],
+                "is_header": 1 if tag == "th" else 0,
+            }
+            top[2] += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("td", "th"):
+            self._flush_cell()
+        elif tag == "tr" and self._stack:
+            self._flush_cell()
+            self._stack[-1][3] = False
+        elif tag == "table" and self._stack:
+            self._flush_cell()
+            self._stack.pop()
+
+    def handle_data(self, data: str) -> None:
+        if self._cell is not None:
+            self._chars.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush_cell()
+        self._stack.clear()
+
+
+def extract_tables(data: bytes) -> dict[str, Any]:
+    """bytes -> {'cells': [{table_idx,row_idx,col_idx,is_header,cell}],
+    'error'}. A page with no <table> yields zero cells with error=None
+    — table absence is data, not failure (most of the web)."""
+    try:
+        from .charset import decode_bytes
+
+        raw, _enc, _src = decode_bytes(data)
+        p = _TableParser()
+        p.feed(raw)
+        p.close()
+        return {"cells": p.cells, "error": None}
+    except Exception as exc:
+        return {"cells": [], "error": stable_error(exc)}
+
+
+def synth_table_html(doc_id: int) -> bytes:
+    """Deterministic table-bearing page for the driver query: the
+    FORMULA below is the oracle's spec (replayed in pure SQL — the
+    oracle never parses HTML). Per doc d:
+
+    - d % 5 == 4: a page with no table at all (zero output rows);
+    - else 1 + d%2 tables; table t has a header row iff (d+t)%2==0,
+      1+((d+t)%3) data rows, 2+((d+t)%2) columns;
+    - header cell text 'h{d}-{t}-{c}', data cell text 'v{d}-{t}-{r}-{c}'
+      (r = data-row ordinal; emitted row_idx shifts by 1 when a header
+      row precedes).
+
+    Surface noise the parser must absorb WITHOUT changing the expected
+    rows: odd docs omit </td> and </tr> (implied closes); d%3==0 wraps
+    data-cell text in <b>; every cell carries leading/trailing
+    whitespace and newlines that normalization strips.
+    """
+    d = doc_id
+    if d % 5 == 4:
+        return (
+            f"<html><body><h1>No tables {d}</h1><p>plain prose only"
+            f"</p></body></html>"
+        ).encode()
+    parts = [f"<html><body><h1>Tables {d}</h1>"]
+    close = d % 2 == 0  # odd docs rely on implied closes
+    bold = d % 3 == 0
+    for t in range(1 + d % 2):
+        has_header = (d + t) % 2 == 0
+        n_rows = 1 + ((d + t) % 3)
+        n_cols = 2 + ((d + t) % 2)
+        parts.append("<table>")
+        if has_header:
+            parts.append("<tr>")
+            for c in range(n_cols):
+                parts.append(f"<th>\n h{d}-{t}-{c} ")
+                if close:
+                    parts.append("</th>")
+            if close:
+                parts.append("</tr>")
+        for r in range(n_rows):
+            parts.append("<tr>")
+            for c in range(n_cols):
+                val = f"v{d}-{t}-{r}-{c}"
+                if bold:
+                    val = f"<b>{val}</b>"
+                parts.append(f"<td>  {val}\n")
+                if close:
+                    parts.append("</td>")
+            if close:
+                parts.append("</tr>")
+        parts.append("</table>")
+    parts.append("</body></html>")
+    return "".join(parts).encode()

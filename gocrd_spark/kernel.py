@@ -276,3 +276,38 @@ def sitemap_urls_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 out["priority"].append(None if ent is None else ent["priority"])
                 out["error"].append(parsed["error"])
         yield pd.DataFrame(out)
+
+
+HTML_TABLES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("table_idx", LongType()),
+        StructField("row_idx", LongType()),
+        StructField("col_idx", LongType()),
+        StructField("is_header", LongType()),
+        StructField("cell", StringType()),
+    ]
+)
+
+
+def html_tables_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(url, html) -> one row per table CELL (gocrd_spark.htmlextract.
+    extract_tables): (url, table_idx, row_idx, col_idx, is_header,
+    cell). Pages without tables contribute zero rows — absence is
+    data. Narrow map, no shuffle; the cell fan-out happens inside the
+    task, payload bytes never move."""
+    from .htmlextract import extract_tables
+
+    cols = list(HTML_TABLES_SCHEMA.fieldNames())
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            parsed = extract_tables(bytes(html) if html is not None else b"")
+            for cell in parsed["cells"]:
+                out["url"].append(url)
+                out["table_idx"].append(cell["table_idx"])
+                out["row_idx"].append(cell["row_idx"])
+                out["col_idx"].append(cell["col_idx"])
+                out["is_header"].append(cell["is_header"])
+                out["cell"].append(cell["cell"])
+        yield pd.DataFrame(out)

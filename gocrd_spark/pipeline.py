@@ -659,3 +659,22 @@ def golden_compare(extracted: DataFrame, golden: DataFrame) -> DataFrame:
         "got_sha",
         "want_sha",
     )
+
+
+def html_tables(
+    df: DataFrame,
+    salt: int = 42,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Structured-data mining tier: (url, html) -> one row per <table>
+    CELL (url, table_idx, row_idx, col_idx, is_header, cell) via the
+    html_tables_kernel Arrow batch kernel (htmlextract._TableParser —
+    tag-soup-tolerant implied closes, nested-table isolation). Same
+    column-pruned scan -> narrow mapInPandas plan shape as
+    page_metadata/feed_items; pages without tables emit zero rows."""
+    from .kernel import HTML_TABLES_SCHEMA, html_tables_kernel, salted_partition_key
+
+    sel = df.select("url", "html")
+    if num_partitions:
+        sel = sel.repartition(num_partitions, salted_partition_key(salt))
+    return sel.mapInPandas(html_tables_kernel, HTML_TABLES_SCHEMA)

@@ -290,3 +290,98 @@ class TestPageMeta:
             assert (m["noindex"], m["nofollow"]) == robots_meta_flags(s["robots"])
             checked += 1
         assert checked > 30
+
+
+class TestExtractTables:
+    @staticmethod
+    def _cells(html: str):
+        from gocrd_spark.htmlextract import extract_tables
+
+        r = extract_tables(html.encode())
+        assert r["error"] is None
+        return [
+            (c["table_idx"], c["row_idx"], c["col_idx"], c["is_header"], c["cell"])
+            for c in r["cells"]
+        ]
+
+    def test_basic_with_header(self):
+        got = self._cells(
+            "<table><tr><th>A</th><th>B</th></tr>"
+            "<tr><td>1</td><td>2</td></tr></table>"
+        )
+        assert got == [
+            (0, 0, 0, 1, "A"), (0, 0, 1, 1, "B"),
+            (0, 1, 0, 0, "1"), (0, 1, 1, 0, "2"),
+        ]
+
+    def test_implied_closes_match_explicit(self):
+        explicit = self._cells(
+            "<table><tr><td>x</td><td>y</td></tr><tr><td>z</td></tr></table>"
+        )
+        implied = self._cells("<table><tr><td>x<td>y<tr><td>z</table>")
+        assert implied == explicit
+
+    def test_nested_table_is_its_own_table_and_never_leaks(self):
+        got = self._cells(
+            "<table><tr><td>outer1"
+            "<table><tr><td>inner</td></tr></table>"
+            "</td><td>outer2</td></tr></table>"
+        )
+        # table_idx by START order: outer=0, inner=1; the inner cell
+        # belongs to table 1; outer1's text is what accumulated before
+        # the nested table start (cell flushed at the boundary)
+        assert (1, 0, 0, 0, "inner") in got
+        assert (0, 0, 0, 0, "outer1") in got
+        # outer2 resumes the OUTER table's row at col 1
+        assert (0, 0, 1, 0, "outer2") in got
+
+    def test_orphan_cell_opens_row_and_entities_decode(self):
+        got = self._cells("<table><td>a &amp; b</td></table>")
+        assert got == [(0, 0, 0, 0, "a & b")]
+
+    def test_inline_markup_transparent_and_whitespace_normalized(self):
+        got = self._cells(
+            "<table><tr><td>  <b>bold</b>\n  <i>text</i> </td></tr></table>"
+        )
+        assert got == [(0, 0, 0, 0, "bold text")]
+
+    def test_empty_cell_is_a_cell_and_text_outside_cells_ignored(self):
+        got = self._cells(
+            "stray<table>noise<tr>gap<td></td><td>v</td></tr></table>tail"
+        )
+        assert got == [(0, 0, 0, 0, ""), (0, 0, 1, 0, "v")]
+
+    def test_no_table_yields_zero_cells(self):
+        assert self._cells("<html><body><p>prose</p></body></html>") == []
+
+    def test_eof_flushes_open_cell(self):
+        assert self._cells("<table><tr><td>dangling") == [(0, 0, 0, 0, "dangling")]
+
+    def test_synth_formula_counts(self):
+        # the generator/pytest side of the driver oracle: cell counts
+        # follow the documented formula for every doc class
+        from gocrd_spark.htmlextract import extract_tables, synth_table_html
+
+        for d in range(30):
+            got = len(extract_tables(synth_table_html(d))["cells"])
+            want = 0
+            if d % 5 != 4:
+                for t in range(1 + d % 2):
+                    hh = (d + t) % 2 == 0
+                    n_rows = 1 + ((d + t) % 3)
+                    n_cols = 2 + ((d + t) % 2)
+                    want += n_cols * (n_rows + (1 if hh else 0))
+            assert got == want, d
+
+    def test_pipeline_plan_is_narrow(self, spark):
+        from gocrd_spark.pipeline import html_tables
+
+        df = spark.createDataFrame(
+            [("u", bytearray(b"<table><tr><td>x</td></tr></table>"))],
+            "url string, html binary",
+        )
+        out = html_tables(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan  # zero-shuffle extraction tier
+        assert [r.cell for r in out.collect()] == ["x"]
