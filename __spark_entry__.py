@@ -552,6 +552,16 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
 
 
+def _q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (similarity.py::ivfpq_topk): coarse cells + residual
+    product quantization + per-probe ADC — the billion-scale index
+    layout. Golden = the independent twin (oracle_twins.topk_ivfpq),
+    bit-exact integer distances."""
+    from gocrd_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
+
+
 def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-data mining: one row per <table> cell via the
     tag-soup-tolerant _TableParser kernel (htmlextract.py). Input pages
@@ -2360,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
+        "ann_topk_ivfpq": _q_ann_topk_ivfpq,
         "html_tables": _q_html_tables,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
@@ -2416,7 +2427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its thematic literal order behind them.
     window = [
         # new this session (never driver-verified)
-        "perceptron_quality", "pq_codes", "pq_topk", "html_tables",
+        "perceptron_quality", "pq_codes", "pq_topk", "ann_topk_ivfpq",
+        "html_tables",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -4390,6 +4402,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _ops_golden("semdedup", "vec_id, cell, canonical_id, keep"),
         "pq_codes": _ops_golden("pq_codes", "vec_id, sub, code"),
         "pq_topk": _ops_golden("pq_topk", "query_id, neighbor_id, adc_e6, rank"),
+        "ann_topk_ivfpq": _ops_golden(
+            "ann_topk_ivfpq", "query_id, neighbor_id, adc_e6, rank"
+        ),
         "image_phash": _ops_golden("image_phash", "id, phash"),
         "phash_near_dups": _ops_golden("phash_near_dups", "id_a, id_b, hamming"),
         # classifier inference re-derived end-to-end in SQL: same md5

@@ -782,7 +782,9 @@ def pq_topk(
 
     Returns (query_id, neighbor_id, adc_e6, rank), integer columns only.
     """
-    cent = pq_codebooks(embeddings, m, n_codes, n_iters)
+    # tiny trained table with two consumers (codes + LUT): checkpoint so
+    # the Lloyd loop's plan doesn't replay per consumer
+    cent = pq_codebooks(embeddings, m, n_codes, n_iters).localCheckpoint(eager=True)
     codes = pq_encode(embeddings, cent, m).select(
         F.col("vec_id").alias("neighbor_id"), "sub", "code"
     )
@@ -801,6 +803,123 @@ def pq_topk(
         codes.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2p_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_e6", "rank")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    coarse_iters: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-scale ANN index (coarse inverted
+    lists + product-quantized RESIDUALS, Jégou et al. 2011): vectors
+    assign to their nearest coarse cell, the PQ codebooks train on the
+    residual (vector − cell centroid), and a query scans only its
+    n_probe nearest cells, scoring candidates by ADC over the residual
+    codes. At 10^12 vectors the serving state is (cell, 8 codes) per
+    vector — the raw corpus is touched once at build time; per query,
+    work is ~n_probe/n_cells of the code table and the LUT is
+    |Q|·n_probe·m·n_codes tiny broadcast rows.
+
+    Exactness regime: residuals are single IEEE subtractions of exact
+    doubles; both quantizers use the module's rounded-mean Lloyd; LUT
+    entries are 6dp fixed-point BIGINTs and candidate distances are
+    order-independent integer sums — bit-for-bit twin-reproducible.
+
+    Returns (query_id, neighbor_id, adc_e6, rank), integers only.
+    """
+    # the trained quantizers are TINY tables consumed by many stages
+    # (residual build, PQ training, codes, per-query LUTs) — checkpoint
+    # them so the Lloyd loops' plans never replay per consumer (the
+    # multiply-consumed-iterative-stage trap, CLAUDE.md round-5 note)
+    cent = kmeans_centroids_df(embeddings, n_cells, coarse_iters).localCheckpoint(
+        eager=True
+    )
+    assigned = assign_cells(embeddings, cent)  # (vec_id, cell)
+    residuals = (
+        assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(cent), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.transform("embedding", lambda v: v.cast("double")),
+                "centroid",
+                lambda x, y: x - y,
+            ).alias("embedding"),
+        )
+    )
+    cb = pq_codebooks(
+        residuals.select("vec_id", "embedding"), m, n_codes, pq_iters
+    ).localCheckpoint(eager=True)
+    codes = pq_encode(residuals.select("vec_id", "embedding"), cb, m).join(
+        assigned, "vec_id"
+    )  # (vec_id, sub, code, cell)
+
+    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    q_probed = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cell",
+            "centroid",
+            _dist2(F.col("q_emb"), F.col("centroid")).alias("d2"),
+            "q_emb",
+        )
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+    )
+    width = (F.size("q_res") / m).cast("int")
+    q_sub = q_probed.select(
+        "query_id",
+        "cell",
+        F.zip_with(
+            F.transform("q_emb", lambda v: v.cast("double")),
+            "centroid",
+            lambda x, y: x - y,
+        ).alias("q_res"),
+    ).select(
+        "query_id",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("q_res"),
+    ).select(
+        "query_id",
+        "cell",
+        "sub",
+        F.slice("q_res", F.col("sub") * width + 1, width).alias("subvec"),
+    )
+    lut = q_sub.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        "code",
+        F.round(_dist2(F.col("subvec"), F.col("centroid")) * 1_000_000)
+        .cast("long")
+        .alias("d2p_e6"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d2p_e6").alias("adc_e6"))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -3213,3 +3213,44 @@ class TestProductQuantization:
         )
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestIvfPq:
+    def test_matches_twin_and_duplicate_rank1(self, spark):
+        tw = TestProductQuantization._twins()
+        rows = TestProductQuantization._emb_rows(n=60, dim=16)
+        df = spark.createDataFrame(
+            [(i, v) for i, v in rows.items()], "vec_id long, embedding array<float>"
+        )
+        from gocrd_spark.operators.similarity import ivfpq_topk
+
+        kw = dict(k=5, n_cells=4, n_probe=2, coarse_iters=2, m=4, n_codes=4, pq_iters=2)
+        got = [
+            (r.query_id, r.neighbor_id, r.adc_e6, r.rank)
+            for r in ivfpq_topk(df, [0, 9], **kw).orderBy("query_id", "rank").collect()
+        ]
+        assert got == tw.topk_ivfpq(rows, [0, 9], **kw)
+        # the exact duplicate of vec 0 (vec 60) shares vec 0's cell —
+        # always probe #1 — and all its residual codes, so its ADC is
+        # the minimum WITHIN that cell and it must be retrieved (across
+        # cells the LUTs differ, so rank 1 is not guaranteed in general)
+        q0 = [g for g in got if g[0] == 0]
+        assert 60 in [g[1] for g in q0]
+
+    def test_plan_has_no_plain_cartesian(self, spark):
+        from gocrd_spark.operators.similarity import ivfpq_topk
+
+        rows = TestProductQuantization._emb_rows(n=30, dim=16)
+        df = spark.createDataFrame(
+            [(i, v) for i, v in rows.items()], "vec_id long, embedding array<float>"
+        )
+        plan = (
+            ivfpq_topk(df, [0], k=3, n_cells=4, n_probe=2, coarse_iters=1, m=4,
+                       n_codes=4, pq_iters=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        # trained quantizers are checkpointed: the serving plan reads
+        # ExistingRDD, not a replay of the Lloyd loops
+        assert "ExistingRDD" in plan

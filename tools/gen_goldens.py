@@ -335,6 +335,7 @@ def build_operator_tables(
     sem = tw.semdedup_keep(emb, n_cells=16, n_iters=2, threshold=0.42)
     pqc = tw.pq_codes(emb, m=8, n_codes=16, n_iters=2)
     pqt = tw.pq_topk(emb, qids, k=10, m=8, n_codes=16, n_iters=2)
+    ivfpq = tw.topk_ivfpq(emb, qids, k=10)
 
     i64 = pa.int64()
 
@@ -412,6 +413,7 @@ def build_operator_tables(
         "semdedup": _t(sem, ["vec_id", "cell", "canonical_id", "keep"]),
         "pq_codes": _t(pqc, ["vec_id", "sub", "code"]),
         "pq_topk": _t(pqt, ["query_id", "neighbor_id", "adc_e6", "rank"]),
+        "ann_topk_ivfpq": _t(ivfpq, ["query_id", "neighbor_id", "adc_e6", "rank"]),
         "hll_distinct_terms": pa.table(
             {
                 "group": pa.array([r[0] for r in hll_rows], pa.string()),

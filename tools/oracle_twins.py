@@ -547,6 +547,66 @@ def pq_topk(
     return out
 
 
+def topk_ivfpq(
+    emb: dict[int, list[float]],
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    coarse_iters: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    pq_iters: int = 2,
+) -> list[tuple[int, int, int, int]]:
+    """Twin of similarity.ivfpq_topk: coarse rounded-mean k-means,
+    residual PQ codebooks, per-(query, probed-cell) 6dp fixed-point
+    LUTs, exact BIGINT ADC sums, (adc_e6, neighbor_id) ranking."""
+    cent = _kmeans_centroids(emb, n_cells, coarse_iters)
+    assign = {
+        vid: min(cent, key=lambda c: (_dist2(v, cent[c]), c))
+        for vid, v in emb.items()
+    }
+    residuals = {
+        vid: [x - y for x, y in zip(emb[vid], cent[assign[vid]])] for vid in emb
+    }
+    cb = _pq_codebooks(residuals, m, n_codes, pq_iters)
+    codes = {
+        vid: [
+            min(
+                cb[s],
+                key=lambda c: (_dist2(_pq_sub(residuals[vid], s, m), cb[s][c]), c),
+            )
+            for s in range(m)
+        ]
+        for vid in sorted(emb)
+    }
+    out = []
+    for q in query_ids:
+        probes = sorted(cent, key=lambda c: (_dist2(emb[q], cent[c]), c))[:n_probe]
+        lut = {}
+        for cell in probes:
+            q_res = [x - y for x, y in zip(emb[q], cent[cell])]
+            for s in range(m):
+                for c in cb[s]:
+                    lut[(cell, s, c)] = int(
+                        spark_round(
+                            _dist2(_pq_sub(q_res, s, m), cb[s][c]) * 1_000_000, 0
+                        )
+                    )
+        scored = [
+            (
+                sum(lut[(assign[nid], s, codes[nid][s])] for s in range(m)),
+                nid,
+            )
+            for nid in sorted(emb)
+            if nid != q and assign[nid] in probes
+        ]
+        scored.sort()
+        for rank, (adc, nid) in enumerate(scored[:k], start=1):
+            out.append((q, nid, adc, rank))
+    return out
+
+
 def load_embeddings(path: str) -> dict[int, list[float]]:
     """vec_id -> vector as exact doubles (float32 -> double is exact)."""
     import pyarrow.parquet as pq
