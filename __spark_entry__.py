@@ -582,6 +582,32 @@ def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables(_reshape(spark, pages))
 
 
+def _q_jsonld_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org structured data end-to-end: the _JsonLdParser kernel
+    lifts raw ld+json blocks out of formula-synthesized pages (mixed-
+    case type attr + charset params on even docs, an invalid-JSON
+    block class, multi-block pages, a decoy plain <script>), then
+    JVM-side get_json_object extracts @type/name — invalid JSON maps
+    to NULL fields, not failures. The oracle replays the generating
+    formula in pure SQL (it knows which doc class is invalid by
+    construction — no JSON parsing oracle-side)."""
+    from gocrd_spark.htmlextract import synth_jsonld_html
+    from gocrd_spark.pipeline import jsonld_blocks
+
+    n = max(int(_sf_of(sf_dir) * 10_000), 10)
+    rows = [
+        (f"https://ld.test/{d}", bytearray(synth_jsonld_html(d))) for d in range(n)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    blocks = jsonld_blocks(_reshape(spark, pages))
+    return blocks.select(
+        "url",
+        "block_idx",
+        F.get_json_object("json", "$['@type']").alias("jtype"),
+        F.get_json_object("json", "$.name").alias("name"),
+    )
+
+
 def _q_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling (urls.py::frontier_waves): synthesized
     frontier over 7 hosts with a malformed sliver; per_host=4 — no host
@@ -2372,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "ann_topk_ivfpq": _q_ann_topk_ivfpq,
         "html_tables": _q_html_tables,
+        "jsonld_fields": _q_jsonld_fields,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2428,7 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # new this session (never driver-verified)
         "perceptron_quality", "pq_codes", "pq_topk", "ann_topk_ivfpq",
-        "html_tables",
+        "html_tables", "jsonld_fields",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -4704,6 +4731,30 @@ def _html_tables_oracle(n: int) -> str:
     """
 
 
+def _jsonld_oracle(n: int) -> str:
+    """Formula replay of synth_jsonld_html's spec: d%4==0 -> Article
+    block; d%4==1 -> Product + NewsArticle blocks; d%4==2 -> invalid
+    JSON (NULL fields by construction); d%4==3 -> nothing. The oracle
+    never parses HTML or JSON."""
+    return f"""
+        WITH docs AS (SELECT range::BIGINT AS d FROM range({n})),
+        rows_ld AS (
+          SELECT 'https://ld.test/' || d AS url, 0::BIGINT AS block_idx,
+                 'Article' AS jtype, 'Art ' || d AS name
+          FROM docs WHERE d % 4 = 0
+          UNION ALL
+          SELECT 'https://ld.test/' || d, 0::BIGINT, 'Product', 'Prod ' || d
+          FROM docs WHERE d % 4 = 1
+          UNION ALL
+          SELECT 'https://ld.test/' || d, 1::BIGINT, 'NewsArticle', 'News ' || d
+          FROM docs WHERE d % 4 = 1
+          UNION ALL
+          SELECT 'https://ld.test/' || d, 0::BIGINT, NULL, NULL
+          FROM docs WHERE d % 4 = 2)
+        SELECT url, block_idx, jtype, name FROM rows_ld
+    """
+
+
 def _linkgraph_oracles() -> dict[str, str]:
     """Formula-derived oracles for the linked-pages corpus (see
     _linked_pages_links_sql) — self-contained SQL, no filesystem
@@ -4733,6 +4784,7 @@ def _linkgraph_oracles() -> dict[str, str]:
         "host_trustrank": _host_trustrank_oracle(n, n_iters=5),
         "frontier_expand": _frontier_expand_oracle(n, max_hops=3),
         "html_tables": _html_tables_oracle(n),
+        "jsonld_fields": _jsonld_oracle(n),
         "robots_filter": """
             SELECT doc_id,
                    'https://host' || (doc_id % 10) || '.example.com' ||

@@ -436,3 +436,96 @@ def synth_table_html(doc_id: int) -> bytes:
         parts.append("</table>")
     parts.append("</body></html>")
     return "".join(parts).encode()
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD extraction (schema.org structured-data tier)
+# ---------------------------------------------------------------------------
+
+class _JsonLdParser(HTMLParser):
+    """Collects the raw text content of every
+    <script type="application/ld+json"> block, in document order.
+    The type match is case-insensitive and whitespace-tolerant (real
+    pages ship 'application/ld+json; charset=utf-8' and mixed case);
+    block content is NOT validated here — invalid JSON is data the
+    field-extraction stage maps to NULLs, not a parse failure."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._in_ld = False
+        self._chars: list[str] = []
+
+    @staticmethod
+    def _is_ld(attrs) -> bool:
+        for k, v in attrs:
+            if k == "type" and v is not None:
+                mime = v.split(";", 1)[0].strip().lower()
+                return mime == "application/ld+json"
+        return False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "script" and self._is_ld(attrs):
+            self._in_ld = True
+            self._chars = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "script" and self._in_ld:
+            self._in_ld = False
+            self.blocks.append("".join(self._chars).strip())
+
+    def handle_data(self, data: str) -> None:
+        if self._in_ld:
+            self._chars.append(data)
+
+
+def extract_jsonld(data: bytes) -> dict[str, Any]:
+    """bytes -> {'blocks': [raw json text, ...], 'error'} — one entry
+    per ld+json script block in document order; pages without any
+    yield zero blocks with error=None."""
+    try:
+        from .charset import decode_bytes
+
+        raw, _enc, _src = decode_bytes(data)
+        p = _JsonLdParser()
+        p.feed(raw)
+        p.close()
+        return {"blocks": p.blocks, "error": None}
+    except Exception as exc:
+        return {"blocks": [], "error": stable_error(exc)}
+
+
+def synth_jsonld_html(doc_id: int) -> bytes:
+    """Deterministic JSON-LD-bearing page for the driver query (the
+    formula IS the oracle spec). Per doc d (url https://ld.test/{d}):
+
+    - d%4==0: one Article block (headline 'Head {d}', name 'Art {d}');
+    - d%4==1: TWO blocks — Product 'Prod {d}' then NewsArticle
+      'News {d}' (block_idx 0 and 1);
+    - d%4==2: one block of INVALID JSON (field extraction -> NULLs);
+    - d%4==3: no ld+json at all (a plain <script> must not match).
+
+    Surface noise the parser absorbs: mixed-case type attr with a
+    charset parameter on even docs, whitespace padding in blocks.
+    """
+    d = doc_id
+    ty = 'TYPE="Application/LD+JSON; charset=utf-8"' if d % 2 == 0 else 'type="application/ld+json"'
+    m = d % 4
+    body = [f"<html><head><title>ld {d}</title>"]
+    if m == 0:
+        body.append(
+            f'<script {ty}>\n {{"@context":"https://schema.org",'
+            f'"@type":"Article","headline":"Head {d}","name":"Art {d}"}} \n</script>'
+        )
+    elif m == 1:
+        body.append(
+            f'<script {ty}>{{"@type":"Product","name":"Prod {d}"}}</script>'
+            f"<script>var x = {d};</script>"
+            f'<script {ty}> {{"@type":"NewsArticle","name":"News {d}"}}</script>'
+        )
+    elif m == 2:
+        body.append(f"<script {ty}>{{not json {d}</script>")
+    else:
+        body.append(f"<script>var plain = {d};</script>")
+    body.append(f"</head><body><p>page {d}</p></body></html>")
+    return "".join(body).encode()

@@ -311,3 +311,30 @@ def html_tables_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 out["is_header"].append(cell["is_header"])
                 out["cell"].append(cell["cell"])
         yield pd.DataFrame(out)
+
+
+JSONLD_BLOCKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("block_idx", LongType()),
+        StructField("json", StringType()),
+    ]
+)
+
+
+def jsonld_blocks_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(url, html) -> one row per <script type=application/ld+json>
+    block (url, block_idx, json raw text). Pages without structured
+    data contribute zero rows. Narrow map, no shuffle."""
+    from .htmlextract import extract_jsonld
+
+    cols = list(JSONLD_BLOCKS_SCHEMA.fieldNames())
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            parsed = extract_jsonld(bytes(html) if html is not None else b"")
+            for i, block in enumerate(parsed["blocks"]):
+                out["url"].append(url)
+                out["block_idx"].append(i)
+                out["json"].append(block)
+        yield pd.DataFrame(out)

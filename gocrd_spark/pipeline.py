@@ -678,3 +678,23 @@ def html_tables(
     if num_partitions:
         sel = sel.repartition(num_partitions, salted_partition_key(salt))
     return sel.mapInPandas(html_tables_kernel, HTML_TABLES_SCHEMA)
+
+
+def jsonld_blocks(
+    df: DataFrame,
+    salt: int = 42,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Schema.org structured-data tier: (url, html) -> one row per
+    JSON-LD script block (url, block_idx, json). Field extraction is
+    deliberately NOT in the kernel — downstream code uses the built-in
+    JVM-side get_json_object/from_json over the 'json' column (the
+    Spark-first split: Python only where the DOM walk demands it).
+    Same zero-shuffle scan -> mapInPandas shape as the other
+    extraction tiers."""
+    from .kernel import JSONLD_BLOCKS_SCHEMA, jsonld_blocks_kernel, salted_partition_key
+
+    sel = df.select("url", "html")
+    if num_partitions:
+        sel = sel.repartition(num_partitions, salted_partition_key(salt))
+    return sel.mapInPandas(jsonld_blocks_kernel, JSONLD_BLOCKS_SCHEMA)

@@ -385,3 +385,62 @@ class TestExtractTables:
         assert "MapInPandas" in plan
         assert "Exchange" not in plan  # zero-shuffle extraction tier
         assert [r.cell for r in out.collect()] == ["x"]
+
+
+class TestExtractJsonLd:
+    @staticmethod
+    def _blocks(html: str):
+        from gocrd_spark.htmlextract import extract_jsonld
+
+        r = extract_jsonld(html.encode())
+        assert r["error"] is None
+        return r["blocks"]
+
+    def test_type_match_case_and_params_tolerant(self):
+        assert self._blocks(
+            '<script TYPE="Application/LD+JSON; charset=utf-8">{"a":1}</script>'
+        ) == ['{"a":1}']
+
+    def test_plain_and_js_scripts_ignored(self):
+        assert self._blocks(
+            '<script>var x=1;</script><script type="text/javascript">y</script>'
+        ) == []
+
+    def test_multiple_blocks_document_order(self):
+        assert self._blocks(
+            '<script type="application/ld+json">{"i":0}</script>'
+            "<p>gap</p>"
+            '<script type="application/ld+json"> {"i":1} </script>'
+        ) == ['{"i":0}', '{"i":1}']
+
+    def test_invalid_json_still_captured_raw(self):
+        assert self._blocks(
+            '<script type="application/ld+json">{oops</script>'
+        ) == ["{oops"]
+
+    def test_pipeline_plan_is_narrow_and_fields_extract(self, spark):
+        from pyspark.sql import functions as F
+        from gocrd_spark.pipeline import jsonld_blocks
+
+        df = spark.createDataFrame(
+            [
+                ("u0", bytearray(
+                    b'<script type="application/ld+json">'
+                    b'{"@type":"Article","name":"N"}</script>')),
+                ("u1", bytearray(b'<script type="application/ld+json">{bad</script>')),
+                ("u2", bytearray(b"<p>none</p>")),
+            ],
+            "url string, html binary",
+        )
+        out = jsonld_blocks(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan and "Exchange" not in plan
+        fields = out.select(
+            "url",
+            F.get_json_object("json", "$['@type']").alias("jtype"),
+            F.get_json_object("json", "$.name").alias("name"),
+        ).collect()
+        by = {r.url: (r.jtype, r.name) for r in fields}
+        assert by["u0"] == ("Article", "N")
+        assert by["u1"] == (None, None)  # invalid JSON -> NULLs, no failure
+        assert "u2" not in by  # no structured data -> zero rows
