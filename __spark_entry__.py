@@ -582,6 +582,18 @@ def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables(_reshape(spark, pages))
 
 
+def _q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERP/RAG passage extraction for the BM25 top-10: densest
+    8-token window per (query, hit) with the hit-anchored max-hits/
+    min-start spec (search.py::search_snippets). Oracle replays the
+    whole chain — BM25 ranking, filtered-token positions, window
+    self-join, arg-max, slice — in pure SQL."""
+    from gocrd_spark.operators.search import corpus_queries, search_snippets
+
+    docs = _docs(spark, sf_dir)
+    return search_snippets(docs, corpus_queries(docs), k=10, window=8)
+
+
 def _q_jsonld_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema.org structured data end-to-end: the _JsonLdParser kernel
     lifts raw ld+json blocks out of formula-synthesized pages (mixed-
@@ -2399,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": _q_ann_topk_ivfpq,
         "html_tables": _q_html_tables,
         "jsonld_fields": _q_jsonld_fields,
+        "search_snippets": _q_search_snippets,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2455,7 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # new this session (never driver-verified)
         "perceptron_quality", "pq_codes", "pq_topk", "ann_topk_ivfpq",
-        "html_tables", "jsonld_fields",
+        "html_tables", "jsonld_fields", "search_snippets",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -2996,6 +3009,76 @@ def oracle_sql() -> dict[str, str]:
                      doc_id, score_e6
               FROM score)
             SELECT query_id, rank, doc_id, score_e6 FROM ranked WHERE rank <= 10
+        """,
+        # snippets: the bm25_search chain + filtered-token positions,
+        # hit-anchored window self-join, (n_hits DESC, pos ASC) arg-max,
+        # and a 1-based inclusive list slice mirroring F.slice
+        "search_snippets": """
+            WITH t0 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS term FROM t0),
+            dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM t0),
+            scal AS (SELECT count(*)::BIGINT AS n_docs,
+                            sum(len(t))::BIGINT AS t_tokens FROM t0),
+            dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM tok GROUP BY term),
+            qterms AS (
+              SELECT term,
+                     row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS rn
+              FROM dfs, scal
+              WHERE df >= 2 AND df * 10 <= n_docs * 9
+              ORDER BY df DESC, term ASC LIMIT 8),
+            queries AS (SELECT rn % 4 AS query_id, term FROM qterms),
+            tf AS (SELECT query_id, q.term AS term, doc_id,
+                          count(*)::BIGINT AS tf
+                   FROM tok t JOIN queries q ON t.term = q.term
+                   GROUP BY 1, 2, 3),
+            contrib AS (
+              SELECT query_id, tf.doc_id AS doc_id,
+                     (CAST(round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0),
+                                       6) * 1000000) AS BIGINT)
+                      * 22000 * tf)
+                     // (10000 * tf
+                         + 12 * (250 + (750 * dl) // (t_tokens // n_docs))) AS c
+              FROM tf
+              JOIN dfs USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id, scal),
+            score AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_e6
+                      FROM contrib GROUP BY 1, 2),
+            ranked AS (
+              SELECT query_id::BIGINT AS query_id,
+                     (row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_e6 DESC, doc_id ASC))::BIGINT AS rank,
+                     doc_id
+              FROM score),
+            hits AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10),
+            tpos AS (
+              SELECT t0.doc_id, t0.t[i]::VARCHAR AS term, (i - 1)::BIGINT AS pos
+              FROM t0, unnest(range(1, len(t0.t) + 1)) AS s(i)
+              WHERE t0.doc_id IN (SELECT doc_id FROM hits)),
+            qpos AS (
+              SELECT h.query_id, h.doc_id, h.rank, tp.pos
+              FROM tpos tp
+              JOIN queries q ON q.term = tp.term
+              JOIN hits h ON h.query_id = q.query_id AND h.doc_id = tp.doc_id),
+            wins AS (
+              SELECT a.query_id, a.doc_id, a.rank, a.pos,
+                     count(*)::BIGINT AS n_hits
+              FROM qpos a JOIN qpos b
+                ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+               AND b.pos >= a.pos AND b.pos < a.pos + 8
+              GROUP BY 1, 2, 3, 4),
+            best AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                          ORDER BY n_hits DESC, pos ASC) AS rn
+              FROM wins)
+            SELECT w.query_id, w.doc_id, w.rank,
+                   w.pos AS start_pos, w.n_hits,
+                   array_to_string(t0.t[w.pos + 1 : w.pos + 8], ' ') AS snippet
+            FROM best w JOIN t0 USING (doc_id) WHERE w.rn = 1
         """,
         # AND retrieval: same query workload, doc qualifies when its
         # distinct matched terms equal the query's term count

@@ -430,3 +430,71 @@ def boolean_search(docs: DataFrame, queries: DataFrame, text_col: str = "text") 
         .filter(F.col("n_matched") == F.col("n_terms"))
         .select("query_id", "doc_id")
     )
+
+
+def search_snippets(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    window: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Result snippets for the BM25 top-k: for each (query, hit doc),
+    the ``window``-token passage containing the most query-term
+    occurrences — the passage a SERP or RAG context builder shows.
+    Window starts are anchored at hit positions (an optimal window
+    always exists starting at a hit; the pinned spec is max hits, then
+    smallest start among hit-anchored windows).
+
+    Scale shape: ranking reuses bm25_topk (broadcast-query postings
+    only); token positions are materialized ONLY for the k*|Q| hit
+    docs (semi-join first), so the position explode never touches the
+    corpus; the window count is a per-(query,doc) self-join whose
+    group size is that doc's query-term hit count (tiny); the best
+    window picks via max(struct) over those few rows (SortAggregate on
+    a k*|Q|-bounded table — not the corpus). Integer counts only.
+
+    Returns (query_id, doc_id, rank, start_pos, n_hits, snippet) —
+    start_pos 0-based in the doc's token array.
+    """
+    hits = bm25_topk(docs, queries, k, text_col)
+    toks = docs.select("doc_id", _tokens(F.col(text_col)).alias("t")).join(
+        hits.select("doc_id").distinct(), "doc_id"
+    )
+    pos = toks.select("doc_id", F.posexplode("t").alias("pos", "term"))
+    qpos = (
+        pos.join(F.broadcast(queries), "term")
+        .join(hits.select("query_id", "doc_id", "rank"), ["query_id", "doc_id"])
+        .select("query_id", "doc_id", "rank", "pos")
+    )
+    a = qpos.alias("a")
+    b = qpos.select("query_id", "doc_id", F.col("pos").alias("bpos")).alias("b")
+    wins = (
+        a.join(
+            b,
+            on=(
+                (F.col("a.query_id") == F.col("b.query_id"))
+                & (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("b.bpos") >= F.col("a.pos"))
+                & (F.col("b.bpos") < F.col("a.pos") + window)
+            ),
+        )
+        .groupBy("a.query_id", "a.doc_id", "a.rank", "a.pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    best = wins.groupBy("query_id", "doc_id", "rank").agg(
+        F.max(F.struct(F.col("n_hits"), (-F.col("pos")).alias("neg"))).alias("_b")
+    )
+    return (
+        best.join(toks, "doc_id")  # the hit-doc-restricted token table, not the corpus
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            (-F.col("_b.neg")).cast("long").alias("start_pos"),
+            F.col("_b.n_hits").alias("n_hits"),
+            F.concat_ws(
+                " ", F.slice("t", (-F.col("_b.neg")) + 1, window)
+            ).alias("snippet"),
+        )
+    )

@@ -242,3 +242,63 @@ def test_boolean_search_duplicate_terms_in_doc_count_once(spark):
     )
     got = [(r.query_id, r.doc_id) for r in boolean_search(docs, queries).collect()]
     assert got == [(0, 5)]  # q1 misses z entirely
+
+
+class TestSearchSnippets:
+    def test_densest_window_hand_case(self, spark):
+        from gocrd_spark.operators.search import search_snippets
+
+        # doc 1: hits at pos 1 ("q") and 2 ("w"), clustered; a lone
+        # late hit at pos 9 -> best window starts at pos 1 with 2 hits
+        docs = spark.createDataFrame(
+            [
+                (1, "a q w b c d e f g q"),
+                (2, "q only here"),
+            ],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(0, "q"), (0, "w")], "query_id long, term string"
+        )
+        rows = {
+            r.doc_id: r
+            for r in search_snippets(docs, queries, k=10, window=4).collect()
+        }
+        assert rows[1].start_pos == 1 and rows[1].n_hits == 2
+        assert rows[1].snippet == "q w b c"
+        # doc 2: single hit at pos 0; window clamps at the doc tail
+        assert rows[2].start_pos == 0 and rows[2].n_hits == 1
+        assert rows[2].snippet == "q only here"
+
+    def test_tie_breaks_to_smallest_start(self, spark):
+        from gocrd_spark.operators.search import search_snippets
+
+        # hits at 0 and 6: both windows hold exactly one hit -> pos 0 wins
+        docs = spark.createDataFrame(
+            [(1, "q a b c d e q h")], "doc_id long, text string"
+        )
+        queries = spark.createDataFrame([(0, "q")], "query_id long, term string")
+        r = search_snippets(docs, queries, k=5, window=3).collect()[0]
+        assert r.start_pos == 0 and r.n_hits == 1 and r.snippet == "q a b"
+
+    def test_rank_carries_bm25_order_and_plan_shape(self, spark):
+        from gocrd_spark.operators.search import (
+            bm25_topk,
+            corpus_queries,
+            search_snippets,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"common w{i % 5} filler text common") for i in range(30)],
+            "doc_id long, text string",
+        )
+        q = corpus_queries(docs, n_terms=4)
+        snips = search_snippets(docs, q, k=5, window=6)
+        got = {(r.query_id, r.doc_id): r.rank for r in snips.collect()}
+        want = {
+            (r.query_id, r.doc_id): r.rank
+            for r in bm25_topk(docs, q, k=5).collect()
+        }
+        assert got == want  # one snippet per ranked hit, same rank
+        plan = snips._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
