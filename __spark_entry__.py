@@ -582,6 +582,27 @@ def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables(_reshape(spark, pages))
 
 
+def _q_crawl_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder crawl-budget apportionment over the
+    PageRank host scores (urls.py::crawl_budgets composing
+    linkgraph.host_pagerank): integer quotas summing to exactly 10^6.
+    The oracle wraps the pagerank recurrence oracle as a derived table
+    and replays the apportionment with the equivalent global
+    (rem DESC, host ASC) ranking."""
+    from gocrd_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        host_pagerank,
+    )
+    from gocrd_spark.operators.urls import crawl_budgets
+
+    edges = host_edges(extract_outlinks(_linked_pages(spark, sf_dir)))
+    scores = host_pagerank(edges, n_iters=5).select(
+        "host", F.col("rank_e12").alias("score")
+    )
+    return crawl_budgets(scores, budget=1_000_000)
+
+
 def _q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERP/RAG passage extraction for the BM25 top-10: densest
     8-token window per (query, hit) with the hit-anchored max-hits/
@@ -2412,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": _q_html_tables,
         "jsonld_fields": _q_jsonld_fields,
         "search_snippets": _q_search_snippets,
+        "crawl_budgets": _q_crawl_budgets,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2468,7 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # new this session (never driver-verified)
         "perceptron_quality", "pq_codes", "pq_topk", "ann_topk_ivfpq",
-        "html_tables", "jsonld_fields", "search_snippets",
+        "html_tables", "jsonld_fields", "search_snippets", "crawl_budgets",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -4868,6 +4890,27 @@ def _linkgraph_oracles() -> dict[str, str]:
         "frontier_expand": _frontier_expand_oracle(n, max_hops=3),
         "html_tables": _html_tables_oracle(n),
         "jsonld_fields": _jsonld_oracle(n),
+        # apportionment over the pagerank oracle as a derived table;
+        # global (rem DESC, host ASC) ranking is result-equivalent to
+        # the operator's histogram-cutoff construction
+        "crawl_budgets": f"""
+            WITH sc AS (
+              SELECT host, rank_e12 AS score
+              FROM ({_host_pagerank_oracle(n, n_iters=5)})),
+            tot AS (SELECT sum(score)::BIGINT AS t FROM sc),
+            base AS (
+              SELECT host, score,
+                     (1000000 * score) // t AS fl,
+                     (1000000 * score) % t AS rem
+              FROM sc, tot),
+            rr AS (SELECT (1000000 - sum(fl))::BIGINT AS r FROM base),
+            rk AS (
+              SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+              FROM base)
+            SELECT host, score,
+                   (fl + CASE WHEN rn <= rr.r THEN 1 ELSE 0 END)::BIGINT AS quota
+            FROM rk, rr
+        """,
         "robots_filter": """
             SELECT doc_id,
                    'https://host' || (doc_id % 10) || '.example.com' ||

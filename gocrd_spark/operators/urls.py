@@ -26,7 +26,7 @@ payload columns join back by id afterwards if the caller carries any).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -724,4 +724,82 @@ def url_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
         .cast("long")
         .alias("n_params"),
         "url_len",
+    )
+
+
+def crawl_budgets(scores: DataFrame, budget: int) -> DataFrame:
+    """Crawl-budget apportionment: split an integer fetch/token budget
+    across hosts proportionally to a non-negative integer score
+    (PageRank rank_e12, the host_quality composite, ...) with the
+    Hamilton largest-remainder method — quotas sum to EXACTLY
+    ``budget``, the property naive rounding loses.
+
+    Exact integer spec: quota_floor = (budget*score) div T,
+    rem = (budget*score) mod T (T = score total); the R = budget -
+    sum(floor) leftover units go to the largest remainders, ties to
+    the lexicographically smallest host. Requires budget * max_score
+    < 2^63 (caller contract — rank_e12 scores with ~10^6 budgets hold
+    comfortably).
+
+    Scale shape: NO global window over the host table. The winner set
+    comes from a CUTOFF: a cumulative count over the DISTINCT-
+    remainder histogram (single-partition window over (rem, count)
+    pairs — the remainder distribution, not the hosts) finds the
+    threshold remainder r* and the tie take; hosts with rem > r* win
+    outright and only the r*-tie group (bounded by the collision count
+    at one remainder) ranks by host name. Totals are 1-row broadcast
+    scalars. R == 0 degenerates to bare floors via a +inf sentinel
+    cutoff.
+
+    Returns (host, score, quota) with sum(quota) == budget.
+    """
+    b = int(budget)
+    tot = scores.agg(F.sum("score").cast("long").alias("t"))
+    base = scores.crossJoin(F.broadcast(tot)).select(
+        "host",
+        F.col("score").cast("long").alias("score"),
+        F.expr(f"({b} * score) div t").alias("fl"),
+        F.expr(f"({b} * score) % t").alias("rem"),
+    )
+    rtot = base.agg((F.lit(b) - F.sum("fl")).cast("long").alias("r"))
+    hist = base.groupBy("rem").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.desc("rem"))  # distinct-remainder histogram only
+    cut = (
+        hist.withColumn("cum", F.sum("c").over(w))
+        .crossJoin(F.broadcast(rtot))
+        .filter((F.col("cum") - F.col("c") < F.col("r")) & (F.col("r") > 0))
+        .orderBy(F.asc("rem"))
+        .limit(1)
+        .select(
+            F.col("rem").alias("cut_rem"),
+            (F.col("r") - (F.col("cum") - F.col("c"))).cast("long").alias("take_ties"),
+        )
+    )
+    # guarantee exactly one cutoff row: when R == 0 the filter leaves
+    # `cut` empty, and a bare crossJoin would wipe the output — the
+    # sentinel (+inf remainder, zero ties) awards no bonuses; when a
+    # real cutoff exists the bigger take_ties row wins the limit(1)
+    sentinel = rtot.select(
+        F.lit(1 << 62).cast("long").alias("cut_rem"),
+        F.lit(0).cast("long").alias("take_ties"),
+    )
+    cut1 = cut.unionByName(sentinel).orderBy(F.desc("take_ties")).limit(1)
+    wt = Window.partitionBy("rem").orderBy(F.asc("host"))
+    return (
+        base.crossJoin(F.broadcast(cut1))
+        .withColumn(
+            "_bonus",
+            F.when(F.col("rem") > F.col("cut_rem"), F.lit(1))
+            .when(
+                (F.col("rem") == F.col("cut_rem"))
+                & (F.row_number().over(wt) <= F.col("take_ties")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0)),
+        )
+        .select(
+            "host",
+            "score",
+            (F.col("fl") + F.col("_bonus")).cast("long").alias("quota"),
+        )
     )

@@ -3254,3 +3254,60 @@ class TestIvfPq:
         # trained quantizers are checkpointed: the serving plan reads
         # ExistingRDD, not a replay of the Lloyd loops
         assert "ExistingRDD" in plan
+
+
+class TestCrawlBudgets:
+    def test_hand_case_and_exact_sum(self, spark):
+        from gocrd_spark.operators.urls import crawl_budgets
+
+        scores = spark.createDataFrame(
+            [("a", 5), ("b", 3), ("c", 3), ("d", 1), ("e", 0)],
+            "host string, score long",
+        )
+        # budget 10, T=12: floors 4,2,2,0,0 (sum 8); rems 2,6,6,10,0;
+        # R=2 -> d (rem 10) then the rem-6 tie broken to b over c
+        out = {r.host: r.quota for r in crawl_budgets(scores, 10).collect()}
+        assert out == {"a": 4, "b": 3, "c": 2, "d": 1, "e": 0}
+        assert sum(out.values()) == 10
+
+    def test_exact_split_r_zero_sentinel(self, spark):
+        from gocrd_spark.operators.urls import crawl_budgets
+
+        scores = spark.createDataFrame(
+            [("a", 5), ("b", 3), ("c", 3), ("d", 1)], "host string, score long"
+        )
+        out = {r.host: r.quota for r in crawl_budgets(scores, 12).collect()}
+        assert out == {"a": 5, "b": 3, "c": 3, "d": 1}  # floors already exact
+
+    def test_sum_invariant_random_budgets(self, spark):
+        from gocrd_spark.operators.urls import crawl_budgets
+
+        scores = spark.createDataFrame(
+            [(f"h{i}", (i * 37) % 11 + 1) for i in range(40)],
+            "host string, score long",
+        )
+        for b in (1, 7, 100, 999):
+            got = crawl_budgets(scores, b).agg({"quota": "sum"}).collect()[0][0]
+            assert got == b, (b, got)
+
+    def test_no_global_window_over_hosts(self, spark):
+        from gocrd_spark.operators.urls import crawl_budgets
+
+        scores = spark.createDataFrame(
+            [(f"h{i}", i + 1) for i in range(20)], "host string, score long"
+        )
+        plan = (
+            crawl_budgets(scores, 100)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        wins = [ln for ln in plan.splitlines() if "Window [" in ln]
+        assert wins, plan
+        for ln in wins:
+            if "host" in ln:
+                # the host-table window is PARTITIONED by rem (tie
+                # groups only) — never a global sort of the host table
+                assert "], [rem#" in ln, ln
+            else:
+                # the only unpartitioned window is the cumsum over the
+                # remainder HISTOGRAM (sum of the groupBy counts)
+                assert "sum(c#" in ln, ln
