@@ -582,6 +582,17 @@ def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables(_reshape(spark, pages))
 
 
+def _q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication summary (dedup.py::dedup_report) over the same
+    MinHash-LSH cluster labeling as dedup_clusters: one row per
+    cluster SIZE (n_clusters, n_docs). The oracle wraps the exact-
+    pairs + recursive-components oracle as a derived table and
+    re-groups — independent pairs, closure, and histogram."""
+    from gocrd_spark.operators.dedup import dedup_report
+
+    return dedup_report(_q_dedup_clusters(spark, sf_dir))
+
+
 def _q_crawl_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamilton largest-remainder crawl-budget apportionment over the
     PageRank host scores (urls.py::crawl_budgets composing
@@ -2434,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_fields": _q_jsonld_fields,
         "search_snippets": _q_search_snippets,
         "crawl_budgets": _q_crawl_budgets,
+        "dedup_report": _q_dedup_report,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2491,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this session (never driver-verified)
         "perceptron_quality", "pq_codes", "pq_topk", "ann_topk_ivfpq",
         "html_tables", "jsonld_fields", "search_snippets", "crawl_budgets",
+        "dedup_report",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -2551,6 +2564,30 @@ _EXACT_JACCARD_SQL = """
     FROM inter
     WHERE round(n_inter::DOUBLE / (na + nb - n_inter), 6) >= 0.12
 """
+
+def _dedup_clusters_oracle() -> str:
+    """Exact-pairs + recursive-CTE components labeling — the
+    dedup_clusters oracle, also wrapped as a derived table by the
+    dedup_report histogram oracle."""
+    return f"""
+            WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM ({_EXACT_JACCARD_SQL})),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pr
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pr),
+            walk(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+            canon AS (
+              SELECT u AS doc_id, least(min(v), u) AS canonical_id
+              FROM walk GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+                   CAST(coalesce(c.canonical_id, d.doc_id) = d.doc_id AS BIGINT) AS keep
+            FROM documents d LEFT JOIN canon c USING (doc_id)
+    """
+
 
 
 def _tools_import():
@@ -3982,23 +4019,17 @@ def oracle_sql() -> dict[str, str]:
         # EXACT pair answer (LSH recall to that answer is certified by the
         # minhash_near_dups row) — independent pairs AND independent
         # closure algorithm vs the Spark min-propagation loop
-        "dedup_clusters": f"""
-            WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM ({_EXACT_JACCARD_SQL})),
-            edges AS (
-              SELECT doc_a AS u, doc_b AS v FROM pr
-              UNION
-              SELECT doc_b AS u, doc_a AS v FROM pr),
-            walk(u, v) AS (
-              SELECT u, v FROM edges
-              UNION
-              SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
-            canon AS (
-              SELECT u AS doc_id, least(min(v), u) AS canonical_id
-              FROM walk GROUP BY u)
-            SELECT d.doc_id,
-                   coalesce(c.canonical_id, d.doc_id) AS canonical_id,
-                   CAST(coalesce(c.canonical_id, d.doc_id) = d.doc_id AS BIGINT) AS keep
-            FROM documents d LEFT JOIN canon c USING (doc_id)
+        "dedup_clusters": _dedup_clusters_oracle(),
+        # duplication summary: the clusters oracle as a derived table +
+        # the same two-level grouping
+        "dedup_report": f"""
+            WITH c AS ({_dedup_clusters_oracle()}),
+            sizes AS (
+              SELECT canonical_id, count(*)::BIGINT AS cluster_size
+              FROM c GROUP BY canonical_id)
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+                   (count(*) * cluster_size)::BIGINT AS n_docs
+            FROM sizes GROUP BY cluster_size
         """,
         # fuzzy decontamination: EXACT corpus-vs-benchmark Jaccard over
         # the same shingle definition — the banded path must find every

@@ -1518,3 +1518,21 @@ def minhash_append(new_docs: DataFrame, path: str, batch_id: str) -> str:
         path,
         batch_id,
     )
+
+
+def dedup_report(clusters: DataFrame) -> DataFrame:
+    """Duplication summary over a cluster labeling (the table every
+    dedup run reports before anyone trusts it): input is
+    ``dedup_clusters``/``quality_survivors`` shape (doc_id,
+    canonical_id, ...), output one row per distinct cluster SIZE:
+    (cluster_size, n_clusters, n_docs) — size 1 rows are the unique
+    docs, the tail is the duplication mass. Two key-only shuffles
+    (canonical_id counts, then size histogram); nothing else moves.
+    """
+    sizes = clusters.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )

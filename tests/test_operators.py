@@ -3311,3 +3311,24 @@ class TestCrawlBudgets:
                 # the only unpartitioned window is the cumsum over the
                 # remainder HISTOGRAM (sum of the groupBy counts)
                 assert "sum(c#" in ln, ln
+
+
+class TestDedupReport:
+    def test_histogram_hand_case(self, spark):
+        from gocrd_spark.operators.dedup import dedup_report
+
+        clusters = spark.createDataFrame(
+            [
+                (0, 0, 1), (1, 0, 0), (2, 0, 0),   # size-3 cluster
+                (3, 3, 1), (4, 3, 0),              # size-2 cluster
+                (5, 5, 1), (6, 6, 1),              # two singletons
+            ],
+            "doc_id long, canonical_id long, keep long",
+        )
+        got = {
+            r.cluster_size: (r.n_clusters, r.n_docs)
+            for r in dedup_report(clusters).collect()
+        }
+        assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+        # invariant: n_docs sums to the corpus size
+        assert sum(v[1] for v in got.values()) == 7

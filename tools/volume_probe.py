@@ -417,7 +417,158 @@ def search_probe(n_docs: int, pair_docs: int | None = None) -> dict:
     }
 
 
+def synth_vectors(spark, n_vecs: int, dim: int = 64, num_partitions: int = 128):
+    """Deterministic float32 vectors (the tests' modular formula at
+    volume): clustered enough that quantizers have structure, no RNG."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            ids = batch["id"].to_numpy()
+            vecs = [
+                [
+                    float(np.float32(((int(i) * 31 + d * 7) % 97 - 48) / 16.0))
+                    for d in range(dim)
+                ]
+                for i in ids
+            ]
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return (
+        spark.range(n_vecs)
+        .repartition(num_partitions)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+    )
+
+
+def vectors_probe(n_vecs: int, pair_vecs: int | None = None) -> dict:
+    """Vector-compression tier at volume: PQ codebook training + corpus
+    encode (the build — corpus-sized), ADC top-k, and IVF-PQ e2e, plus
+    a 2->8 scaling pair on pq_encode over a larger corpus (encode is
+    the throughput-bound stage: one broadcast join + partial agg over
+    every subvector)."""
+    from gocrd_spark.session import get_spark
+
+    pair_vecs = pair_vecs or 3 * n_vecs
+    paths = {}
+    for nv in {n_vecs, pair_vecs}:
+        p = f"/tmp/gocrd_volume_vecs_{nv}"
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            spark = get_spark(master="local[32]", app_name="volume-prep")
+            synth_vectors(spark, nv).write.mode("overwrite").parquet(p)
+            spark.stop()
+        paths[nv] = p
+
+    def run(master: str, ops: list[str], path: str) -> dict[str, float]:
+        from gocrd_spark.operators.similarity import (
+            ivfpq_topk,
+            pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        spark = get_spark(master=master, app_name="vectors-probe")
+        emb = spark.read.parquet(path)
+        out: dict[str, float] = {}
+
+        def timed(name: str, make):
+            if name not in ops:
+                return
+            t0 = time.time()
+            _noop(make())
+            out[name] = round(time.time() - t0, 2)
+
+        cb = None
+        if "pq_build" in ops:
+            t0 = time.time()
+            cb = pq_codebooks(emb, m=8, n_codes=16, n_iters=2).localCheckpoint(
+                eager=True
+            )
+            out["pq_train"] = round(time.time() - t0, 2)
+            timed("pq_build", lambda: pq_encode(emb, cb, m=8))
+        timed("pq_topk", lambda: pq_topk(emb, [0, 1, 2, 3, 4], k=10))
+        timed("ivfpq_topk", lambda: ivfpq_topk(emb, [0, 1, 2, 3, 4], k=10))
+        if "pq_encode_pair" in ops:
+            cbp = pq_codebooks(emb, m=8, n_codes=16, n_iters=2).localCheckpoint(
+                eager=True
+            )
+            t0 = time.time()
+            _noop(pq_encode(emb, cbp, m=8))
+            out["pq_encode_pair"] = round(time.time() - t0, 2)
+        spark.stop()
+        return out
+
+    full = run("local[32]", ["pq_build", "pq_topk", "ivfpq_topk"], paths[n_vecs])
+    lo = run("local[2]", ["pq_encode_pair"], paths[pair_vecs])
+    hi = run("local[8]", ["pq_encode_pair"], paths[pair_vecs])
+    eff = (
+        (lo["pq_encode_pair"] / hi["pq_encode_pair"]) / 4
+        if hi.get("pq_encode_pair")
+        else None
+    )
+    return {
+        "n_vecs": n_vecs,
+        "wall_sec_local32": full,
+        "pair_vecs": pair_vecs,
+        "pq_encode_sec_local2": lo.get("pq_encode_pair"),
+        "pq_encode_sec_local8": hi.get("pq_encode_pair"),
+        "pq_encode_scaling_efficiency_2to8": round(eff, 3) if eff else None,
+    }
+
+
+def perceptron_probe(n_docs: int) -> dict:
+    """Classifier training at volume: 3 perceptron rounds over the
+    synthetic corpus (labels from a deterministic doc_id rule so both
+    classes exist), timed at local[32], plus the 2->8 pair on the SAME
+    job — training is throughput-bound (every round rescans the
+    checkpointed counts table: corpus-sized work, no latency floor)."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.session import get_spark
+
+    path = f"/tmp/gocrd_volume_docs_{n_docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark = get_spark(master="local[32]", app_name="volume-prep")
+        synth_docs(spark, n_docs).write.mode("overwrite").parquet(path)
+        spark.stop()
+
+    def run(master: str) -> float:
+        from gocrd_spark.operators.textstats import perceptron_quality
+
+        spark = get_spark(master=master, app_name="perceptron-probe")
+        docs = spark.read.parquet(path).select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+        )
+        t0 = time.time()
+        _noop(perceptron_quality(docs, n_rounds=3))
+        dt = round(time.time() - t0, 2)
+        spark.stop()
+        return dt
+
+    t32 = run("local[32]")
+    t2 = run("local[2]")
+    t8 = run("local[8]")
+    return {
+        "n_docs": n_docs,
+        "train_sec_local32": t32,
+        "train_sec_local2": t2,
+        "train_sec_local8": t8,
+        "scaling_efficiency_2to8": round((t2 / t8) / 4, 3),
+    }
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "vectors":
+        n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        print(json.dumps(vectors_probe(n_vecs)))
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "perceptron":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        print(json.dumps(perceptron_probe(n_docs)))
+        return 0
     if len(sys.argv) > 1 and sys.argv[1] == "search":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
         print(json.dumps(search_probe(n_docs)))
