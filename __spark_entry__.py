@@ -582,6 +582,17 @@ def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables(_reshape(spark, pages))
 
 
+def _q_extraction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction health table (pipeline.py::extraction_report) over
+    the real extraction run: per error class (NULL = OK), page counts
+    + integer ppm shares. Oracle recomputes the same grouping over the
+    INDEPENDENT extraction golden (the kernel under test never runs on
+    the oracle side)."""
+    from gocrd_spark.pipeline import extract_pages, extraction_report
+
+    return extraction_report(extract_pages(_pages(spark, sf_dir)))
+
+
 def _q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication summary (dedup.py::dedup_report) over the same
     MinHash-LSH cluster labeling as dedup_clusters: one row per
@@ -2446,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": _q_search_snippets,
         "crawl_budgets": _q_crawl_budgets,
         "dedup_report": _q_dedup_report,
+        "extraction_report": _q_extraction_report,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2503,7 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this session (never driver-verified)
         "perceptron_quality", "pq_codes", "pq_topk", "ann_topk_ivfpq",
         "html_tables", "jsonld_fields", "search_snippets", "crawl_budgets",
-        "dedup_report",
+        "dedup_report", "extraction_report",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -2709,6 +2721,16 @@ def oracle_sql() -> dict[str, str]:
     meta_golden = _tools_import().golden_path("page_metadata")
     return {
         "extract_text": _golden("extract_text", "url, text, error"),
+        "extraction_report": (
+            "WITH g AS ("
+            + _golden("extract_text", "url, error")
+            + """),
+            tot AS (SELECT count(*)::BIGINT AS t FROM g)
+            SELECT error, count(*)::BIGINT AS n_pages,
+                   (1000000 * count(*)) // t AS share_ppm
+            FROM g, tot GROUP BY error, t
+        """
+        ),
         "page_metadata": _golden(
             "page_metadata",
             "url, warc_ts_epoch, title, description, canonical_url, "

@@ -698,3 +698,22 @@ def jsonld_blocks(
     if num_partitions:
         sel = sel.repartition(num_partitions, salted_partition_key(salt))
     return sel.mapInPandas(jsonld_blocks_kernel, JSONLD_BLOCKS_SCHEMA)
+
+
+def extraction_report(out: DataFrame) -> DataFrame:
+    """Extraction health summary — the monitoring table an extraction
+    job publishes next to its output: one row per error class (NULL =
+    extracted OK) with page counts and exact integer ppm shares.
+    One key-only groupBy; the total is a 1-row broadcast scalar.
+    Input is extract_pages shape (needs the ``error`` column)."""
+    tot = out.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    return (
+        out.groupBy("error")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "error",
+            "n_pages",
+            F.expr("(1000000 * n_pages) div t").alias("share_ppm"),
+        )
+    )

@@ -309,3 +309,15 @@ class TestJobMetadataSideTable:
         again = run_extract_job(spark, inp, out, n_groups=4, with_metadata=True)
         assert again["groups_committed_this_run"] == 0
         assert read_metadata(spark, out).count() == pages.count()
+
+
+class TestExtractionReport:
+    def test_classes_counts_and_ppm(self, spark):
+        from gocrd_spark.pipeline import extraction_report
+
+        out = spark.createDataFrame(
+            [("u0", None), ("u1", None), ("u2", "boom"), ("u3", None)],
+            "url string, error string",
+        )
+        got = {r.error: (r.n_pages, r.share_ppm) for r in extraction_report(out).collect()}
+        assert got == {None: (3, 750000), "boom": (1, 250000)}
