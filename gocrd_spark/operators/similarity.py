@@ -273,23 +273,28 @@ def _dist2(a: Column, b: Column) -> Column:
 
 
 def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment via a broadcast join: every vector
-    meets the (tiny) centroid table, min_by picks the closest cell with
-    a deterministic (distance, cell) tie-break. Plan size is independent
-    of n_cells — no centroid literals are compiled into the plan, so
-    this scales to the 4k-64k cells a real IVF uses.
-    Returns (vec_id, cell)."""
-    d = (
+    """Nearest-centroid assignment: the centroid table rides along as
+    ONE broadcast candidate array and the argmin is a narrow fold per
+    vector (no per-centroid row duplication, no Exchange — the
+    join+min_by formulation this replaces allocated every vector
+    n_cells times). (distance, cell) tie-break preserved by the
+    sorted-candidates strict-< fold. Plan size stays independent of
+    n_cells. Returns (vec_id, cell)."""
+    cands = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell").alias("code"), "centroid"))
+        ).alias("cands")
+    )
+    return (
         embeddings.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(centroids))
+        .crossJoin(F.broadcast(cands))
         .select(
             "vec_id",
-            "cell",
-            _dist2(F.col("embedding"), F.col("centroid")).alias("d2"),
+            _argmin_fold(
+                F.transform("embedding", lambda v: v.cast("double")),
+                F.col("cands"),
+            ).cast("int").alias("cell"),
         )
-    )
-    return d.groupBy("vec_id").agg(
-        F.min_by("cell", F.struct("d2", "cell")).alias("cell")
     )
 
 
@@ -684,18 +689,46 @@ def _subvectors(emb: DataFrame, m: int, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def _argmin_fold(vec: Column, cands: Column) -> Column:
+    """argmin over a (code, centroid) candidate ARRAY by squared L2 to
+    ``vec`` — a single higher-order fold per row instead of a join that
+    would duplicate the vector once per candidate (measured: the
+    join+min_by formulation allocated every subvector k times and spent
+    a full Exchange on the re-aggregation; this is narrow and
+    allocation-linear). Candidates must be sorted by code ascending:
+    the strict < keeps the FIRST minimum, i.e. the (d2, code) min —
+    the module's engine-portable tie-break."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"), F.lit(-1).cast("int").alias("code")
+    )
+
+    def step(acc, c):
+        d2 = _dist2(vec, c["centroid"])
+        return F.when(
+            d2 < acc["d2"],
+            F.struct(d2.alias("d2"), c["code"].cast("int").alias("code")),
+        ).otherwise(acc)
+
+    return F.aggregate(cands, init, step)["code"]
+
+
+def _codebook_rows(codebooks: DataFrame, key: str = "sub") -> DataFrame:
+    """(key, cands): the per-subspace candidate array, sorted by code
+    ascending (the fold's tie-break contract)."""
+    return codebooks.groupBy(key).agg(
+        F.array_sort(F.collect_list(F.struct("code", "centroid"))).alias("cands")
+    )
+
+
 def _assign_codes(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """Nearest-code assignment per (vec_id, sub): the codebook table
-    (m*k small rows) broadcasts; min_by with a (d2, code) tie-break
-    keeps the result engine-portable. Returns (vec_id, sub, code)."""
-    d = subv.join(F.broadcast(codebooks), "sub").select(
+    """Nearest-code assignment per (vec_id, sub): the codebook rides
+    along as a broadcast per-subspace candidate ARRAY and the argmin
+    is one narrow fold per subvector — zero Exchange, zero row
+    duplication. Returns (vec_id, sub, code)."""
+    return subv.join(F.broadcast(_codebook_rows(codebooks)), "sub").select(
         "vec_id",
         "sub",
-        "code",
-        _dist2(F.col("subvec"), F.col("centroid")).alias("d2"),
-    )
-    return d.groupBy("vec_id", "sub").agg(
-        F.min_by("code", F.struct("d2", "code")).alias("code")
+        _argmin_fold(F.col("subvec"), F.col("cands")).cast("int").alias("code"),
     )
 
 
