@@ -907,6 +907,22 @@ def ivfpq_topk(
     queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    return _ivfpq_score(queries, cent, cb, codes, k, m, n_probe)
+
+
+def _ivfpq_score(
+    queries: DataFrame,
+    cent: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    k: int,
+    m: int,
+    n_probe: int,
+) -> DataFrame:
+    """The IVF-PQ SERVING math, shared by the inline ivfpq_topk and the
+    durable-index ivfpq_topk_from: probe-list selection, per-(query,
+    cell) residual LUTs, exact-BIGINT ADC over the codes table, ranked
+    top-k. ``codes`` is (vec_id, sub, code, cell)."""
     wq = Window.partitionBy("query_id").orderBy("d2", "cell")
     q_probed = (
         queries.crossJoin(F.broadcast(cent))
@@ -963,6 +979,118 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_e6", "rank")
     )
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    coarse_iters: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    pq_iters: int = 2,
+) -> str:
+    """Materialize the IVF-PQ index ONCE at ``path`` — the durable
+    counterpart of :func:`ivfpq_topk`, same write-once/param-pin/resume
+    contract as :func:`ivf_index` (Hadoop-FS sidecar IO, sidecar
+    written LAST so a crash between commit and pin rebuilds):
+
+    - ``centroids/``  (cell, centroid) — the coarse quantizer;
+    - ``codebooks/``  (sub, code, centroid) — residual PQ codebooks;
+    - ``codes/``      (vec_id, sub, code) PARTITIONED BY cell — the
+      serving state: m small ints per vector; probing n_probe cells is
+      literal partition pruning, and at 10^12 vectors this table is
+      the ONLY per-vector state a query ever reads.
+
+    Returns path.
+    """
+    import json
+
+    from gocrd_spark import fsio
+
+    spark = embeddings.sparkSession
+    params = {
+        "n_cells": n_cells,
+        "coarse_iters": coarse_iters,
+        "m": m,
+        "n_codes": n_codes,
+        "pq_iters": pq_iters,
+        "version": 1,
+    }
+    base = path.rstrip("/")
+    marker = f"{base}/codes/_SUCCESS"
+    sidecar = f"{base}/_PARAMS.json"
+    if fsio.exists(spark, marker) and fsio.exists(spark, sidecar):
+        existing = json.loads(fsio.read_text(spark, sidecar))
+        if existing != params:
+            raise ValueError(
+                f"existing IVF-PQ index at {path} was built with "
+                f"{existing}, requested {params}"
+            )
+        return path
+    cent = kmeans_centroids_df(embeddings, n_cells, coarse_iters).localCheckpoint(
+        eager=True
+    )
+    cent.write.mode("overwrite").parquet(f"{base}/centroids")
+    cent_back = spark.read.parquet(f"{base}/centroids")
+    assigned = assign_cells(embeddings, cent_back)
+    residuals = (
+        assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(cent_back), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.transform("embedding", lambda v: v.cast("double")),
+                "centroid",
+                lambda x, y: x - y,
+            ).alias("embedding"),
+        )
+    )
+    cb = pq_codebooks(
+        residuals.select("vec_id", "embedding"), m, n_codes, pq_iters
+    ).localCheckpoint(eager=True)
+    cb.write.mode("overwrite").parquet(f"{base}/codebooks")
+    cb_back = spark.read.parquet(f"{base}/codebooks")
+    (
+        pq_encode(residuals.select("vec_id", "embedding"), cb_back, m)
+        .join(assigned, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{base}/codes")
+    )
+    fsio.write_text(spark, sidecar, json.dumps(params))
+    return path
+
+
+def ivfpq_topk_from(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ top-k against a durable :func:`ivfpq_index` — quantizer
+    training and corpus encoding already paid. ``queries`` is
+    (query_id, q_emb): the serving state keeps NO raw vectors, so query
+    vectors arrive from the caller (the honest serving API — a query
+    batch is user input, not index content).
+
+    The ADC join hits the codes table ON ITS PARTITION COLUMN with a
+    broadcast LUT build side, so dynamic partition pruning turns the
+    probe list into a storage-level partition filter — unprobed
+    inverted lists are never read. Results are identical to
+    :func:`ivfpq_topk` at the same params (parity pytest-gated)."""
+    import json
+
+    from gocrd_spark import fsio
+
+    base = path.rstrip("/")
+    params = json.loads(fsio.read_text(spark, f"{base}/_PARAMS.json"))
+    cent = spark.read.parquet(f"{base}/centroids")
+    cb = spark.read.parquet(f"{base}/codebooks")
+    codes = spark.read.parquet(f"{base}/codes")
+    return _ivfpq_score(queries, cent, cb, codes, k, int(params["m"]), n_probe)
 
 
 def hard_negatives(

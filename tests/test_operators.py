@@ -3332,3 +3332,44 @@ class TestDedupReport:
         assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
         # invariant: n_docs sums to the corpus size
         assert sum(v[1] for v in got.values()) == 7
+
+
+class TestIvfPqIndex:
+    def test_build_probe_parity_resume_refusal(self, spark, emb, tmp_path):
+        import time
+
+        from gocrd_spark.operators.similarity import (
+            ivfpq_index,
+            ivfpq_topk,
+            ivfpq_topk_from,
+        )
+
+        kw = dict(n_cells=8, coarse_iters=2, m=8, n_codes=8, pq_iters=2)
+        path = str(tmp_path / "ivfpq")
+        ivfpq_index(emb, path, **kw)
+        fresh = {
+            (r.query_id, r.rank): (r.neighbor_id, r.adc_e6)
+            for r in ivfpq_topk(emb, [0, 1, 2], k=5, n_probe=3, **kw).collect()
+        }
+        queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        served_df = ivfpq_topk_from(spark, path, queries, k=5, n_probe=3)
+        served = {
+            (r.query_id, r.rank): (r.neighbor_id, r.adc_e6)
+            for r in served_df.collect()
+        }
+        assert served == fresh and len(served) == 15
+
+        # the ADC join prunes the cell-partitioned codes table
+        plan = served_df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+
+        # resume: second build skips via the marker+sidecar
+        t0 = time.time()
+        assert ivfpq_index(emb, path, **kw) == path
+        assert time.time() - t0 < 1.0
+
+        with pytest.raises(ValueError, match="was built with"):
+            ivfpq_index(emb, path, n_cells=16, coarse_iters=2, m=8,
+                        n_codes=8, pq_iters=2)
