@@ -457,9 +457,14 @@ def search_snippets(
     Returns (query_id, doc_id, rank, start_pos, n_hits, snippet) —
     start_pos 0-based in the doc's token array.
     """
-    hits = bm25_topk(docs, queries, k, text_col)
-    toks = docs.select("doc_id", _tokens(F.col(text_col)).alias("t")).join(
-        hits.select("doc_id").distinct(), "doc_id"
+    # both tables are k*|Q|-bounded and multiply consumed (hits: semi-join
+    # + rank join; toks: position explode + snippet slice) — pinned so the
+    # corpus-sized BM25 chain and tokenization never replay per consumer
+    hits = bm25_topk(docs, queries, k, text_col).localCheckpoint(eager=True)
+    toks = (
+        docs.select("doc_id", _tokens(F.col(text_col)).alias("t"))
+        .join(hits.select("doc_id").distinct(), "doc_id")
+        .localCheckpoint(eager=True)
     )
     pos = toks.select("doc_id", F.posexplode("t").alias("pos", "term"))
     qpos = (

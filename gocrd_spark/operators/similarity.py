@@ -669,23 +669,44 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     )
 
 
-def _subvectors(emb: DataFrame, m: int, id_col: str = "vec_id") -> DataFrame:
-    """(id, sub, subvec): the vector split into ``m`` contiguous
+def _subvectors(
+    emb: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *extra, sub, subvec): the vector split into ``m`` contiguous
     subspaces of dim/m dims each (dim must be divisible by m — the
-    standard PQ layout). Narrow: one bounded sequence() explode."""
+    standard PQ layout). Narrow: one bounded sequence() explode.
+    ``extra`` columns (e.g. the probed cell id) ride along unchanged."""
     width = (F.size("embedding") / m).cast("int")
+    carried = [id_col, *extra]
     return emb.select(
-        F.col(id_col),
+        *[F.col(c) for c in carried],
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
         F.col("embedding"),
     ).select(
-        id_col,
+        *carried,
         "sub",
         F.slice(
             F.transform("embedding", lambda v: v.cast("double")),
             F.col("sub") * width + 1,
             width,
         ).alias("subvec"),
+    )
+
+
+def _rank_adc(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query ADC top-k: (adc_e6 ASC, neighbor_id ASC) — the
+    integer-distance twin of _rank_topk, shared by pq_topk and the
+    IVF-PQ serving path."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_e6", "rank")
     )
 
 
@@ -750,7 +771,11 @@ def pq_codebooks(
 
     Returns (sub int, code int, centroid array<double> of dim/m).
     """
-    subv = _subvectors(embeddings, m)
+    # loop-invariant input + per-round centroids are checkpointed (the
+    # pinned iterative-loop rule): each Lloyd round consumes subv twice
+    # (assign + mean recompute) and cent twice — un-pinned, the corpus
+    # subvector explode and the previous rounds replay per consumer
+    subv = _subvectors(embeddings, m).localCheckpoint(eager=True)
     # seed table: n_codes * m rows — the windows below run on this
     # bounded table only, never the corpus
     w = Window.partitionBy("sub").orderBy("vec_id")
@@ -774,7 +799,7 @@ def pq_codebooks(
             .select(
                 "sub", "code", F.transform("pairs", lambda p: p["m"]).alias("centroid")
             )
-        )
+        ).localCheckpoint(eager=True)  # m*k tiny rows; two consumers next round
     return cent
 
 
@@ -838,14 +863,7 @@ def pq_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2p_e6").alias("adc_e6"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_e6").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_e6", "rank")
-    )
+    return _rank_adc(scored, k)
 
 
 def ivfpq_topk(
@@ -883,7 +901,11 @@ def ivfpq_topk(
     cent = kmeans_centroids_df(embeddings, n_cells, coarse_iters).localCheckpoint(
         eager=True
     )
-    assigned = assign_cells(embeddings, cent)  # (vec_id, cell)
+    # ids-only (vec_id, cell) — pinned so the corpus-wide coarse argmin
+    # fold runs ONCE, not once per consumer (residual build + codes join
+    # + every Lloyd rescan inside pq_codebooks); residuals stay lazy:
+    # re-deriving them is a scan + broadcast join + narrow map
+    assigned = assign_cells(embeddings, cent).localCheckpoint(eager=True)
     residuals = (
         assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(cent), "cell")
@@ -936,26 +958,16 @@ def _ivfpq_score(
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= n_probe)
     )
-    width = (F.size("q_res") / m).cast("int")
-    q_sub = q_probed.select(
+    q_res = q_probed.select(
         "query_id",
         "cell",
         F.zip_with(
             F.transform("q_emb", lambda v: v.cast("double")),
             "centroid",
             lambda x, y: x - y,
-        ).alias("q_res"),
-    ).select(
-        "query_id",
-        "cell",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col("q_res"),
-    ).select(
-        "query_id",
-        "cell",
-        "sub",
-        F.slice("q_res", F.col("sub") * width + 1, width).alias("subvec"),
+        ).alias("embedding"),
     )
+    q_sub = _subvectors(q_res, m, id_col="query_id", extra=("cell",))
     lut = q_sub.join(F.broadcast(cb), "sub").select(
         "query_id",
         "cell",
@@ -971,14 +983,7 @@ def _ivfpq_score(
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d2p_e6").alias("adc_e6"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_e6").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_e6", "rank")
-    )
+    return _rank_adc(scored, k)
 
 
 def ivfpq_index(
@@ -1033,7 +1038,8 @@ def ivfpq_index(
     )
     cent.write.mode("overwrite").parquet(f"{base}/centroids")
     cent_back = spark.read.parquet(f"{base}/centroids")
-    assigned = assign_cells(embeddings, cent_back)
+    # pinned for the same multi-consumer reason as in ivfpq_topk
+    assigned = assign_cells(embeddings, cent_back).localCheckpoint(eager=True)
     residuals = (
         assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(cent_back), "cell")

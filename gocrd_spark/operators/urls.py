@@ -755,12 +755,21 @@ def crawl_budgets(scores: DataFrame, budget: int) -> DataFrame:
     """
     b = int(budget)
     tot = scores.agg(F.sum("score").cast("long").alias("t"))
+    # t == 0 (every host scored zero) would THROW under ANSI integer
+    # division; define the degenerate apportionment instead: floors 0,
+    # remainders 0, so the cutoff path hands the R=budget leftovers to
+    # the first min(budget, n_hosts) hosts by name — deterministic, and
+    # exact-sum whenever budget <= n_hosts (documented contract)
     base = scores.crossJoin(F.broadcast(tot)).select(
         "host",
         F.col("score").cast("long").alias("score"),
-        F.expr(f"({b} * score) div t").alias("fl"),
-        F.expr(f"({b} * score) % t").alias("rem"),
-    )
+        F.when(F.col("t") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"({b} * score) div t"))
+        .alias("fl"),
+        F.when(F.col("t") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"({b} * score) % t"))
+        .alias("rem"),
+    ).localCheckpoint(eager=True)  # host-sized; three consumers below
     rtot = base.agg((F.lit(b) - F.sum("fl")).cast("long").alias("r"))
     hist = base.groupBy("rem").agg(F.count(F.lit(1)).cast("long").alias("c"))
     w = Window.orderBy(F.desc("rem"))  # distinct-remainder histogram only

@@ -3290,6 +3290,19 @@ class TestCrawlBudgets:
             got = crawl_budgets(scores, b).agg({"quota": "sum"}).collect()[0][0]
             assert got == b, (b, got)
 
+
+    def test_zero_score_total_degenerate_apportionment(self, spark):
+        # ANSI division guard: all-zero scores must not throw; the
+        # defined extension hands 1 unit to the first min(budget, n)
+        # hosts by name
+        from gocrd_spark.operators.urls import crawl_budgets
+
+        scores = spark.createDataFrame(
+            [("b", 0), ("a", 0), ("c", 0)], "host string, score long"
+        )
+        out = {r.host: r.quota for r in crawl_budgets(scores, 2).collect()}
+        assert out == {"a": 1, "b": 1, "c": 0}
+
     def test_no_global_window_over_hosts(self, spark):
         from gocrd_spark.operators.urls import crawl_budgets
 
