@@ -582,6 +582,19 @@ def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables(_reshape(spark, pages))
 
 
+def _q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation table (compose.py::filter_ablation):
+    per-rule drop counts for every Gopher flag, the C4 line gate, the
+    word-list flag, and the union 'any' row. The oracle is COMPOSED
+    from the three filters' own oracle SQL strings (derived tables), so
+    it cannot drift from what those queries already certify."""
+    from gocrd_spark.operators.compose import filter_ablation
+
+    return filter_ablation(
+        _docs(spark, sf_dir), ["vector", "slow", "nonexistentword"]
+    )
+
+
 def _q_extraction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction health table (pipeline.py::extraction_report) over
     the real extraction run: per error class (NULL = OK), page counts
@@ -2458,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budgets": _q_crawl_budgets,
         "dedup_report": _q_dedup_report,
         "extraction_report": _q_extraction_report,
+        "filter_ablation": _q_filter_ablation,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2515,7 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this session (never driver-verified)
         "perceptron_quality", "pq_codes", "pq_topk", "ann_topk_ivfpq",
         "html_tables", "jsonld_fields", "search_snippets", "crawl_budgets",
-        "dedup_report", "extraction_report",
+        "dedup_report", "extraction_report", "filter_ablation",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -2719,7 +2733,7 @@ def oracle_sql() -> dict[str, str]:
         return f"SELECT {cols} FROM read_parquet('{_tools_import().golden_path(name)}')"
 
     meta_golden = _tools_import().golden_path("page_metadata")
-    return {
+    d = {
         "extract_text": _golden("extract_text", "url, text, error"),
         "extraction_report": (
             "WITH g AS ("
@@ -4857,6 +4871,45 @@ def oracle_sql() -> dict[str, str]:
         **_multimodal_oracles(),
         **_linkgraph_oracles(),
     }
+    # composed diagnostics: built FROM the per-filter oracle strings
+    # above, so the ablation oracle can never drift from the filters'
+    gflags = [
+        "flag_word_count", "flag_mean_word_len", "flag_symbol_ratio",
+        "flag_bullet_lines", "flag_ellipsis_lines", "flag_alpha_words",
+        "flag_stopwords",
+    ]
+    fails = ",\n".join(
+        f"sum(1 - {f})::BIGINT AS {f}" for f in gflags
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT 'gopher:{f.removeprefix('flag_')}' AS rule, {f} AS n_fail, n FROM a"
+        for f in gflags
+    )
+    d["filter_ablation"] = f"""
+        WITH g AS ({d["gopher_rules"]}),
+        c AS ({d["c4_line_filter"]}),
+        w AS ({d["wordlist_flags"]}),
+        j AS (
+          SELECT g.doc_id, {", ".join("g." + f for f in gflags)},
+                 g.keep AS gk, c.keep AS ck, w.flagged AS wf
+          FROM g JOIN c USING (doc_id) JOIN w USING (doc_id)),
+        a AS (
+          SELECT count(*)::BIGINT AS n,
+                 {fails},
+                 sum(1 - gk)::BIGINT AS gall,
+                 sum(1 - ck)::BIGINT AS cfail,
+                 sum(wf)::BIGINT AS wfail,
+                 sum(CASE WHEN gk = 0 OR ck = 0 OR wf = 1 THEN 1 ELSE 0 END)::BIGINT AS anyf
+          FROM j)
+        SELECT rule, n_fail, (1000000 * n_fail) // n AS fail_ppm FROM (
+          {unions}
+          UNION ALL SELECT 'gopher:all', gall, n FROM a
+          UNION ALL SELECT 'c4:lines', cfail, n FROM a
+          UNION ALL SELECT 'wordlist', wfail, n FROM a
+          UNION ALL SELECT 'any', anyf, n FROM a
+        )
+    """
+    return d
 
 
 def _html_tables_oracle(n: int) -> str:

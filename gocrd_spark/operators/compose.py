@@ -299,3 +299,55 @@ def review_queue(
         .filter(F.col("pick_order") <= k)
         .select("url", "host", "tier", "lang", "pick_order")
     )
+
+
+def filter_ablation(docs: DataFrame, words: list[str]) -> DataFrame:
+    """Quality-filter ablation — the per-rule drop table a curation run
+    publishes before anyone trusts a pipeline's keep rate: for every
+    Gopher rule, the C4 line gate, and the word-list page flag, how
+    many docs fail it (and the combined 'any' row — the union drop).
+
+    One corpus-keyed 3-way join of (doc_id, flags) tables (ids + 0/1
+    longs only — text never joins), then a SINGLE-ROW aggregate
+    (map-side partial sums) unpivoted via stack. Exact integer ppm.
+    Returns (rule, n_fail, fail_ppm).
+    """
+    from .textstats import c4_line_filter, gopher_rules, wordlist_flags
+
+    gflags = [
+        "flag_word_count", "flag_mean_word_len", "flag_symbol_ratio",
+        "flag_bullet_lines", "flag_ellipsis_lines", "flag_alpha_words",
+        "flag_stopwords",
+    ]
+    g = gopher_rules(docs).select("doc_id", *gflags, F.col("keep").alias("_gk"))
+    c = c4_line_filter(docs).select("doc_id", F.col("keep").alias("_ck"))
+    w = wordlist_flags(docs, words)
+    j = g.join(c, "doc_id").join(w, "doc_id")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    aggs += [F.sum(1 - F.col(f)).cast("long").alias(f) for f in gflags]
+    aggs += [
+        F.sum(1 - F.col("_gk")).cast("long").alias("_gall"),
+        F.sum(1 - F.col("_ck")).cast("long").alias("_cfail"),
+        F.sum("flagged").cast("long").alias("_wfail"),
+        F.sum(
+            (
+                (F.col("_gk") == 0) | (F.col("_ck") == 0) | (F.col("flagged") == 1)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("_anyf"),
+    ]
+    a = j.agg(*aggs)
+    pairs = ", ".join(
+        [f"'gopher:{f.removeprefix('flag_')}', {f}" for f in gflags]
+        + ["'gopher:all', _gall", "'c4:lines', _cfail",
+           "'wordlist', _wfail", "'any', _anyf"]
+    )
+    n_rules = len(gflags) + 4
+    return a.selectExpr(
+        f"stack({n_rules}, {pairs}) as (rule, n_fail)", "_n"
+    ).select(
+        "rule",
+        F.col("n_fail").cast("long").alias("n_fail"),
+        F.expr("(1000000 * n_fail) div _n").alias("fail_ppm"),
+    )

@@ -288,3 +288,33 @@ class TestReviewQueue:
         a = sorted(r.url for r in review_queue(pages, k=3).collect())
         b = sorted(r.url for r in review_queue(pages, k=3).collect())
         assert a == b and len(a) == 3
+
+
+class TestFilterAblation:
+    def test_hand_counts_and_union_row(self, spark):
+        from gocrd_spark.operators.compose import filter_ablation
+
+        # doc 0: long clean prose (passes everything); doc 1: too short
+        # (gopher word_count fails -> gopher:all + any); doc 2: long
+        # prose containing the listed bad word (wordlist + any)
+        # lines end in terminal punctuation so the C4 line gate passes
+        line = ("the quick brown fox jumps over the lazy dog and keeps "
+                "running through the field with steady pace today.\n")
+        clean = line * 5
+        docs = spark.createDataFrame(
+            [
+                (0, clean),
+                (1, "too short"),  # gopher word_count + C4 (no period)
+                (2, clean + "and here is a badword inside this line.\n"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.rule: (r.n_fail, r.fail_ppm)
+               for r in filter_ablation(docs, ["badword"]).collect()}
+        assert got["gopher:word_count"] == (1, 333333)
+        assert got["gopher:all"][0] >= 1
+        assert got["wordlist"] == (1, 333333)
+        assert got["c4:lines"][0] == 1  # only the period-less doc
+        # union row covers the two failing docs exactly once each
+        assert got["any"][0] == 2
+        assert len(got) == 11
