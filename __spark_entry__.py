@@ -562,6 +562,17 @@ def _q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
 
 
+def _q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certification for the compressed index: |exact L2 top-10
+    ∩ IVF-PQ top-10| per query (similarity.py::ivfpq_recall). The
+    golden pins the MEASURED recall — a quantizer regression becomes a
+    hash mismatch, completing the MinHash/SimHash/containment cert
+    family for the ANN tier."""
+    from gocrd_spark.operators.similarity import ivfpq_recall
+
+    return ivfpq_recall(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
+
+
 def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-data mining: one row per <table> cell via the
     tag-soup-tolerant _TableParser kernel (htmlextract.py). Input pages
@@ -2465,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
         "ann_topk_ivfpq": _q_ann_topk_ivfpq,
+        "ivfpq_recall": _q_ivfpq_recall,
         "html_tables": _q_html_tables,
         "jsonld_fields": _q_jsonld_fields,
         "search_snippets": _q_search_snippets,
@@ -2528,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # new this session (never driver-verified)
         "perceptron_quality", "pq_codes", "pq_topk", "ann_topk_ivfpq",
+        "ivfpq_recall",
         "html_tables", "jsonld_fields", "search_snippets", "crawl_budgets",
         "dedup_report", "extraction_report", "filter_ablation",
         "inverted_postings", "bm25_search", "phrase_search",
@@ -4604,6 +4617,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivfpq": _ops_golden(
             "ann_topk_ivfpq", "query_id, neighbor_id, adc_e6, rank"
         ),
+        "ivfpq_recall": _ops_golden("ivfpq_recall", "query_id, k, n_found"),
         "image_phash": _ops_golden("image_phash", "id, phash"),
         "phash_near_dups": _ops_golden("phash_near_dups", "id_a, id_b, hamming"),
         # classifier inference re-derived end-to-end in SQL: same md5

@@ -1155,3 +1155,72 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def l2_topk_exact(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact squared-L2 top-k — the certification baseline for the PQ
+    family (ADC approximates THIS metric, not cosine). Same clearly-
+    named O(N·|Q|) regime as topk_bruteforce: queries broadcast, corpus
+    scans once. Distances fixed-pointed to 6dp BIGINTs with the
+    module's (distance, neighbor_id) tie-break, so ranking is
+    engine-portable. Returns (query_id, neighbor_id, d2_e6, rank)."""
+    queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dist2(F.col("q_emb"), F.col("c_emb")) * 1_000_000)
+            .cast("long")
+            .alias("adc_e6"),
+        )
+    )
+    return _rank_adc(scored, k).withColumnRenamed("adc_e6", "d2_e6")
+
+
+def ivfpq_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    coarse_iters: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """Recall certification for IVF-PQ — the honesty row the MinHash/
+    SimHash/containment certs already publish for their approximations:
+    how many of the exact L2 top-k does the compressed index actually
+    return? (query_id, k, n_found) per query; the driver golden pins
+    the MEASURED recall so a quantizer regression shows up as a hash
+    mismatch, not a silent quality drift."""
+    exact = l2_topk_exact(embeddings, query_ids, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivfpq_topk(
+        embeddings, query_ids, k, n_cells, n_probe, coarse_iters, m,
+        n_codes, pq_iters,
+    ).select("query_id", "neighbor_id")
+    found = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    )
+    qdf = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return qdf.join(found, "query_id", "left").select(
+        "query_id",
+        F.lit(int(k)).cast("long").alias("k"),
+        F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+    )

@@ -336,6 +336,7 @@ def build_operator_tables(
     pqc = tw.pq_codes(emb, m=8, n_codes=16, n_iters=2)
     pqt = tw.pq_topk(emb, qids, k=10, m=8, n_codes=16, n_iters=2)
     ivfpq = tw.topk_ivfpq(emb, qids, k=10)
+    ivfpq_rec = tw.ivfpq_recall(emb, qids, k=10)
 
     i64 = pa.int64()
 
@@ -414,6 +415,7 @@ def build_operator_tables(
         "pq_codes": _t(pqc, ["vec_id", "sub", "code"]),
         "pq_topk": _t(pqt, ["query_id", "neighbor_id", "adc_e6", "rank"]),
         "ann_topk_ivfpq": _t(ivfpq, ["query_id", "neighbor_id", "adc_e6", "rank"]),
+        "ivfpq_recall": _t(ivfpq_rec, ["query_id", "k", "n_found"]),
         "hll_distinct_terms": pa.table(
             {
                 "group": pa.array([r[0] for r in hll_rows], pa.string()),

@@ -937,3 +937,37 @@ def cms_heavy_hitters(
         ests.append((term, est, ex))
     ests.sort(key=lambda t: (-t[1], t[0]))
     return [(term, est, ex, rank) for rank, (term, est, ex) in enumerate(ests[:k], 1)]
+
+
+def l2_topk_exact(
+    emb: dict[int, list[float]], query_ids: list[int], k: int = 10
+) -> dict[int, list[int]]:
+    """Twin of similarity.l2_topk_exact: 6dp fixed-point squared L2,
+    (d2_e6, neighbor_id) ranking. Returns query_id -> neighbor list."""
+    out = {}
+    for q in query_ids:
+        scored = sorted(
+            (int(spark_round(_dist2(emb[q], emb[n]) * 1_000_000, 0)), n)
+            for n in sorted(emb)
+            if n != q
+        )
+        out[q] = [n for _, n in scored[:k]]
+    return out
+
+
+def ivfpq_recall(
+    emb: dict[int, list[float]],
+    query_ids: list[int],
+    k: int = 10,
+    **kw,
+) -> list[tuple[int, int, int]]:
+    """Twin of similarity.ivfpq_recall: |exact top-k ∩ ivfpq top-k|
+    per query. Returns (query_id, k, n_found) rows."""
+    exact = l2_topk_exact(emb, query_ids, k)
+    approx: dict[int, set] = {}
+    for q, nid, _adc, _rank in topk_ivfpq(emb, query_ids, k, **kw):
+        approx.setdefault(q, set()).add(nid)
+    return [
+        (q, k, len(set(exact[q]) & approx.get(q, set())))
+        for q in query_ids
+    ]
