@@ -494,6 +494,33 @@ def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_sitemaps(robots)
 
 
+def _q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-delay politeness table (robots.py::
+    robots_crawl_delays): host k's formula body plants k%4 cases —
+    no delay / a '*'-group delay of (k%5+1).5s / a delay scoped to a
+    DIFFERENT agent (NULL for '*') / a malformed value (NULL). The
+    Spark side genuinely parses group scoping; the oracle replays the
+    formula."""
+    from gocrd_spark.operators.robots import robots_crawl_delays
+
+    n = max(int(_sf_of(sf_dir) * 10_000), 10)
+    rows = []
+    for k in range(n):
+        body = "User-agent: googlebot\nDisallow: /private/\n"
+        m = k % 4
+        if m == 1:
+            body += f"\nUser-agent: *\nCrawl-delay: {k % 5}.5\nDisallow: /x\n"
+        elif m == 2:
+            body += "Crawl-delay: 9\n\nUser-agent: *\nDisallow: /y\n"
+        elif m == 3:
+            body += "\nUser-agent: *\nCrawl-delay: fast\nDisallow: /z\n"
+        else:
+            body += "\nUser-agent: *\nDisallow: /w\n"
+        rows.append((f"host{k}.example.com", body.encode()))
+    robots = spark.createDataFrame(rows, "host string, robots binary")
+    return robots_crawl_delays(_reshape(spark, robots))
+
+
 def _q_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-damage audit (textstats.py::mojibake_score) over
     documents with planted damage: doc_id%5==1 gets two classic
@@ -2484,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": _q_dedup_report,
         "extraction_report": _q_extraction_report,
         "filter_ablation": _q_filter_ablation,
+        "robots_crawl_delay": _q_robots_crawl_delay,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2543,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall",
         "html_tables", "jsonld_fields", "search_snippets", "crawl_budgets",
         "dedup_report", "extraction_report", "filter_ablation",
+        "robots_crawl_delay",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -5010,6 +5039,15 @@ def _linkgraph_oracles() -> dict[str, str]:
         "frontier_expand": _frontier_expand_oracle(n, max_hops=3),
         "html_tables": _html_tables_oracle(n),
         "jsonld_fields": _jsonld_oracle(n),
+        # crawl-delay formula replay: only the m==1 hosts carry a
+        # '*'-group delay ((k%5).5 s -> ms); other-agent-scoped and
+        # malformed values are NULL by construction
+        "robots_crawl_delay": f"""
+            SELECT 'host' || k || '.example.com' AS host,
+                   CASE WHEN k % 4 = 1 THEN (k % 5) * 1000 + 500 END::BIGINT
+                     AS crawl_delay_ms
+            FROM (SELECT range::BIGINT AS k FROM range({n}))
+        """,
         # apportionment over the pagerank oracle as a derived table;
         # global (rem DESC, host ASC) ranking is result-equivalent to
         # the operator's histogram-cutoff construction

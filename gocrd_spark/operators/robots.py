@@ -203,3 +203,83 @@ def robots_sitemaps(robots_by_host) -> "DataFrame":
         F.col("sitemap_idx").cast("long").alias("sitemap_idx"),
         "sitemap_url",
     )
+
+
+def crawl_delay(data: bytes, user_agent: str = "*"):
+    """Crawl-delay extraction (the de-facto extension most crawlers
+    honor; group-scoped like allow/disallow, unlike Sitemap): returns
+    the selected group's delay in integer MILLISECONDS, or None when
+    the UA's group (else the ``*`` group) carries none. The first
+    crawl-delay line in a group wins; non-numeric or negative values
+    are ignored (tolerant-parser contract, same as the rule parser)."""
+    delays: dict[str, int] = {}
+    current_agents: list[str] = []
+    in_group_header = True
+    text = data.decode("utf-8", "replace")
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_group_header:
+                current_agents = []
+                in_group_header = True
+            ua = value.lower()
+            if ua not in current_agents:
+                current_agents.append(ua)
+        elif field in ("allow", "disallow", "crawl-delay"):
+            in_group_header = False
+            if field == "crawl-delay" and current_agents:
+                try:
+                    sec = float(value)
+                except ValueError:
+                    continue
+                if sec < 0 or sec != sec or sec == float("inf"):
+                    continue
+                ms = int(round(sec * 1000))
+                for a in current_agents:
+                    delays.setdefault(a, ms)  # first line in group wins
+    ua = user_agent.lower()
+    if ua in delays:
+        return delays[ua]
+    return delays.get("*")
+
+
+def robots_crawl_delays(robots: "DataFrame", user_agent: str = "*") -> "DataFrame":
+    """Per-host politeness table: (host, crawl_delay_ms BIGINT or NULL)
+    from each host's robots bytes — the rate input a frontier scheduler
+    pairs with frontier_waves' concurrency bound. Arrow kernel with the
+    per-batch parsed cache (robots_filter's discipline); narrow map,
+    zero shuffle."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("crawl_delay_ms", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[bytes, object] = {}
+        for batch in batches:
+            out = {"host": [], "crawl_delay_ms": []}
+            for host, blob in zip(batch["host"], batch["robots"]):
+                ms = None
+                if blob is not None:
+                    blob = bytes(blob)
+                    if blob in cache:
+                        ms = cache[blob]
+                    else:
+                        ms = crawl_delay(blob, user_agent)
+                        cache[blob] = ms
+                out["host"].append(host)
+                out["crawl_delay_ms"].append(ms)
+            yield pd.DataFrame(out)
+
+    return robots.select("host", "robots").mapInPandas(gen, schema)

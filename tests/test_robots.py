@@ -188,3 +188,39 @@ class TestRobotsSitemaps:
             ("b.test", 0, "nope"),
             ("b.test", 1, "https://b.test/m.xml"),
         ]
+
+
+class TestCrawlDelay:
+    def test_group_scoping_and_tolerance(self):
+        from gocrd_spark.operators.robots import crawl_delay
+
+        body = (b"User-agent: googlebot\nCrawl-delay: 2\nDisallow: /p\n\n"
+                b"User-agent: *\nCrawl-delay: 1.5\nDisallow: /x\n")
+        assert crawl_delay(body) == 1500
+        assert crawl_delay(body, "GoogleBot") == 2000
+        # group-scoped: a delay in another agent's group is invisible
+        assert crawl_delay(b"User-agent: bot\nCrawl-delay: 3\n") is None
+        # first-in-group wins; malformed/negative ignored
+        assert crawl_delay(
+            b"User-agent: *\nCrawl-delay: 1\nCrawl-delay: 7\n"
+        ) == 1000
+        assert crawl_delay(b"User-agent: *\nCrawl-delay: fast\n") is None
+        assert crawl_delay(b"User-agent: *\nCrawl-delay: -2\n") is None
+        # shared group header: delay applies to every listed agent
+        assert crawl_delay(
+            b"User-agent: a\nUser-agent: *\nCrawl-delay: 4\n", "zzz"
+        ) == 4000
+
+    def test_dataframe_surface_and_null_robots(self, spark):
+        from gocrd_spark.operators.robots import robots_crawl_delays
+
+        df = spark.createDataFrame(
+            [
+                ("h0", bytearray(b"User-agent: *\nCrawl-delay: 0.25\n")),
+                ("h1", bytearray(b"User-agent: *\nDisallow: /\n")),
+                ("h2", None),
+            ],
+            "host string, robots binary",
+        )
+        got = {r.host: r.crawl_delay_ms for r in robots_crawl_delays(df).collect()}
+        assert got == {"h0": 250, "h1": None, "h2": None}
