@@ -497,7 +497,7 @@ def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl-delay politeness table (robots.py::
     robots_crawl_delays): host k's formula body plants k%4 cases —
-    no delay / a '*'-group delay of (k%5+1).5s / a delay scoped to a
+    no delay / a '*'-group delay of (k%5).5 s / a delay scoped to a
     DIFFERENT agent (NULL for '*') / a malformed value (NULL). The
     Spark side genuinely parses group scoping; the oracle replays the
     formula."""

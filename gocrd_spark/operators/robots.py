@@ -207,13 +207,19 @@ def robots_sitemaps(robots_by_host) -> "DataFrame":
 
 def crawl_delay(data: bytes, user_agent: str = "*"):
     """Crawl-delay extraction (the de-facto extension most crawlers
-    honor; group-scoped like allow/disallow, unlike Sitemap): returns
-    the selected group's delay in integer MILLISECONDS, or None when
-    the UA's group (else the ``*`` group) carries none. The first
-    crawl-delay line in a group wins; non-numeric or negative values
-    are ignored (tolerant-parser contract, same as the rule parser)."""
-    delays: dict[str, int] = {}
-    current_agents: list[str] = []
+    honor): returns the selected group's delay in integer MILLISECONDS,
+    or None when the UA's group(s) (else the ``*`` group(s)) carry
+    none. Group semantics MIRROR parse_robots exactly — crawl-delay is
+    a non-rule record, so (like Sitemap) it does NOT close an open
+    user-agent header: a delay line between two UA lines belongs to the
+    merged group both agents share, the same grouping robots_filter
+    certifies. Within a group the first valid line wins; non-numeric,
+    negative, non-finite, or int64-overflowing values are ignored
+    (tolerant-parser contract). UA selection follows parse_robots: if
+    the agent appears in ANY group, only its groups are consulted — no
+    silent fallback to ``*``."""
+    groups: list[dict] = []
+    cur: dict | None = None
     in_group_header = True
     text = data.decode("utf-8", "replace")
     for raw in text.splitlines():
@@ -224,28 +230,36 @@ def crawl_delay(data: bytes, user_agent: str = "*"):
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
-            if not in_group_header:
-                current_agents = []
+            if not in_group_header or cur is None:
+                cur = {"agents": [], "delay": None}
+                groups.append(cur)
                 in_group_header = True
             ua = value.lower()
-            if ua not in current_agents:
-                current_agents.append(ua)
-        elif field in ("allow", "disallow", "crawl-delay"):
+            if ua not in cur["agents"]:
+                cur["agents"].append(ua)
+        elif field in ("allow", "disallow"):
             in_group_header = False
-            if field == "crawl-delay" and current_agents:
-                try:
-                    sec = float(value)
-                except ValueError:
-                    continue
-                if sec < 0 or sec != sec or sec == float("inf"):
-                    continue
-                ms = int(round(sec * 1000))
-                for a in current_agents:
-                    delays.setdefault(a, ms)  # first line in group wins
+        elif field == "crawl-delay" and cur is not None:
+            # non-rule record: header stays open (parse_robots parity)
+            if cur["delay"] is not None:
+                continue
+            try:
+                sec = float(value)
+            except ValueError:
+                continue
+            if sec < 0 or sec != sec or sec == float("inf"):
+                continue
+            ms = int(round(sec * 1000))
+            if ms >= 1 << 62:  # would overflow the LongType column
+                continue
+            cur["delay"] = ms
     ua = user_agent.lower()
-    if ua in delays:
-        return delays[ua]
-    return delays.get("*")
+    has_ua = any(ua in g["agents"] for g in groups)
+    target = ua if has_ua else "*"
+    for g in groups:
+        if target in g["agents"] and g["delay"] is not None:
+            return g["delay"]
+    return None
 
 
 def robots_crawl_delays(robots: "DataFrame", user_agent: str = "*") -> "DataFrame":

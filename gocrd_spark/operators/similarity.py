@@ -1216,11 +1216,23 @@ def ivfpq_recall(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
     )
+    # the recall denominator is the ACHIEVABLE k: on a corpus smaller
+    # than k+1 the exact side has < k rows and emitting the requested k
+    # would systematically understate a perfect index
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_ne")
+    )
     qdf = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id")
     )
-    return qdf.join(found, "query_id", "left").select(
-        "query_id",
-        F.lit(int(k)).cast("long").alias("k"),
-        F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+    return (
+        qdf.join(n_exact, "query_id", "left")
+        .join(found, "query_id", "left")
+        .select(
+            "query_id",
+            F.least(F.lit(int(k)), F.coalesce("_ne", F.lit(0)))
+            .cast("long")
+            .alias("k"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+        )
     )

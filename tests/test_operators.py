@@ -3386,3 +3386,20 @@ class TestIvfPqIndex:
         with pytest.raises(ValueError, match="was built with"):
             ivfpq_index(emb, path, n_cells=16, coarse_iters=2, m=8,
                         n_codes=8, pq_iters=2)
+
+
+class TestIvfPqRecall:
+    def test_small_corpus_denominator_is_achievable_k(self, spark):
+        from gocrd_spark.operators.similarity import ivfpq_recall
+
+        rows = TestProductQuantization._emb_rows(n=7, dim=16)  # 8 vectors
+        df = spark.createDataFrame(
+            [(i, v) for i, v in rows.items()], "vec_id long, embedding array<float>"
+        )
+        out = ivfpq_recall(
+            df, [0], k=10, n_cells=2, n_probe=2, coarse_iters=1, m=4,
+            n_codes=2, pq_iters=1,
+        ).collect()[0]
+        # only 7 non-self neighbors exist: k reports 7, and probing ALL
+        # cells means every neighbor is found
+        assert out.k == 7 and out.n_found == 7

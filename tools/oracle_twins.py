@@ -968,6 +968,6 @@ def ivfpq_recall(
     for q, nid, _adc, _rank in topk_ivfpq(emb, query_ids, k, **kw):
         approx.setdefault(q, set()).add(nid)
     return [
-        (q, k, len(set(exact[q]) & approx.get(q, set())))
+        (q, min(k, len(exact[q])), len(set(exact[q]) & approx.get(q, set())))
         for q in query_ids
     ]
