@@ -494,6 +494,30 @@ def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_sitemaps(robots)
 
 
+def _q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings (textstats.py::embed_documents)
+    — the text->vector bridge: md5-bucket feature hashing with a sign
+    bit, exact BIGINT components, dense (doc_id, dim_idx, v) face. The
+    oracle replays the hashing spec in SQL."""
+    from gocrd_spark.operators.textstats import embed_documents
+
+    return embed_documents(_docs(spark, sf_dir), dim=64)
+
+
+def _q_text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text -> vector -> SEMANTIC dedup chain: hashed
+    document embeddings feed semdedup's k-means cells + within-cell
+    exact cosine (threshold 0.9) — the SemDeDup pipeline with the
+    sandbox's deterministic embedder. Golden = the independent twin
+    (twin embeddings -> twin rounded-mean Lloyd -> brute cosines ->
+    union-find), bit-exact."""
+    from gocrd_spark.operators.similarity import semdedup
+    from gocrd_spark.operators.textstats import embed_documents, embedding_vectors
+
+    vecs = embedding_vectors(embed_documents(_docs(spark, sf_dir), dim=64))
+    return semdedup(vecs, n_cells=16, n_iters=2, threshold=0.9)
+
+
 def _q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl-delay politeness table (robots.py::
     robots_crawl_delays): host k's formula body plants k%4 cases —
@@ -2512,6 +2536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_report": _q_extraction_report,
         "filter_ablation": _q_filter_ablation,
         "robots_crawl_delay": _q_robots_crawl_delay,
+        "hashed_embeddings": _q_hashed_embeddings,
+        "text_semdedup": _q_text_semdedup,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2571,7 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall",
         "html_tables", "jsonld_fields", "search_snippets", "crawl_budgets",
         "dedup_report", "extraction_report", "filter_ablation",
-        "robots_crawl_delay",
+        "robots_crawl_delay", "hashed_embeddings", "text_semdedup",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -4647,6 +4673,29 @@ def oracle_sql() -> dict[str, str]:
             "ann_topk_ivfpq", "query_id, neighbor_id, adc_e6, rank"
         ),
         "ivfpq_recall": _ops_golden("ivfpq_recall", "query_id, k, n_found"),
+        "text_semdedup": _ops_golden(
+            "text_semdedup", "vec_id, cell, canonical_id, keep"
+        ),
+        # hashing-trick embedding spec replayed in SQL: bucket =
+        # (md5_32 >> 1) mod 64, sign = low bit, dense grid via range()
+        "hashed_embeddings": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+            hh AS (SELECT doc_id, ('0x' || substring(md5(tk), 1, 8))::BIGINT AS h
+                   FROM tok),
+            contrib AS (
+              SELECT doc_id, (h // 2) % 64 AS dim_idx,
+                     sum(CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END)::BIGINT AS v
+              FROM hh GROUP BY 1, 2),
+            grid AS (SELECT doc_id, unnest(range(64))::BIGINT AS dim_idx
+                     FROM documents)
+            SELECT g.doc_id, g.dim_idx, coalesce(c.v, 0)::BIGINT AS v
+            FROM grid g LEFT JOIN contrib c USING (doc_id, dim_idx)
+        """,
         "image_phash": _ops_golden("image_phash", "id, phash"),
         "phash_near_dups": _ops_golden("phash_near_dups", "id_a, id_b, hamming"),
         # classifier inference re-derived end-to-end in SQL: same md5

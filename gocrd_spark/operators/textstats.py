@@ -1948,3 +1948,58 @@ def perceptron_quality(
     return m.select(
         "doc_id", "y", "margin", (F.col("margin") > 0).cast("long").alias("pred_pos")
     )
+
+
+def embed_documents(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """Deterministic hashing-trick document embeddings — the bridge
+    from the text tier to the vector tier without a model in the
+    sandbox: token t contributes sign(bit0(md5(t))) to dimension
+    (md5(t) >> 1) mod dim, summed over OCCURRENCES (the classic
+    feature-hashing embedding, Weinberger et al. 2009). Everything is
+    exact integer arithmetic reproducible from the spec in ANY engine.
+
+    Returns the oracle face: one row per (doc_id, dim_idx) with the
+    BIGINT component v (zero components included, so the shape is
+    dense and hash-stable). Use :func:`embedding_vectors` to fold into
+    the array<float> face the similarity operators consume.
+
+    Scale shape: explode + one (doc_id, dim_idx) partial-agg shuffle of
+    long triples; the dense grid is a bounded sequence() explode joined
+    by (doc_id, dim_idx) — no corpus text moves past the first map.
+    """
+    h = F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10).cast("long")
+    contrib = (
+        docs.select("doc_id", F.explode(_tokens(_norm_ws(F.col("text")))).alias("_t"))
+        .select(
+            "doc_id",
+            F.pmod(F.shiftright(h, 1), F.lit(dim)).alias("dim_idx"),
+            F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("_s"),
+        )
+        .groupBy("doc_id", "dim_idx")
+        .agg(F.sum("_s").cast("long").alias("v"))
+    )
+    grid = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("dim_idx")
+    )
+    return grid.join(contrib, ["doc_id", "dim_idx"], "left").select(
+        "doc_id",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.coalesce("v", F.lit(0)).cast("long").alias("v"),
+    )
+
+
+def embedding_vectors(components: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fold the exploded (id, dim_idx, v) face into (vec_id,
+    embedding array<float>) — the shape every similarity operator
+    consumes, so hashed document embeddings chain straight into
+    PQ/IVF/semdedup. One groupBy; dims assemble by index."""
+    return (
+        components.groupBy(F.col(id_col).alias("vec_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "v"))).alias("_p"))
+        .select(
+            "vec_id",
+            F.transform("_p", lambda p: p["v"].cast("float")).alias("embedding"),
+        )
+    )

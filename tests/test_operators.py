@@ -3403,3 +3403,41 @@ class TestIvfPqRecall:
         # only 7 non-self neighbors exist: k reports 7, and probing ALL
         # cells means every neighbor is found
         assert out.k == 7 and out.n_found == 7
+
+
+class TestHashedEmbeddings:
+    def test_components_match_hand_hash_and_grid_dense(self, spark):
+        import hashlib
+
+        from gocrd_spark.operators.textstats import embed_documents
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta alpha"), (1, "")], "doc_id long, text string"
+        )
+        got = {(r.doc_id, r.dim_idx): r.v
+               for r in embed_documents(docs, dim=8).collect()}
+        want = {(d, j): 0 for d in (0, 1) for j in range(8)}
+        for t, mult in (("alpha", 2), ("beta", 1)):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            want[(0, (h >> 1) % 8)] += (1 if h & 1 else -1) * mult
+        assert got == want  # dense grid: empty doc emits 8 zero rows
+
+    def test_vectors_face_chains_into_similarity(self, spark):
+        from gocrd_spark.operators.similarity import semdedup
+        from gocrd_spark.operators.textstats import (
+            embed_documents,
+            embedding_vectors,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"common words w{i % 4} here") for i in range(12)]
+            + [(100, "common words w0 here")],  # exact text dup of doc 0
+            "doc_id long, text string",
+        )
+        vecs = embedding_vectors(embed_documents(docs, dim=16))
+        assert len(vecs.first().embedding) == 16
+        out = {r.vec_id: r for r in semdedup(
+            vecs, n_cells=2, n_iters=1, threshold=0.99).collect()}
+        # identical text -> identical vector -> same cell, dup dropped
+        assert out[100].canonical_id == 0 and out[100].keep == 0
+        assert out[0].keep == 1

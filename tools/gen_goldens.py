@@ -337,6 +337,8 @@ def build_operator_tables(
     pqt = tw.pq_topk(emb, qids, k=10, m=8, n_codes=16, n_iters=2)
     ivfpq = tw.topk_ivfpq(emb, qids, k=10)
     ivfpq_rec = tw.ivfpq_recall(emb, qids, k=10)
+    hdocs = tw.hashed_doc_embeddings(docs, dim=64)
+    tsem = tw.semdedup_keep(hdocs, n_cells=16, n_iters=2, threshold=0.9)
 
     i64 = pa.int64()
 
@@ -416,6 +418,7 @@ def build_operator_tables(
         "pq_topk": _t(pqt, ["query_id", "neighbor_id", "adc_e6", "rank"]),
         "ann_topk_ivfpq": _t(ivfpq, ["query_id", "neighbor_id", "adc_e6", "rank"]),
         "ivfpq_recall": _t(ivfpq_rec, ["query_id", "k", "n_found"]),
+        "text_semdedup": _t(tsem, ["vec_id", "cell", "canonical_id", "keep"]),
         "hll_distinct_terms": pa.table(
             {
                 "group": pa.array([r[0] for r in hll_rows], pa.string()),

@@ -971,3 +971,23 @@ def ivfpq_recall(
         (q, min(k, len(exact[q])), len(set(exact[q]) & approx.get(q, set())))
         for q in query_ids
     ]
+
+
+def hashed_doc_embeddings(
+    docs: list[tuple[int, str]], dim: int = 64
+) -> dict[int, list[float]]:
+    """Twin of textstats.embed_documents (dense face, as vectors):
+    md5-bucket feature hashing with a sign bit, summed over token
+    occurrences — exact small ints, so float32 holds them exactly."""
+    import hashlib
+
+    out: dict[int, list[float]] = {}
+    for doc_id, text in docs:
+        v = [0] * dim
+        for t in norm_text(text).split(" "):
+            if not t:
+                continue
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            v[(h >> 1) % dim] += 1 if h & 1 else -1
+        out[doc_id] = [float(x) for x in v]
+    return out
