@@ -494,6 +494,18 @@ def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_sitemaps(robots)
 
 
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard integrity manifest over the materialized shards
+    (textstats.py::shard_manifest): per-shard counts + byte length +
+    md5 digest of the exact trainer input text. The oracle recomputes
+    the digests over ITS OWN independently reconstructed shard text
+    (single-node cumsum + ordered string_agg), so a one-byte drift in
+    packing or concatenation flips the hash."""
+    from gocrd_spark.operators.textstats import materialize_shards, shard_manifest
+
+    return shard_manifest(materialize_shards(_docs(spark, sf_dir)))
+
+
 def _q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document embeddings (textstats.py::embed_documents)
     — the text->vector bridge: md5-bucket feature hashing with a sign
@@ -2538,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_crawl_delay": _q_robots_crawl_delay,
         "hashed_embeddings": _q_hashed_embeddings,
         "text_semdedup": _q_text_semdedup,
+        "shard_manifest": _q_shard_manifest,
         "dataset_card": _q_dataset_card,
         "inlink_summary": _q_inlink_summary,
         "mojibake_score": _q_mojibake_score,
@@ -2598,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables", "jsonld_fields", "search_snippets", "crawl_budgets",
         "dedup_report", "extraction_report", "filter_ablation",
         "robots_crawl_delay", "hashed_embeddings", "text_semdedup",
+        "shard_manifest",
         "inverted_postings", "bm25_search", "phrase_search",
         "boolean_search", "review_queue",
         "hll_distinct_terms", "cms_heavy_hitters", "mojibake_repair",
@@ -4026,6 +4040,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_tokens)::BIGINT AS n_tokens,
                    string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS shard_text
             FROM s GROUP BY shard_id
+        """,
+        "shard_manifest": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, text, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM t),
+            s AS (
+              SELECT doc_id, text, n_tokens,
+                     CAST(floor(cum_before / 2048.0) AS BIGINT) AS shard_id
+              FROM c),
+            sh AS (
+              SELECT shard_id, count(*)::BIGINT AS n_docs,
+                     sum(n_tokens)::BIGINT AS n_tokens,
+                     string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS shard_text
+              FROM s GROUP BY shard_id)
+            SELECT shard_id, n_docs, n_tokens,
+                   strlen(shard_text)::BIGINT AS n_bytes,
+                   md5(shard_text) AS digest
+            FROM sh
         """,
         "pii_scrub": r"""
             WITH t AS (

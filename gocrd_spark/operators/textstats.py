@@ -2003,3 +2003,19 @@ def embedding_vectors(components: DataFrame, id_col: str = "doc_id") -> DataFram
             F.transform("_p", lambda p: p["v"].cast("float")).alias("embedding"),
         )
     )
+
+
+def shard_manifest(shards: DataFrame) -> DataFrame:
+    """Shard integrity manifest — the checksum table a training job
+    verifies BEFORE reading shards (and a transfer re-verifies after):
+    per shard, the doc/token counts plus byte length and md5 of the
+    exact shard text. Pure narrow map over the materialized shards
+    (md5 computed where the text already lives — nothing shuffles).
+    Returns (shard_id, n_docs, n_tokens, n_bytes, digest)."""
+    return shards.select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        F.octet_length("shard_text").cast("long").alias("n_bytes"),
+        F.md5(F.col("shard_text").cast("binary")).alias("digest"),
+    )

@@ -3441,3 +3441,31 @@ class TestHashedEmbeddings:
         # identical text -> identical vector -> same cell, dup dropped
         assert out[100].canonical_id == 0 and out[100].keep == 0
         assert out[0].keep == 1
+
+
+class TestShardManifest:
+    def test_digest_is_md5_of_exact_shard_text(self, spark):
+        import hashlib
+
+        from gocrd_spark.operators.textstats import (
+            materialize_shards,
+            shard_manifest,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} " * 5) for i in range(6)], "doc_id long, text string"
+        )
+        shards = materialize_shards(docs, budget_tokens=10, bucket_size=4)
+        want = {
+            r.shard_id: (
+                r.n_docs,
+                len(r.shard_text.encode()),
+                hashlib.md5(r.shard_text.encode()).hexdigest(),
+            )
+            for r in shards.collect()
+        }
+        got = {
+            r.shard_id: (r.n_docs, r.n_bytes, r.digest)
+            for r in shard_manifest(shards).collect()
+        }
+        assert got == want and len(got) >= 2
