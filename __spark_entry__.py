@@ -794,14 +794,15 @@ def _q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from gocrd_spark.operators.dedup import (
+        _pairs_from_banded,
         _register_persisted,
+        band_hash64,
         simhash64,
-        simhash_near_dups,
     )
 
     docs = _docs(spark, sf_dir)
-    # bounded module registry (unpersists the previous invocation's
-    # table) — a bare persist() would pin blocks for the whole sweep
+    # bounded module registry (unpersists old entries beyond the cap)
+    # — a bare persist() would pin blocks for the whole sweep
     sigs = _register_persisted(simhash64(docs, n=2).persist())
     exact = (
         sigs.alias("a")
@@ -816,7 +817,13 @@ def _q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
-    banded = simhash_near_dups(docs, n=2, max_hamming=3).select(
+    # banded pairs DERIVED from the same persisted signature table
+    # (band_hash64 + _pairs_from_banded IS simhash_near_dups' pipeline
+    # after simhash64): byte-identical pairs, but the expensive
+    # shingle+bit-vote signature stage runs ONCE for both the exact and
+    # the banded side instead of once each — and the former second
+    # persist no longer evicts ``sigs`` from the registry mid-query.
+    banded = _pairs_from_banded(band_hash64(sigs, 3), 3, 10_000).select(
         "doc_a", "doc_b", F.lit(1).alias("_hit")
     )
     return exact.join(banded, ["doc_a", "doc_b"], "left").select(
@@ -2597,15 +2604,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "length_quantiles": _q_length_quantiles,
     }
-    # Priority order for the driver's 50-row window (round 5): the 39
-    # queries with NO green driver row in any round (multimodal trio +
-    # every round-5 addition), then the r04-green queries whose
-    # implementation churned this round (batched BPE, containment
-    # shingle-set change, adaptive pointer jumping, star valve,
-    # linkgraph anchor capture), then two round-3-green rotations.
-    # Everything else keeps its thematic literal order behind them.
+    # Priority order for the driver's 50-row window (round 6): the 24
+    # queries that have never received a driver-recorded green row (they
+    # sat at slots 51+ of the r05 window — VERDICT r05 "What's missing"
+    # #1) go FIRST, so after this round every one of the 142 queries has
+    # a driver-recorded green somewhere. The r05-verified queries follow
+    # in their previous order; everything else keeps its thematic
+    # literal order behind them.
     window = [
-        # new this session (never driver-verified)
+        # never driver-verified (r05 slots 51-74) — drain the backlog
+        "feed_items", "sitemap_urls", "fetch_priority",
+        "containment_candidates_recall", "dsir_weights", "dsir_select",
+        "bloom_unprocessed", "events_window_stream", "cdx_fetch_plan",
+        "pack_sequences", "charset_decode", "mixture_plan",
+        "simhash_recall", "chunk_documents", "frontier_waves",
+        "quantize_embeddings", "dataset_card", "inlink_summary",
+        "mojibake_score", "robots_sitemaps", "hard_negatives",
+        "mirror_hosts", "host_trustrank", "grouped_split",
+        # r05 driver-green, previous window order
         "perceptron_quality", "pq_codes", "pq_topk", "ann_topk_ivfpq",
         "ivfpq_recall",
         "html_tables", "jsonld_fields", "search_snippets", "crawl_budgets",
@@ -2624,14 +2640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob", "source_overlap", "crawl_plan", "page_metadata",
         "canonical_dedup", "perplexity_buckets", "recrawl_schedule",
         "host_boilerplate", "crawl_traps", "redirect_resolve",
-        "feed_items", "sitemap_urls", "fetch_priority",
-        "containment_candidates_recall", "dsir_weights", "dsir_select",
-        "bloom_unprocessed", "events_window_stream", "cdx_fetch_plan",
-        "pack_sequences", "charset_decode", "mixture_plan",
-        "simhash_recall", "chunk_documents", "frontier_waves",
-        "quantize_embeddings", "dataset_card", "inlink_summary",
-        "mojibake_score", "robots_sitemaps", "hard_negatives",
-        "mirror_hosts", "host_trustrank", "grouped_split",
         # churned r04-greens
         "bpe_merges", "bpe_vocab", "bpe_encode", "token_stats_bpe",
         "containment_pairs", "dedup_clusters", "minhash_near_dups",

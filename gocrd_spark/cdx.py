@@ -232,42 +232,48 @@ def fetch_planned_pages(plan: DataFrame, base_dir: str) -> DataFrame:
             cur_file.seek(offset)
             return cur_file.read(length)
 
-        for batch in batches:
-            out = {
-                "urlkey": [],
-                "url": [],
-                "warc_ts": [],
-                "html": [],
-                "error": [],
-            }
-            for _, r in batch.iterrows():
-                urlkey, url = r["urlkey"], r["url"]
-                html, ts, err = None, pd.Timestamp("1970-01-01"), None
-                try:
-                    blob = read_range(
-                        r["filename"], int(r["offset"]), int(r["length"])
-                    )
-                    recs = parse_warc(blob)  # gunzips members itself
-                    if len(recs) != 1:
-                        raise ValueError(
-                            f"range holds {len(recs)} records, expected 1"
+        try:
+            for batch in batches:
+                out = {
+                    "urlkey": [],
+                    "url": [],
+                    "warc_ts": [],
+                    "html": [],
+                    "error": [],
+                }
+                for _, r in batch.iterrows():
+                    urlkey, url = r["urlkey"], r["url"]
+                    html, ts, err = None, pd.Timestamp("1970-01-01"), None
+                    try:
+                        blob = read_range(
+                            r["filename"], int(r["offset"]), int(r["length"])
                         )
-                    rec = recs[0]
-                    ts, ts_err = _warc_ts(rec["headers"].get("warc-date", ""))
-                    html = http_body(rec["payload"])
-                    rec_url = rec["headers"].get("warc-target-uri", "")
-                    if rec_url and rec_url != url:
-                        err = f"index url != record url: {rec_url!r}"
-                    elif ts_err:
-                        err = ts_err
-                except Exception as exc:  # one bad range = one error row
-                    err = f"{type(exc).__name__}: {exc}"
-                out["urlkey"].append(urlkey)
-                out["url"].append(url)
-                out["warc_ts"].append(ts)
-                out["html"].append(html)
-                out["error"].append(err)
-            yield pd.DataFrame(out)
+                        recs = parse_warc(blob)  # gunzips members itself
+                        if len(recs) != 1:
+                            raise ValueError(
+                                f"range holds {len(recs)} records, expected 1"
+                            )
+                        rec = recs[0]
+                        ts, ts_err = _warc_ts(rec["headers"].get("warc-date", ""))
+                        html = http_body(rec["payload"])
+                        rec_url = rec["headers"].get("warc-target-uri", "")
+                        if rec_url and rec_url != url:
+                            err = f"index url != record url: {rec_url!r}"
+                        elif ts_err:
+                            err = ts_err
+                    except Exception as exc:  # one bad range = one error row
+                        err = f"{type(exc).__name__}: {exc}"
+                    out["urlkey"].append(urlkey)
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["html"].append(html)
+                    out["error"].append(err)
+                yield pd.DataFrame(out)
+        finally:
+            # the last opened handle outlives the filename-switch close
+            # path — release it at generator exit, not at GC
+            if cur_file is not None:
+                cur_file.close()
 
     return (
         plan.select("urlkey", "url", "filename", "offset", "length")

@@ -35,32 +35,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-# Previous simhash invocation's persisted signature table — unpersisted
-# by the next invocation so a long session holds at most one cache entry.
-# Lock-guarded (concurrent driver threads must not pop each other's entry
-# mid-swap). Assumption, documented: a caller EXECUTES each
-# simhash_near_dups result before building the next one — building two
-# lazily and executing the first afterwards recomputes (correctly but
-# slowly), because the second call has already unpersisted the first's
-# signature table. Job-scale pipelines should use the durable
-# simhash_signatures() table instead, which has no such coupling.
+# Recent invocations' persisted signature/shingle tables — a BOUNDED
+# FIFO (at most _SIG_DEPTH pinned tables): one query may legitimately
+# pin several stages at once (e.g. minhash_lsh pins the shingle table
+# AND the banded bucket table; simhash_recall pins signatures while
+# simhash_near_dups pins its banded chunks), so a single-entry registry
+# would evict a table the SAME query still needs mid-execution — the
+# blocks get dropped and silently recomputed (correct but slow; this
+# exact hazard was measured on simhash_recall). Beyond the depth cap,
+# oldest entries unpersist, so a long session's storage stays bounded.
+# Lock-guarded (concurrent driver threads must not pop each other's
+# entry mid-swap). Assumption, documented: a caller EXECUTES each
+# result before building _SIG_DEPTH more — job-scale pipelines should
+# use the durable simhash_signatures() table, which has no coupling.
 _SIG_CACHE: list = []
+_SIG_DEPTH = 4
 _SIG_LOCK = threading.Lock()
 
 
 def _register_persisted(df: DataFrame) -> DataFrame:
-    """Swap ``df`` into the bounded one-entry signature cache: unpersist
-    every previous entry, pin this one. Every persist() in this module's
-    query paths goes through here (simhash_near_dups AND the two
-    incremental modes), so a long session running daily increments keeps
-    the documented at-most-one-pinned-table invariant."""
+    """Swap ``df`` into the bounded signature cache: pin this entry,
+    unpersist the oldest beyond ``_SIG_DEPTH``. Every persist() in this
+    module's query paths goes through here (simhash/minhash session
+    paths AND the incremental modes), so a long session running many
+    dedup queries keeps the documented bounded-pins invariant."""
     with _SIG_LOCK:
-        while _SIG_CACHE:
+        _SIG_CACHE.append(df)
+        while len(_SIG_CACHE) > _SIG_DEPTH:
             try:
-                _SIG_CACHE.pop().unpersist(blocking=False)
+                _SIG_CACHE.pop(0).unpersist(blocking=False)
             except Exception:
                 pass  # session gone / already unpersisted
-        _SIG_CACHE.append(df)
     return df
 
 
@@ -111,7 +116,11 @@ def shingle_docs(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def verify_jaccard_pairs(
-    docs: DataFrame, candidates: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    candidates: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over an explicit candidate-pair set
     (doc_a, doc_b): joins each side's shingle array and intersects —
@@ -125,12 +134,21 @@ def verify_jaccard_pairs(
     within one pair's union — ~|union|²/2^65 per pair), matching the
     suite-wide convention (MinHash, SimHash, winnowing are already
     xxhash64-keyed); the e2e values still equal the string-exact DuckDB
-    oracle at the driver scale."""
-    sh = shingle_docs(docs, n).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("shingles"),
+    oracle at the driver scale.
+
+    ``shingles``: an already-computed (ideally pinned) shingle_docs
+    table to reuse — minhash_lsh shares ONE shingle pass between
+    candidate generation and this verify stage. The hashed per-doc
+    arrays feed BOTH join sides, so they are pinned here regardless:
+    un-pinned, the tokenize+shingle chain replays once per side."""
+    base = shingles if shingles is not None else shingle_docs(docs, n)
+    sh = _register_persisted(
+        base.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("shingles"),
+        ).persist()
     )
     return (
         candidates.select("doc_a", "doc_b")
@@ -180,7 +198,13 @@ def ngram_jaccard_pairs(
     if candidates is not None:
         return verify_jaccard_pairs(docs, candidates, n, threshold)
     sh = shingle_docs(docs, n).withColumn("n_sh", F.size("shingles"))
-    exploded = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    # both co-occurrence sides consume the exploded table — pinned so
+    # tokenize+shingle runs once, not per side
+    exploded = _register_persisted(
+        sh.select(
+            "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+        ).persist()
+    )
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
     )
@@ -228,11 +252,13 @@ def containment_pairs(
     or a rare-shingle candidate join; exact mode is the certification
     path the driver oracle pins."""
     if candidates is not None:
-        sh = shingle_docs(docs, n).select(
-            "doc_id",
-            F.array_distinct(
-                F.transform("shingles", lambda s: F.xxhash64(s))
-            ).alias("shingles"),
+        sh = _register_persisted(
+            shingle_docs(docs, n).select(
+                "doc_id",
+                F.array_distinct(
+                    F.transform("shingles", lambda s: F.xxhash64(s))
+                ).alias("shingles"),
+            ).persist()
         )
         both = (
             candidates.select("doc_a", "doc_b")
@@ -263,8 +289,12 @@ def containment_pairs(
                 F.transform("shingles", lambda s: F.xxhash64(s))
             ).alias("shingles"),
         ).withColumn("n_sh", F.size("shingles"))
-        exploded = sh.select(
-            "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+        # both co-occurrence sides consume the exploded shingle table —
+        # pinned so tokenize+shingle+hash runs once, not per side
+        exploded = _register_persisted(
+            sh.select(
+                "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+            ).persist()
         )
         a = exploded.select(
             F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
@@ -278,6 +308,9 @@ def containment_pairs(
             .groupBy("doc_a", "doc_b", "na", "nb")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
+    # fwd and rev are two consumers of the whole verify/co-occurrence
+    # chain — pinned (lazily) so it executes once, not per direction
+    both = both.localCheckpoint(eager=False)
     fwd = both.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("other_id"),
@@ -334,8 +367,12 @@ def containment_candidates(
     """
     from pyspark.sql import Window
 
-    ex = shingle_docs(docs, n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    # three consumers (df table, rare-selection join, posting join) —
+    # pinned so tokenize+shingle+explode runs once, not per consumer
+    ex = _register_persisted(
+        shingle_docs(docs, n)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .persist()
     )
     # shingles are distinct per doc (shingle_docs), so count(*) IS the
     # document frequency
@@ -360,11 +397,17 @@ def containment_candidates(
     )
 
 
-def minhash_signature(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+def minhash_signature(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """MinHash signature per document: for permutation i, the min of
     xxhash64(shingle, seed=i) over the shingle set. Pure built-ins —
-    array_min over a transform — no UDF, fully codegen'd."""
-    sh = shingle_docs(docs, n)
+    array_min over a transform — no UDF, fully codegen'd.
+    ``shingles``: reuse an already-computed shingle_docs table."""
+    sh = shingles if shingles is not None else shingle_docs(docs, n)
 
     # NB: a plain `lambda s, i=i: ...` would NOT work here — pyspark infers
     # the lambda-variable count from the function arity, so a defaulted
@@ -385,6 +428,7 @@ def minhash_candidates(
     bands: int = 8,
     allow_quadratic: bool = False,
     star_bucket: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: signature split into ``bands`` bands
     of ``num_hashes/bands`` rows; bucket key = xxhash64 of the band
@@ -416,9 +460,18 @@ def minhash_candidates(
     (mutually near-identical, and the only way a bucket gets that big)
     but a semantics change for PAIR-level consumers, hence opt-in
     (default None = exact candidate set; the driver's
-    minhash_near_dups oracle equality requires it)."""
+    minhash_near_dups oracle equality requires it).
+
+    ``shingles``: reuse an already-computed shingle_docs table (see
+    minhash_lsh, which shares one shingle pass with the verify stage).
+    The banded bucket table is pinned here: both self-join sides (and
+    the bucket-size pass when the star valve is on) consume it, and
+    un-pinned the 32-hash signature fold — the expensive stage —
+    replays once per consumer."""
     _guard_banding(num_hashes, bands, allow_quadratic)
-    bands_df = _minhash_banded(docs, n, num_hashes, bands)
+    bands_df = _register_persisted(
+        _minhash_banded(docs, n, num_hashes, bands, shingles=shingles).persist()
+    )
     if star_bucket is not None:
         sizes = bands_df.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_sz"), F.min("doc_id").alias("_hub")
@@ -472,13 +525,17 @@ def _guard_banding(num_hashes: int, bands: int, allow_quadratic: bool) -> None:
 
 
 def _minhash_banded(
-    docs: DataFrame, n: int, num_hashes: int, bands: int
+    docs: DataFrame,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash bucket rows (doc_id, band, bucket) — the join key
     table minhash_candidates buckets on, and the durable payload
     minhash_signatures materializes."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(docs, n, num_hashes)
+    sig = minhash_signature(docs, n, num_hashes, shingles=shingles)
     return sig.select(
         "doc_id",
         F.explode(
@@ -542,6 +599,12 @@ def minhash_lsh(
     valve (both documented on minhash_candidates).
 
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    Each stage pins its own multiply-consumed table (the banded bucket
+    rows in minhash_candidates, the hashed shingle arrays in
+    verify_jaccard_pairs); a shared pinned shingle_docs STRING table
+    was tried and measured slower — the string-array cache write costs
+    more than the one tokenize pass it saves.
     """
     cand = minhash_candidates(
         docs, n, num_hashes, bands, allow_quadratic, star_bucket
@@ -603,14 +666,21 @@ def connected_components(
     overhead; a component still unconverged by then is the deep-chain
     shape the jump exists for. 0 = always jump.
     """
-    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     # every round's join/groupBy shuffles ONLY (long, long) id/label
     # rows — the pair table, not the corpus; pre-partitioning sym was
     # tried and AQE's ENSURE_REQUIREMENTS re-exchanges anyway (and
-    # localCheckpoint's ExistingRDD scan drops outputPartitioning)
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    # localCheckpoint's ExistingRDD scan drops outputPartitioning).
+    # Both edge directions come from ONE explode over ONE scan of
+    # ``pairs`` — the former self-union computed the (potentially
+    # expensive: LSH + exact-verify) pair lineage once per branch.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v").localCheckpoint(eager=False)
     labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("nbr_min"))
@@ -785,27 +855,32 @@ def fuzzy_contamination(
     Returns (doc_id, benchmark_id, jaccard_e6 BIGINT).
     """
     _guard_banding(num_hashes, bands, allow_quadratic)
-    bench_bands = _minhash_banded(benchmarks, n, num_hashes, bands).select(
-        F.col("doc_id").alias("benchmark_id"), "band", "bucket"
-    )
+    # ONE pinned shingle pass per side: the banded-signature stage and
+    # the exact-verify stage otherwise each re-tokenize + re-shingle
+    # their input (the corpus twice — the dominant cost here)
+    sh_docs = _register_persisted(shingle_docs(docs, n).persist())
+    sh_bench = _register_persisted(shingle_docs(benchmarks, n).persist())
+    bench_bands = _minhash_banded(
+        benchmarks, n, num_hashes, bands, shingles=sh_bench
+    ).select(F.col("doc_id").alias("benchmark_id"), "band", "bucket")
     cand = (
-        _minhash_banded(docs, n, num_hashes, bands)
+        _minhash_banded(docs, n, num_hashes, bands, shingles=sh_docs)
         .join(F.broadcast(bench_bands), ["band", "bucket"])
         .filter(F.col("doc_id") != F.col("benchmark_id"))
         .select("doc_id", "benchmark_id")
         .distinct()
     )
 
-    def _hashed_sh(d: DataFrame) -> DataFrame:
-        return shingle_docs(d, n).select(
+    def _hashed_sh(sh: DataFrame) -> DataFrame:
+        return sh.select(
             "doc_id",
             F.array_distinct(
                 F.transform("shingles", lambda s: F.xxhash64(s))
             ).alias("sh"),
         )
 
-    corp = _hashed_sh(docs).join(F.broadcast(cand), "doc_id")
-    bench = _hashed_sh(benchmarks).select(
+    corp = _hashed_sh(sh_docs).join(F.broadcast(cand), "doc_id")
+    bench = _hashed_sh(sh_bench).select(
         F.col("doc_id").alias("benchmark_id"), F.col("sh").alias("sh_b")
     )
     j = (

@@ -124,9 +124,13 @@ def corpus_queries(docs: DataFrame, n_terms: int = 8, text_col: str = "text") ->
             F.row_number().over(Window.orderBy(F.desc("df"), F.asc("term"))) - 1
         ).alias("rn"),
     )
+    # n_terms tiny rows behind a FULL corpus tokenize+distinct chain,
+    # and every consumer (bm25 ranking + the snippet position join, or
+    # either side of a broadcast) re-executes that chain — pin the
+    # result so the corpus pass runs once per query, not per consumer.
     return ranked.select(
         (F.col("rn") % half).cast("long").alias("query_id"), "term"
-    )
+    ).localCheckpoint(eager=True)
 
 
 def bm25_topk(

@@ -180,10 +180,21 @@ def topk_lsh(
     1-(1-p^n_planes)^n_tables; candidate volume ~ n_tables * N / 2^n_planes
     per query. Measured against topk_bruteforce in tests.
     """
-    bucketed = _union_lsh_tables(embeddings, dim, n_planes, n_tables, seed)
+    # The bucket table is pinned (lazily): the query filter and the
+    # corpus side both consume it, and un-pinned the sign fold — the
+    # expensive stage — replays per consumer. Per-vector norms ride
+    # along so the rerank's cosine does one dot per pair instead of
+    # dot + two norm folds (dot/(qn*cn) is the identical IEEE
+    # expression cosine() evaluates — bit-equal).
+    bucketed = (
+        _union_lsh_tables(embeddings, dim, n_planes, n_tables, seed)
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .localCheckpoint(eager=False)
+    )
     queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("qn"),
         F.col("table"),
         F.col("bucket"),
     )
@@ -193,19 +204,23 @@ def topk_lsh(
             bucketed.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("c_emb"),
+                F.col("nrm").alias("cn"),
                 "table",
                 "bucket",
             ),
             ["table", "bucket"],
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .select("query_id", "q_emb", "qn", "neighbor_id", "c_emb", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("qn") * F.col("cn")),
+            9,
+        ).alias("cos"),
     )
     return _rank_topk(scored, k)
 
@@ -240,19 +255,32 @@ def embedding_near_dups_lsh(
     """Embedding-cosine near-dup at scale: multi-table hyperplane LSH
     candidate pairs (same bucket in any table), exact-cosine verified.
     Shuffles only (table, bucket, id, vector) tuples — never N² pairs."""
-    bucketed = _union_lsh_tables(embeddings, dim, n_planes, n_tables, seed)
+    # The bucket table is pinned (lazily): both self-join sides consume
+    # it, and un-pinned the sign fold — the expensive stage — replays
+    # per side. Per-vector norms ride along so each verified pair does
+    # one dot fold instead of dot + two norm folds (dot/(na*nb) is the
+    # identical IEEE expression cosine() evaluates — bit-equal).
+    bucketed = (
+        _union_lsh_tables(embeddings, dim, n_planes, n_tables, seed)
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .localCheckpoint(eager=False)
+    )
     x = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "table", "bucket"
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"), "table", "bucket",
     )
     y = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "table", "bucket"
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"), "table", "bucket",
     )
     cand = (
         x.join(y, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return cand.select(
         "id_a", "id_b", F.round(cos * 1_000_000).cast("long").alias("cos_e6")
     ).filter(F.col("cos_e6") >= int(threshold * 1_000_000))
@@ -312,6 +340,15 @@ def kmeans_centroids_df(
     assignment is stable across engines/aggregation orders (the oracle
     twin recomputes the same rounded values).
     Returns (cell int, centroid array<double>).
+
+    Callers should pass an already-materialized (localCheckpoint'ed)
+    ``embeddings`` table: each Lloyd round consumes it twice (assign +
+    mean recompute) and the seed scan once more — un-pinned, an
+    expensive upstream chain (e.g. text -> hashed embeddings) replays
+    per consumer (the pinned iterative-loop rule; pq_codebooks pins its
+    subvector table the same way). Per-round centroids are pinned HERE:
+    every round's cent feeds the next assign AND (last round) the
+    caller, and its lineage otherwise nests the whole Lloyd history.
     """
     # unpartitioned window BY CONSTRUCTION on <= n_cells rows: it runs
     # after the limit, so the "single partition" WindowExec warns about
@@ -341,7 +378,7 @@ def kmeans_centroids_df(
             .select(
                 "cell", F.transform("pairs", lambda p: p["m"]).alias("centroid")
             )
-        )
+        ).localCheckpoint(eager=True)  # <= n_cells tiny rows
     return cent
 
 
@@ -363,6 +400,12 @@ def topk_ivf(
     DataFrame, so n_cells can grow to real IVF sizes without inflating
     the plan or the driver.
     """
+    # corpus pinned once: kmeans (seed + 2x per Lloyd round), the cell
+    # assignment, the corpus join and the query filter otherwise each
+    # replay the upstream chain (pinned iterative-loop rule)
+    embeddings = embeddings.select("vec_id", "embedding").localCheckpoint(
+        eager=False
+    )
     cent = kmeans_centroids_df(embeddings, n_cells, n_iters)
     corpus = (
         assign_cells(embeddings, cent)
@@ -435,16 +478,41 @@ def semdedup(
     """
     from gocrd_spark.operators.dedup import connected_components
 
-    cent = kmeans_centroids_df(embeddings, n_cells, n_iters)
-    cells = assign_cells(embeddings, cent)
-    e = embeddings.select("vec_id", "embedding").join(cells, "vec_id")
+    # Loop-invariant corpus pinned ONCE (the iterative-loop rule):
+    # un-pinned, every consumer — kmeans seeds, 2 Lloyd rounds x 2
+    # scans, the cell assignment, both self-join sides, the final label
+    # join — replays the entire upstream embedding chain; for
+    # text_semdedup that chain is tokenize+hash+groupBy (~20 replays at
+    # sf0.1, the whole query wall).
+    emb = embeddings.select("vec_id", "embedding").localCheckpoint(eager=False)
+    cent = kmeans_centroids_df(emb, n_cells, n_iters)
+    cells = assign_cells(emb, cent)
+    # Per-vector norms are pair-invariant: computing them here instead
+    # of inside every pair's cosine() removes 2/3 of the within-cell
+    # fold work; dot/(na*nb) is the identical IEEE expression cosine()
+    # evaluates (same fold, same product, same divide — bit-equal).
+    # ``e`` feeds both self-join sides and the final labeling — pinned.
+    e = (
+        emb.join(cells, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        .localCheckpoint(eager=False)
+    )
     a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cell"
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"), "cell",
     )
     b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cell"
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
     )
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -457,9 +525,8 @@ def semdedup(
     )
     comp = connected_components(pairs.select("doc_a", "doc_b"))
     return (
-        cells.join(
-            comp.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
-        )
+        e.select("vec_id", "cell")
+        .join(comp.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
         .select(
             "vec_id",
             "cell",

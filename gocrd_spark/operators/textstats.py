@@ -1926,8 +1926,15 @@ def _perceptron_loop(
                 bias.crossJoin(b_upd)
                 .select(clamp(F.col("b") + F.col("bu")).cast("long").alias("b"))
             )
-        w = w.localCheckpoint(eager=True)
-        bias = bias.localCheckpoint(eager=True)
+        # LAZY checkpoints: still truncate the per-round lineage (each
+        # round's plan references only the previous round's RDD), but
+        # the materialization folds into the NEXT job that consumes the
+        # model instead of two eager barrier jobs per round — the
+        # round-floor S of the driver-bound small-corpus regime drops
+        # with the job count (VERDICT r05 #6), and each checkpoint is
+        # still computed exactly once on first use.
+        w = w.localCheckpoint(eager=False)
+        bias = bias.localCheckpoint(eager=False)
     return w, bias
 
 
