@@ -524,9 +524,13 @@ def _q_text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (twin embeddings -> twin rounded-mean Lloyd -> brute cosines ->
     union-find), bit-exact."""
     from gocrd_spark.operators.similarity import semdedup
-    from gocrd_spark.operators.textstats import embed_documents, embedding_vectors
+    from gocrd_spark.operators.textstats import embed_document_vectors
 
-    vecs = embedding_vectors(embed_documents(_docs(spark, sf_dir), dim=64))
+    # fused bridge: identical vectors to embedding_vectors(
+    # embed_documents(...)) without the dense-grid explode+join (the
+    # zero-filled face exists for the hashed_embeddings oracle, not for
+    # vector consumers)
+    vecs = embed_document_vectors(_docs(spark, sf_dir), dim=64)
     return semdedup(vecs, n_cells=16, n_iters=2, threshold=0.9)
 
 

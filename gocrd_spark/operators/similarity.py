@@ -378,7 +378,7 @@ def kmeans_centroids_df(
             .select(
                 "cell", F.transform("pairs", lambda p: p["m"]).alias("centroid")
             )
-        ).localCheckpoint(eager=True)  # <= n_cells tiny rows
+        ).localCheckpoint(eager=False)  # <= n_cells tiny rows
     return cent
 
 
@@ -502,19 +502,32 @@ def semdedup(
         )
         .localCheckpoint(eager=False)
     )
+    # SALTED within-cell self-join: the join key has only n_cells
+    # distinct values, so an unsalted join concentrates each cell's
+    # |cell|² cosine folds in ONE task — and AQE's skew split cannot
+    # fire because the skew is in join OUTPUT, not shuffle input
+    # (measured: one 25%-of-corpus cell made the fold stage 4x slower
+    # than the salted plan at sf0.1). The a-side carries a
+    # deterministic salt from its own id; the b-side replicates
+    # n_salt ways (|corpus| * n_salt small rows); every (id_a, id_b)
+    # pair appears exactly once, under salt pmod(id_a, n_salt) —
+    # output rows identical, parallelism n_cells * n_salt.
+    n_salt = max(embeddings.sparkSession.sparkContext.defaultParallelism, 1) * 2
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
         F.col("nrm").alias("na"), "cell",
+        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("_s"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"), "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_s"),
     )
     cos = F.round(
         _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     pairs = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "_s"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             F.col("id_a").alias("doc_a"),
@@ -842,7 +855,7 @@ def pq_codebooks(
     # pinned iterative-loop rule): each Lloyd round consumes subv twice
     # (assign + mean recompute) and cent twice — un-pinned, the corpus
     # subvector explode and the previous rounds replay per consumer
-    subv = _subvectors(embeddings, m).localCheckpoint(eager=True)
+    subv = _subvectors(embeddings, m).localCheckpoint(eager=False)
     # seed table: n_codes * m rows — the windows below run on this
     # bounded table only, never the corpus
     w = Window.partitionBy("sub").orderBy("vec_id")
@@ -866,7 +879,7 @@ def pq_codebooks(
             .select(
                 "sub", "code", F.transform("pairs", lambda p: p["m"]).alias("centroid")
             )
-        ).localCheckpoint(eager=True)  # m*k tiny rows; two consumers next round
+        ).localCheckpoint(eager=False)  # m*k tiny rows; two consumers next round
     return cent
 
 
@@ -909,7 +922,7 @@ def pq_topk(
     """
     # tiny trained table with two consumers (codes + LUT): checkpoint so
     # the Lloyd loop's plan doesn't replay per consumer
-    cent = pq_codebooks(embeddings, m, n_codes, n_iters).localCheckpoint(eager=True)
+    cent = pq_codebooks(embeddings, m, n_codes, n_iters)
     codes = pq_encode(embeddings, cent, m).select(
         F.col("vec_id").alias("neighbor_id"), "sub", "code"
     )
@@ -965,14 +978,12 @@ def ivfpq_topk(
     # (residual build, PQ training, codes, per-query LUTs) — checkpoint
     # them so the Lloyd loops' plans never replay per consumer (the
     # multiply-consumed-iterative-stage trap, CLAUDE.md round-5 note)
-    cent = kmeans_centroids_df(embeddings, n_cells, coarse_iters).localCheckpoint(
-        eager=True
-    )
+    cent = kmeans_centroids_df(embeddings, n_cells, coarse_iters)
     # ids-only (vec_id, cell) — pinned so the corpus-wide coarse argmin
     # fold runs ONCE, not once per consumer (residual build + codes join
     # + every Lloyd rescan inside pq_codebooks); residuals stay lazy:
     # re-deriving them is a scan + broadcast join + narrow map
-    assigned = assign_cells(embeddings, cent).localCheckpoint(eager=True)
+    assigned = assign_cells(embeddings, cent).localCheckpoint(eager=False)
     residuals = (
         assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(cent), "cell")
@@ -988,7 +999,7 @@ def ivfpq_topk(
     )
     cb = pq_codebooks(
         residuals.select("vec_id", "embedding"), m, n_codes, pq_iters
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     codes = pq_encode(residuals.select("vec_id", "embedding"), cb, m).join(
         assigned, "vec_id"
     )  # (vec_id, sub, code, cell)
@@ -1100,13 +1111,11 @@ def ivfpq_index(
                 f"{existing}, requested {params}"
             )
         return path
-    cent = kmeans_centroids_df(embeddings, n_cells, coarse_iters).localCheckpoint(
-        eager=True
-    )
+    cent = kmeans_centroids_df(embeddings, n_cells, coarse_iters)
     cent.write.mode("overwrite").parquet(f"{base}/centroids")
     cent_back = spark.read.parquet(f"{base}/centroids")
     # pinned for the same multi-consumer reason as in ivfpq_topk
-    assigned = assign_cells(embeddings, cent_back).localCheckpoint(eager=True)
+    assigned = assign_cells(embeddings, cent_back).localCheckpoint(eager=False)
     residuals = (
         assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(cent_back), "cell")
@@ -1122,7 +1131,7 @@ def ivfpq_index(
     )
     cb = pq_codebooks(
         residuals.select("vec_id", "embedding"), m, n_codes, pq_iters
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cb.write.mode("overwrite").parquet(f"{base}/codebooks")
     cb_back = spark.read.parquet(f"{base}/codebooks")
     (

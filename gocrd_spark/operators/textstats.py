@@ -2012,6 +2012,59 @@ def embedding_vectors(components: DataFrame, id_col: str = "doc_id") -> DataFram
     )
 
 
+def embed_document_vectors(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """Fused text -> vector bridge: exactly
+    ``embedding_vectors(embed_documents(docs, dim))`` but without
+    materializing the dense (doc_id, dim_idx) grid — the zero-filled
+    dense face exists only for the oracle gate; a vector consumer wants
+    the array. One tokenize pass, one (doc_id, dim_idx) partial-agg
+    shuffle, one per-doc fold into the array via a map lookup (absent
+    dims = 0) — the grid explode and its corpus-sized join are gone.
+    Component values are the identical exact-integer sums, cast float
+    in the identical dim order, so downstream cosines are bit-equal.
+    Returns (vec_id, embedding array<float>)."""
+    h = F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10).cast("long")
+    contrib = (
+        docs.select("doc_id", F.explode(_tokens(_norm_ws(F.col("text")))).alias("_t"))
+        .select(
+            "doc_id",
+            F.pmod(F.shiftright(h, 1), F.lit(dim)).alias("dim_idx"),
+            F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("_s"),
+        )
+        .groupBy("doc_id", "dim_idx")
+        .agg(F.sum("_s").cast("long").alias("v"))
+    )
+    per_doc = contrib.groupBy(F.col("doc_id").alias("vec_id")).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "v")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("long")), F.lit(0)
+        ).cast("float"),
+    )
+    # docs with ZERO tokens have no contrib rows at all — restore them
+    # as all-zero vectors (the grid join emitted them; vector identity
+    # with the unfused chain requires them here too)
+    empty = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.lit(0.0).cast("float")
+    )
+    return (
+        docs.select(F.col("doc_id").alias("vec_id"))
+        .join(per_doc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("_m").isNotNull(), dense).otherwise(empty).alias(
+                "embedding"
+            ),
+        )
+    )
+
+
 def shard_manifest(shards: DataFrame) -> DataFrame:
     """Shard integrity manifest — the checksum table a training job
     verifies BEFORE reading shards (and a transfer re-verifies after):
