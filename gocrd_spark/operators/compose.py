@@ -141,7 +141,7 @@ def training_corpus(
     exact_keep = exact_dedup(docs).select("doc_id")
     stage1 = docs.join(exact_keep, "doc_id", "left_semi")
     if stage_cache:
-        stage1 = stage1.localCheckpoint(eager=True)
+        stage1 = stage1.localCheckpoint(eager=False)
 
     # 2. near-dup clusters -> keep the canonical of each cluster.
     # Banding DERIVED from the threshold (choose_bands) — the default
@@ -170,7 +170,7 @@ def training_corpus(
     keep2 = dedup_clusters(stage1, pairs).filter(F.col("keep") == 1).select("doc_id")
     stage2 = stage1.join(keep2, "doc_id", "left_semi")
     if stage_cache:
-        stage2 = stage2.localCheckpoint(eager=True)
+        stage2 = stage2.localCheckpoint(eager=False)
 
     # 3. paragraph-level dedup: rewrite text, drop docs left empty
     rewritten = paragraph_dedup(stage2, chunk_words=chunk_words).filter(

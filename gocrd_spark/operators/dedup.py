@@ -58,12 +58,32 @@ def _register_persisted(df: DataFrame) -> DataFrame:
     unpersist the oldest beyond ``_SIG_DEPTH``. Every persist() in this
     module's query paths goes through here (simhash/minhash session
     paths AND the incremental modes), so a long session running many
-    dedup queries keeps the documented bounded-pins invariant."""
+    dedup queries keeps the documented bounded-pins invariant.
+
+    Registration is IDEMPOTENT per logical plan (semanticHash): a
+    re-invocation of the same query re-pins the identical plan, and
+    without the dedup the new entry would push the old one out of the
+    FIFO — unpersisting the very blocks Spark's cache manager was about
+    to serve to the new entry (measured: multi-pin queries lost their
+    warm state between back-to-back runs)."""
     with _SIG_LOCK:
-        _SIG_CACHE.append(df)
+        try:
+            h = df.semanticHash()
+        except Exception:
+            h = None
+        if h is not None:
+            for hh, cached in _SIG_CACHE:
+                if hh == h:
+                    # do NOT unpersist the new duplicate: the cache
+                    # manager keys persisted data by PLAN, so dropping
+                    # the new mark would drop the cached blocks the
+                    # existing entry is serving (measured: it pushed
+                    # warm repeats back to full recompute)
+                    return cached
+        _SIG_CACHE.append((h, df))
         while len(_SIG_CACHE) > _SIG_DEPTH:
             try:
-                _SIG_CACHE.pop(0).unpersist(blocking=False)
+                _SIG_CACHE.pop(0)[1].unpersist(blocking=False)
             except Exception:
                 pass  # session gone / already unpersisted
     return df
@@ -774,9 +794,12 @@ def quality_survivors(clusters: DataFrame, quality: DataFrame) -> DataFrame:
 
     Returns (doc_id, canonical_id, quality_e6, keep BIGINT 0/1).
     """
+    # the membership->quality join feeds BOTH the arg-max and the
+    # label-back join — pinned (lazily) so the upstream cluster chain
+    # (LSH + components) and the quality pass execute once, not twice
     m = clusters.select("doc_id", "canonical_id").join(
         quality.select("doc_id", "quality_e6"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     surv = m.groupBy("canonical_id").agg(
         F.max(
             F.struct(

@@ -536,7 +536,10 @@ def semdedup(
         )
         .filter(F.col("cos_e6") >= int(round(threshold * 1_000_000)))
     )
-    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    # semantic duplicate groups chain (a~b~c through a drifting
+    # template), unlike the shallow rings of the text tier — jumping
+    # from round 1 measured ~1s faster here at identical labels
+    comp = connected_components(pairs.select("doc_a", "doc_b"), jump_after=1)
     return (
         e.select("vec_id", "cell")
         .join(comp.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
