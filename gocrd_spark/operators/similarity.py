@@ -452,6 +452,7 @@ def semdedup(
     n_cells: int = 16,
     n_iters: int = 2,
     threshold: float = 0.42,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication at O(N²/k) instead of O(N²) — the k-means quantizer
@@ -473,6 +474,19 @@ def semdedup(
     held constant by scaling n_cells with N (the paper runs k≈0.1%·N).
     Components run on (long, long) pairs only. Cosines are rounded to
     6dp fixed-point so keep decisions are engine-exact.
+
+    ``max_cell`` is the MEGA-CELL valve (the LSH tier's star_bucket,
+    VERDICT r05 #2): a degenerate cell — a boilerplate/zero-vector
+    cluster that k-means cannot split — re-quadratics the within-cell
+    join no matter how n_cells scales. With the valve, a cell larger
+    than ``max_cell`` emits HUB-STAR pairs instead: (cell-min member,
+    other member), cosine-verified at the same threshold — |B| pairs
+    instead of |B|²/2, connecting the same vertices for the
+    cluster-resolution consumer whenever members are mutually
+    near-identical (the only way a semantic cell gets that big).
+    Recall trade, documented: two members similar to each other but NOT
+    to the hub lose their direct link. Default None = exact within-cell
+    pairs (the driver oracle's configuration — output unchanged).
 
     Returns (vec_id, cell, canonical_id, keep BIGINT 0/1).
     """
@@ -513,12 +527,43 @@ def semdedup(
     # pair appears exactly once, under salt pmod(id_a, n_salt) —
     # output rows identical, parallelism n_cells * n_salt.
     n_salt = max(embeddings.sparkSession.sparkContext.defaultParallelism, 1) * 2
-    a = e.select(
+    pair_side = e
+    star = None
+    if max_cell is not None:
+        sizes = e.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_sz"), F.min("vec_id").alias("_hub")
+        )
+        big = sizes.filter(F.col("_sz") > max_cell).select("cell", "_hub")
+        members = e.join(F.broadcast(big), "cell").filter(
+            F.col("vec_id") != F.col("_hub")
+        )
+        hub_vecs = e.join(
+            F.broadcast(big.select(F.col("_hub").alias("vec_id"))), "vec_id"
+        ).select(
+            F.col("vec_id").alias("_hub"),
+            F.col("embedding").alias("vh"),
+            F.col("nrm").alias("nh"),
+        )
+        star_cos = F.round(
+            _dot(F.col("vh"), F.col("embedding")) / (F.col("nh") * F.col("nrm")),
+            6,
+        )
+        star = (
+            members.join(F.broadcast(hub_vecs), "_hub")
+            .select(
+                F.col("_hub").alias("doc_a"),  # hub = cell min -> doc_a < doc_b
+                F.col("vec_id").alias("doc_b"),
+                F.round(star_cos * 1_000_000).cast("long").alias("cos_e6"),
+            )
+            .filter(F.col("cos_e6") >= int(round(threshold * 1_000_000)))
+        )
+        pair_side = e.join(big.select("cell"), "cell", "left_anti")
+    a = pair_side.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
         F.col("nrm").alias("na"), "cell",
         F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("_s"),
     )
-    b = e.select(
+    b = pair_side.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"), "cell",
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_s"),
@@ -536,6 +581,8 @@ def semdedup(
         )
         .filter(F.col("cos_e6") >= int(round(threshold * 1_000_000)))
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
     # semantic duplicate groups chain (a~b~c through a drifting
     # template), unlike the shallow rings of the text tier — jumping
     # from round 1 measured ~1s faster here at identical labels

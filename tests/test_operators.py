@@ -2491,6 +2491,37 @@ class TestSemDedup:
             assert sum(m.keep for m in members) == 1
             assert min(m.vec_id for m in members) == canon
 
+    def test_mega_cell_valve_matches_exact_on_boilerplate(self, spark):
+        """Planted mega-cell (a boilerplate class of near-identical
+        vectors that k-means cannot split): with the ``max_cell``
+        hub-star valve the pair volume is linear in the class, and for
+        a mutually-near-identical class the resulting CLUSTERS equal
+        the exact within-cell answer — every copy links to the hub."""
+        from gocrd_spark.operators.similarity import semdedup
+
+        boiler = [[1.0, 0.0, 0.0, 0.0]] * 30  # one degenerate cell
+        others = [[0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+        rows = [(i, v) for i, v in enumerate(boiler)] + [
+            (100 + i, v) for i, v in enumerate(others)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        exact = {
+            r.vec_id: (r.canonical_id, r.keep)
+            for r in semdedup(emb, n_cells=4, n_iters=1, threshold=0.99).collect()
+        }
+        valved = {
+            r.vec_id: (r.canonical_id, r.keep)
+            for r in semdedup(
+                emb, n_cells=4, n_iters=1, threshold=0.99, max_cell=5
+            ).collect()
+        }
+        assert valved == exact
+        # and the valve really engaged: the boilerplate class is far
+        # above max_cell, so the star path produced its links
+        assert all(valved[i] == (0, 1 if i == 0 else 0) for i in range(30))
+
     def test_no_corpus_cartesian(self, spark):
         """The only cross product is the broadcast centroid assignment;
         the pair join is keyed on cell — no non-broadcast cartesian."""
