@@ -1119,11 +1119,12 @@ def simhash_near_dups(
     shingle+bit-vote pipeline — the expensive part — once per consumer
     (measured 3x the signature cost at sf0.1; localCheckpoint was tried
     and is 3-6x slower end-to-end, the LogicalRDD blocks downstream
-    codegen). Cache lifecycle is bounded: each invocation unpersists the
-    PREVIOUS invocation's signature table (module registry), so a
-    session running many dedup queries holds at most one pinned entry —
-    not one per call. At job scale use :func:`simhash_signatures` — a
-    write-once durable table with none of this session-cache coupling."""
+    codegen). Cache lifecycle is bounded: registrations go through the
+    module registry (bounded depth-``_SIG_DEPTH`` FIFO, idempotent per
+    plan), so a session running many dedup queries holds a small fixed
+    number of pinned tables — not one per call. At job scale use
+    :func:`simhash_signatures` — a write-once durable table with none
+    of this session-cache coupling."""
     chunks = _register_persisted(_banded_signatures(docs, n, max_hamming).persist())
     return _pairs_from_banded(chunks, max_hamming, max_bucket)
 
