@@ -73,12 +73,18 @@ def _register_persisted(df: DataFrame) -> DataFrame:
             h = None
         if h is not None:
             for hh, cached in _SIG_CACHE:
-                if hh == h:
-                    # do NOT unpersist the new duplicate: the cache
-                    # manager keys persisted data by PLAN, so dropping
-                    # the new mark would drop the cached blocks the
-                    # existing entry is serving (measured: it pushed
-                    # warm repeats back to full recompute)
+                if hh == h and cached.sparkSession is df.sparkSession:
+                    # same plan in the same LIVE session: reuse the
+                    # existing pin. Do NOT unpersist the new duplicate
+                    # — the cache manager keys persisted data by PLAN,
+                    # so dropping the new mark would drop the blocks
+                    # the existing entry is serving (measured: warm
+                    # repeats fell back to full recompute). The session
+                    # identity check matters: multi-session processes
+                    # (volume probes, scaling pairs) rebuild identical
+                    # plans in a NEW session, and returning the old
+                    # session's DataFrame dies with a null-session NPE
+                    # at execution.
                     return cached
         _SIG_CACHE.append((h, df))
         while len(_SIG_CACHE) > _SIG_DEPTH:

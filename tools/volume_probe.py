@@ -560,6 +560,107 @@ def perceptron_probe(n_docs: int) -> dict:
     }
 
 
+def verdict5_probe(n_docs: int) -> dict:
+    """Volume + scaling probe for the three operators that had never
+    seen a 100k-docs run (VERDICT r05 #5): hard_negatives,
+    host_trustrank, mirror_hosts. Walls at local[32] on the full size;
+    2->8 matched pair on the corpus-sized single-job piece of each
+    (hard_negatives' broadcast scan and mirror_hosts' digest pair join;
+    host_trustrank is an iterative DRIVER loop — its pair is reported
+    but floored by the per-round latency S, the perceptron regime)."""
+    from pyspark.sql import functions as F
+
+    from gocrd_spark.session import get_spark
+
+    def mk_obs(docs):
+        # ~n_docs/50 hosts; hosts 2h and 2h+1 mirror each other on 80%
+        # of their content (shared digest group), the rest is unique
+        d = F.col("doc_id")
+        host_pair = (d % 2000).cast("long")
+        mirrored = (d % 10) < 8
+        return docs.select(
+            F.concat(
+                F.lit("https://h"),
+                ((host_pair * 2) + (d % 2)).cast("string"),
+                F.lit(".test/p/"),
+                d.cast("string"),
+            ).alias("url"),
+            F.when(
+                mirrored,
+                F.concat(F.lit("dg"), host_pair.cast("string"),
+                         F.lit("_"), (d % 40).cast("string")),
+            ).otherwise(F.concat(F.lit("uniq"), d.cast("string"))).alias("digest"),
+        )
+
+    def mk_edges(docs):
+        n_hosts = 2000
+        base = docs.select(
+            (F.col("doc_id") % n_hosts).alias("s"),
+            ((F.col("doc_id") * 7 + 1) % n_hosts).alias("d1"),
+            ((F.col("doc_id") * 13 + 3) % n_hosts).alias("d2"),
+        )
+        return (
+            base.select("s", F.explode(F.array("d1", "d2")).alias("d"))
+            .select(
+                F.concat(F.lit("h"), F.col("s")).alias("src_host"),
+                F.concat(F.lit("h"), F.col("d")).alias("dst_host"),
+            )
+            .groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links"))
+        )
+
+    def run(master: str, n: int, ops: list[str]) -> dict[str, float]:
+        from gocrd_spark.operators.linkgraph import host_trustrank
+        from gocrd_spark.operators.similarity import hard_negatives
+        from gocrd_spark.operators.urls import mirror_hosts
+
+        spark = get_spark(master=master, app_name="verdict5-probe")
+        out: dict[str, float] = {}
+        path = f"/tmp/gocrd_volume_docs_{n}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            synth_docs(spark, n).write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+        if "hard_negatives" in ops:
+            vecs = synth_vectors(spark, n).withColumn(
+                "label", (F.col("vec_id") % 8).cast("long")
+            ).localCheckpoint(eager=True)
+            t0 = time.time()
+            _noop(hard_negatives(vecs, query_ids=[0, 1, 2, 3, 4], k=10))
+            out["hard_negatives"] = round(time.time() - t0, 2)
+        if "mirror_hosts" in ops:
+            t0 = time.time()
+            _noop(mirror_hosts(mk_obs(docs)))
+            out["mirror_hosts"] = round(time.time() - t0, 2)
+        if "host_trustrank" in ops:
+            seeds = spark.range(50).select(
+                F.concat(F.lit("h"), (F.col("id") * 40).cast("string")).alias("host")
+            )
+            t0 = time.time()
+            _noop(host_trustrank(mk_edges(docs), seeds, n_iters=5))
+            out["host_trustrank_5_iters"] = round(time.time() - t0, 2)
+        spark.stop()
+        return out
+
+    full = run("local[32]", n_docs, ["hard_negatives", "mirror_hosts", "host_trustrank"])
+    n_pair = max(n_docs // 5, 1000)
+    pair_ops = ["hard_negatives", "mirror_hosts", "host_trustrank"]
+    lo = run("local[2]", n_pair, pair_ops)
+    hi = run("local[8]", n_pair, pair_ops)
+    pairs = {
+        k: round((lo[k] / hi[k]) / 4, 3)
+        for k in lo
+        if hi.get(k)
+    }
+    return {
+        "n_docs": n_docs,
+        "wall_sec_local32": full,
+        "scale_pair_n_docs": n_pair,
+        "pair_sec_local2": lo,
+        "pair_sec_local8": hi,
+        "scaling_efficiency_2to8": pairs,
+    }
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "vectors":
         n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
@@ -576,6 +677,10 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "meta":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
         print(json.dumps(meta_probe(n_docs)))
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "verdict5":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        print(json.dumps(verdict5_probe(n_docs)))
         return 0
     if len(sys.argv) > 1 and sys.argv[1] == "mega":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
