@@ -104,16 +104,18 @@ def training_corpus(
     Returns the training-ready corpus:
     (doc_id, source, text, n_tokens, shard_id).
 
-    ``stage_cache`` (default True) localCheckpoints the two survivor
-    sets each consumed by multiple later stages: without the cut,
+    ``stage_cache`` (default True) localCheckpoints every survivor set
+    consumed by multiple later stages (stages 1-5): without the cut,
     every consumer of stage2 re-executes the ENTIRE upstream chain —
     MinHash LSH, exact verify, connected components — once more
     (measured 4x the whole-chain wall at sf0.1: 47-52 s -> 11.5-12.5 s,
-    identical output). Cost: executor storage for two (id, text,
-    source) survivor tables — the same corpus-sized materialization a
-    production pipeline pays anyway by writing stage outputs to durable
-    storage between stages; pass False to trade recompute for zero
-    storage.
+    identical output), and un-cut stages 3-5 compound the replay of
+    paragraph_dedup/quality_score through the tail of the chain (the
+    static plan carried 138 Exchanges before stages 3-5 were cut).
+    Cost: executor storage for the (id, text, source) survivor tables —
+    the same corpus-sized materialization a production pipeline pays
+    anyway by writing stage outputs to durable storage between stages;
+    pass False to trade recompute for zero storage.
 
     ``star_bucket`` forwards the mega-bucket star valve to the MinHash
     candidate stage (see minhash_candidates): at crawl scale a
@@ -179,6 +181,14 @@ def training_corpus(
     stage3 = stage2.select("doc_id", "source").join(
         rewritten.select("doc_id", F.col("text_dedup").alias("text")), "doc_id"
     )
+    if stage_cache:
+        # consumed by quality_score AND the stage4 semi-join: un-cut,
+        # paragraph_dedup (a full chunk-shingle pass over the corpus)
+        # replays once per consumer, and the replay count COMPOUNDS
+        # through stages 4-6 (each later stage is itself consumed
+        # twice) — the static plan showed 138 Exchanges for a 6-stage
+        # chain before stages 3-5 were cut (plans/r06).
+        stage3 = stage3.localCheckpoint(eager=False)
 
     # 4. quality gate over the REWRITTEN text. The gate compares at 6dp
     # (the suite's fixed-point convention): quality is a chain of double
@@ -189,6 +199,9 @@ def training_corpus(
         F.round(F.col("quality"), 6) >= min_quality
     ).select("doc_id")
     stage4 = stage3.join(q_keep, "doc_id", "left_semi")
+    if stage_cache:
+        # consumed by source_weighted_sample AND the stage5 semi-join
+        stage4 = stage4.localCheckpoint(eager=False)
 
     # 5. domain reweighting
     sampled = source_weighted_sample(
@@ -197,6 +210,9 @@ def training_corpus(
     stage5 = stage4.join(
         sampled.filter(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
     )
+    if stage_cache:
+        # consumed by pack_shards AND the final join
+        stage5 = stage5.localCheckpoint(eager=False)
 
     # 6. shard layout of what remains
     shards = pack_shards(stage5, budget_tokens=budget_tokens)
