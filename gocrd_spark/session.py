@@ -62,6 +62,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate inserts `size(g)>0 AND isnotnull(g)`
+        # under every explode and pushes it through projections to the
+        # scan — for this suite's generators (tokenize + n-gram-shingle
+        # HOF chains) that evaluates the generator expression ~3x per
+        # row (twice in the inferred filter, once in the projection;
+        # measured 12x on contamination_flags, 5.5s -> 0.5s). The rows
+        # it would prune (documents whose shingle array is empty) are
+        # ~zero in any real corpus, at every scale, so the rule is pure
+        # cost here. Env-tunable for workloads with sparse generators.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            os.environ.get(
+                "SPARK_GRAFT_EXCLUDED_RULES",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate",
+            ),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(DEFAULT_ARROW_BYTES))
