@@ -300,21 +300,35 @@ def _dist2(a: Column, b: Column) -> Column:
     )
 
 
-def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Nearest-centroid assignment: the centroid table rides along as
     ONE broadcast candidate array and the argmin is a narrow fold per
     vector (no per-centroid row duplication, no Exchange — the
     join+min_by formulation this replaces allocated every vector
     n_cells times). (distance, cell) tie-break preserved by the
     sorted-candidates strict-< fold. Plan size stays independent of
-    n_cells. Returns (vec_id, cell)."""
+    n_cells. Returns (vec_id, cell, *carry).
+
+    ``carry`` columns (e.g. the embedding itself) ride through the
+    fold UNCHANGED: consumers that need the vector next to its cell
+    (Lloyd's mean recompute, the IVF corpus table, residual builds)
+    previously dropped it here and paid a corpus-sized ``vec_id``
+    shuffle join to re-attach it — carrying it is free in the narrow
+    plan and removes that join outright (one Exchange per consumer,
+    two per Lloyd round)."""
     cands = centroids.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("cell").alias("code"), "centroid"))
         ).alias("cands")
     )
+    cols = ["vec_id", "embedding"]
+    cols += [c for c in carry if c not in cols]
     return (
-        embeddings.select("vec_id", "embedding")
+        embeddings.select(*cols)
         .crossJoin(F.broadcast(cands))
         .select(
             "vec_id",
@@ -322,6 +336,7 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
                 F.transform("embedding", lambda v: v.cast("double")),
                 F.col("cands"),
             ).cast("int").alias("cell"),
+            *[F.col(c) for c in carry],
         )
     )
 
@@ -365,8 +380,11 @@ def kmeans_centroids_df(
         )
     )
     for _ in range(n_iters):
-        assigned = assign_cells(embeddings, cent)
-        exploded = assigned.join(embeddings, "vec_id").select(
+        # embedding carried through the fold: the mean recompute needs
+        # (cell, embedding) and the former ids-only assign paid a
+        # corpus-sized vec_id join per round to re-attach the vector
+        assigned = assign_cells(embeddings, cent, carry=("embedding",))
+        exploded = assigned.select(
             "cell", F.posexplode("embedding").alias("pos", "val")
         )
         per_dim = exploded.groupBy("cell", "pos").agg(
@@ -407,14 +425,10 @@ def topk_ivf(
         eager=False
     )
     cent = kmeans_centroids_df(embeddings, n_cells, n_iters)
-    corpus = (
-        assign_cells(embeddings, cent)
-        .join(embeddings, "vec_id")
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_emb"),
-            "cell",
-        )
+    corpus = assign_cells(embeddings, cent, carry=("embedding",)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "cell",
     )
     queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -500,14 +514,15 @@ def semdedup(
     # sf0.1, the whole query wall).
     emb = embeddings.select("vec_id", "embedding").localCheckpoint(eager=False)
     cent = kmeans_centroids_df(emb, n_cells, n_iters)
-    cells = assign_cells(emb, cent)
     # Per-vector norms are pair-invariant: computing them here instead
     # of inside every pair's cosine() removes 2/3 of the within-cell
     # fold work; dot/(na*nb) is the identical IEEE expression cosine()
     # evaluates (same fold, same product, same divide — bit-equal).
     # ``e`` feeds both self-join sides and the final labeling — pinned.
+    # The embedding rides through the assignment fold, so no join back
+    # to ``emb`` (one corpus Exchange removed).
     e = (
-        emb.join(cells, "vec_id")
+        assign_cells(emb, cent, carry=("embedding",))
         .select(
             "vec_id",
             "embedding",
@@ -680,8 +695,7 @@ def ivf_index(
     cent.write.mode("overwrite").parquet(f"{base}/centroids")
     cent_back = spark.read.parquet(f"{base}/centroids")
     (
-        assign_cells(embeddings, cent_back)
-        .join(embeddings, "vec_id")
+        assign_cells(embeddings, cent_back, carry=("embedding",))
         .select("vec_id", "embedding", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -871,15 +885,20 @@ def _codebook_rows(codebooks: DataFrame, key: str = "sub") -> DataFrame:
     )
 
 
-def _assign_codes(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+def _assign_codes(
+    subv: DataFrame, codebooks: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest-code assignment per (vec_id, sub): the codebook rides
     along as a broadcast per-subspace candidate ARRAY and the argmin
     is one narrow fold per subvector — zero Exchange, zero row
-    duplication. Returns (vec_id, sub, code)."""
+    duplication. Returns (vec_id, sub, code, *carry); ``carry`` columns
+    of ``subv`` (the subvector itself, a riding cell id) pass through
+    unchanged so consumers don't re-join them on (vec_id, sub)."""
     return subv.join(F.broadcast(_codebook_rows(codebooks)), "sub").select(
         "vec_id",
         "sub",
         _argmin_fold(F.col("subvec"), F.col("cands")).cast("int").alias("code"),
+        *[F.col(c) for c in carry],
     )
 
 
@@ -916,8 +935,10 @@ def pq_codebooks(
         F.transform("subvec", lambda v: F.round(v, 6)).alias("centroid"),
     )
     for _ in range(n_iters):
-        assigned = _assign_codes(subv, cent)
-        exploded = assigned.join(subv, ["vec_id", "sub"]).select(
+        # subvec carried through the fold: the mean recompute previously
+        # re-joined assigned to subv on (vec_id, sub) every round
+        assigned = _assign_codes(subv, cent, carry=("subvec",))
+        exploded = assigned.select(
             "sub", "code", F.posexplode("subvec").alias("pos", "val")
         )
         per_dim = exploded.groupBy("sub", "code", "pos").agg(
@@ -934,7 +955,10 @@ def pq_codebooks(
 
 
 def pq_encode(
-    embeddings: DataFrame, codebooks: DataFrame, m: int = 8
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ codes: each vector compresses to m small ints — at m=8,
     k=256 that is 8 bytes against 256+ for the float32 vector, the
@@ -942,9 +966,13 @@ def pq_encode(
     bounded explode + one broadcast join + one (vec_id, sub) partial
     agg; raw vectors are read once and never shuffle.
 
-    Returns (vec_id, sub, code), the exploded layout the oracle can
-    hash (and a columnar store would keep for code scans)."""
-    return _assign_codes(_subvectors(embeddings, m), codebooks)
+    Returns (vec_id, sub, code, *extra), the exploded layout the oracle
+    can hash (and a columnar store would keep for code scans). ``extra``
+    columns of ``embeddings`` (e.g. the coarse cell id) ride through so
+    callers don't pay a corpus-sized vec_id join to re-attach them."""
+    return _assign_codes(
+        _subvectors(embeddings, m, extra=extra), codebooks, carry=extra
+    )
 
 
 def pq_topk(
@@ -1029,13 +1057,14 @@ def ivfpq_topk(
     # them so the Lloyd loops' plans never replay per consumer (the
     # multiply-consumed-iterative-stage trap, CLAUDE.md round-5 note)
     cent = kmeans_centroids_df(embeddings, n_cells, coarse_iters)
-    # ids-only (vec_id, cell) — pinned so the corpus-wide coarse argmin
-    # fold runs ONCE, not once per consumer (residual build + codes join
-    # + every Lloyd rescan inside pq_codebooks); residuals stay lazy:
-    # re-deriving them is a scan + broadcast join + narrow map
-    assigned = assign_cells(embeddings, cent).localCheckpoint(eager=False)
+    # (vec_id, cell, residual) pinned ONCE: the embedding rides through
+    # the coarse argmin fold and the residual is one broadcast-cent join
+    # + narrow zip_with away — the former ids-only pin paid a
+    # corpus-sized vec_id join to re-attach the vector AND a second one
+    # to re-attach the cell to the codes; both joins are gone. Consumers:
+    # PQ training (pins its own subv) + the codes encode.
     residuals = (
-        assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        assign_cells(embeddings, cent, carry=("embedding",))
         .join(F.broadcast(cent), "cell")
         .select(
             "vec_id",
@@ -1046,13 +1075,13 @@ def ivfpq_topk(
                 lambda x, y: x - y,
             ).alias("embedding"),
         )
+        .localCheckpoint(eager=False)
     )
     cb = pq_codebooks(
         residuals.select("vec_id", "embedding"), m, n_codes, pq_iters
     ).localCheckpoint(eager=False)
-    codes = pq_encode(residuals.select("vec_id", "embedding"), cb, m).join(
-        assigned, "vec_id"
-    )  # (vec_id, sub, code, cell)
+    # cell rides through the encode — (vec_id, sub, code, cell), no join
+    codes = pq_encode(residuals, cb, m, extra=("cell",))
 
     queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1164,10 +1193,11 @@ def ivfpq_index(
     cent = kmeans_centroids_df(embeddings, n_cells, coarse_iters)
     cent.write.mode("overwrite").parquet(f"{base}/centroids")
     cent_back = spark.read.parquet(f"{base}/centroids")
-    # pinned for the same multi-consumer reason as in ivfpq_topk
-    assigned = assign_cells(embeddings, cent_back).localCheckpoint(eager=False)
+    # pinned for the same multi-consumer reason as in ivfpq_topk; the
+    # embedding rides through the fold and the cell through the encode,
+    # so neither corpus-sized vec_id re-join exists
     residuals = (
-        assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        assign_cells(embeddings, cent_back, carry=("embedding",))
         .join(F.broadcast(cent_back), "cell")
         .select(
             "vec_id",
@@ -1178,6 +1208,7 @@ def ivfpq_index(
                 lambda x, y: x - y,
             ).alias("embedding"),
         )
+        .localCheckpoint(eager=False)
     )
     cb = pq_codebooks(
         residuals.select("vec_id", "embedding"), m, n_codes, pq_iters
@@ -1185,8 +1216,8 @@ def ivfpq_index(
     cb.write.mode("overwrite").parquet(f"{base}/codebooks")
     cb_back = spark.read.parquet(f"{base}/codebooks")
     (
-        pq_encode(residuals.select("vec_id", "embedding"), cb_back, m)
-        .join(assigned, "vec_id")
+        pq_encode(residuals, cb_back, m, extra=("cell",))
+        .select("vec_id", "sub", "code", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{base}/codes")
