@@ -61,7 +61,12 @@ def crawl_plan(
     )
 
     none_wave = F.lit(None).cast("long").alias("wave")
-    deduped = url_dedup(urls, id_col=id_col, url_col=url_col, ts_col=ts_col)
+    # three consumers (malformed/dups/survivors) — pinned so the
+    # regex-canonicalize + struct-max dedup chain runs once, not 3x
+    # (the multiply-consumed-intermediate rule)
+    deduped = url_dedup(
+        urls, id_col=id_col, url_col=url_col, ts_col=ts_col
+    ).localCheckpoint(eager=False)
     malformed = deduped.filter(F.col("canonical_url").isNull()).select(
         id_col, url_col, F.lit("malformed").alias("disposition"), none_wave
     )
@@ -71,9 +76,10 @@ def crawl_plan(
     survivors = deduped.filter(
         F.col("canonical_url").isNotNull() & (F.col("keep") == 1)
     ).select(id_col, url_col)
+    # two consumers (blocked/fetch) — pinned for the same reason
     labeled = url_blocklist_filter(
         survivors, blocked_hosts, id_col=id_col, url_col=url_col
-    )
+    ).localCheckpoint(eager=False)
     blocked = labeled.filter(F.col("blocked") == 1).select(
         id_col, url_col, F.lit("blocked").alias("disposition"), none_wave
     )
