@@ -425,13 +425,19 @@ def topk_ivf(
         eager=False
     )
     cent = kmeans_centroids_df(embeddings, n_cells, n_iters)
+    # per-vector norms are pair-invariant — hoisted out of the rerank
+    # cosine (the semdedup/topk_lsh convention; dot/(qn*cn) is the
+    # identical IEEE expression — bit-equal, 3x less fold work per pair)
     corpus = assign_cells(embeddings, cent, carry=("embedding",)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         "cell",
+        _norm(F.col("embedding")).alias("cn"),
     )
     queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     # per-query probe list: broadcast-join the centroid table, keep the
     # n_probe nearest cells (deterministic (d2, cell) tie-break)
@@ -441,12 +447,13 @@ def topk_ivf(
         .select(
             "query_id",
             "q_emb",
+            "qn",
             "cell",
             _dist2(F.col("q_emb"), F.col("centroid")).alias("d2"),
         )
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= n_probe)
-        .select("query_id", "q_emb", "cell")
+        .select("query_id", "q_emb", "qn", "cell")
     )
     scored = (
         F.broadcast(q_probed)
@@ -455,7 +462,11 @@ def topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("qn") * F.col("cn")),
+                9,
+            ).alias("cos"),
         )
     )
     return _rank_topk(scored, k)
@@ -726,8 +737,12 @@ def topk_ivf_from(
     base = path.rstrip("/")
     cent = spark.read.parquet(f"{base}/centroids")
     corpus = spark.read.parquet(f"{base}/corpus")
+    # pair-invariant norms hoisted out of the rerank cosine (bit-equal
+    # dot/(qn*cn), same as the inline topk_ivf)
     queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     wq = Window.partitionBy("query_id").orderBy("d2", "cell")
     q_probed = (
@@ -735,12 +750,13 @@ def topk_ivf_from(
         .select(
             "query_id",
             "q_emb",
+            "qn",
             "cell",
             _dist2(F.col("q_emb"), F.col("centroid")).alias("d2"),
         )
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= n_probe)
-        .select("query_id", "q_emb", "cell")
+        .select("query_id", "q_emb", "qn", "cell")
     )
     scored = (
         F.broadcast(q_probed)
@@ -749,6 +765,7 @@ def topk_ivf_from(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("c_emb"),
                 "cell",
+                _norm(F.col("embedding")).alias("cn"),
             ),
             "cell",
         )
@@ -756,7 +773,11 @@ def topk_ivf_from(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("qn") * F.col("cn")),
+                9,
+            ).alias("cos"),
         )
     )
     return _rank_topk(scored, k)
@@ -1278,15 +1299,21 @@ def hard_negatives(
     neighbor_id tie-break, the module-wide engine-portability
     convention.
     """
+    # per-vector norms are pair-invariant — hoisted out of the pair
+    # cosine (the semdedup/topk_lsh convention): dot/(qn*cn) is the
+    # identical IEEE expression cosine() evaluates (same folds, same
+    # product, same divide — bit-equal), 3x less fold work per pair
     queries = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("neighbor_label"),
+        _norm(F.col("embedding")).alias("cn"),
     )
     scored = (
         F.broadcast(queries)
@@ -1296,7 +1323,11 @@ def hard_negatives(
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("qn") * F.col("cn")),
+                9,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -525,16 +525,21 @@ def mirror_hosts(
     """
     url = F.col(url_col)
     host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    # hd feeds the fanout valve AND the kept join; kept feeds sizes AND
+    # both pair-join sides — un-pinned, the URL-parse + distinct chain
+    # replays once per consumer (the multiply-consumed-intermediate
+    # rule; same fix as crawl_plan's deduped/labeled)
     hd = (
         obs.where(host.isNotNull())
         .select(host.alias("host"), F.xxhash64(F.col(digest_col)).alias("dh"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     fanout = hd.groupBy("dh").agg(F.count("*").alias("n_hosts"))
     kept = hd.join(
         fanout.where(F.col("n_hosts") <= F.lit(max_hosts_per_digest)).select("dh"),
         "dh",
-    )
+    ).localCheckpoint(eager=False)
     sizes = kept.groupBy("host").agg(F.count("*").alias("n_docs"))
     left = kept.select("dh", F.col("host").alias("host_a"))
     right = kept.select("dh", F.col("host").alias("host_b"))
