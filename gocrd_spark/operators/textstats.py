@@ -280,6 +280,8 @@ def training_set_filter(
         "doc_id", (F.round(F.col("quality") * 1_000_000)).cast("long").alias("quality_e6")
     )
     lang = lang_id(docs).select("doc_id", "lang_guess")
+    # two consumers (the canonical groupBy and the final label-back
+    # join) — pinned so the quality_score + lang_id chains run once
     kept = (
         docs.select("doc_id", "text")
         .filter(F.length("text") >= min_chars)
@@ -287,6 +289,7 @@ def training_set_filter(
         .filter(F.col("quality_e6") >= min_quality_e6)
         .join(lang, "doc_id")
         .filter(F.col("lang_guess").isin(*langs))
+        .localCheckpoint(eager=False)
     )
     canonical = kept.groupBy(
         F.md5(F.encode(_norm_ws(F.col("text")), "utf-8")).alias("h")
@@ -1175,9 +1178,11 @@ def source_overlap(docs: DataFrame) -> DataFrame:
     Returns (source_a, source_b, n_a, n_b, n_shared, jaccard_e6),
     source_a < source_b.
     """
+    # three consumers (sizes + both self-join sides) — pinned so the
+    # tokenize + distinct runs once (vocabulary-sized rows, no text)
     vocab = docs.select(
         "source", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     shared = (
         vocab.select(F.col("source").alias("source_a"), "term")
@@ -1242,8 +1247,15 @@ def bigram_logprob(docs: DataFrame, k: int = 1) -> DataFrame:
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = toks.select("doc_id", F.explode(bigr).alias("bigram"))
-    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    # bg feeds the LM counts AND the per-doc counts; cnt feeds the
+    # context sums AND the LM join — pinned so the tokenize + bigram
+    # explode runs once (the multiply-consumed-intermediate rule)
+    bg = toks.select("doc_id", F.explode(bigr).alias("bigram")).localCheckpoint(
+        eager=False
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab")).localCheckpoint(
+        eager=False
+    )
     left = F.split(F.col("bigram"), " ", 2).getItem(0)
     ctx = cnt.groupBy(left.alias("_lft")).agg(F.sum("c_ab").alias("c_a"))
     vocab = (
@@ -1512,12 +1524,16 @@ def perplexity_buckets(
     from pyspark.sql import Window
 
     scored = unigram_logprob(docs)
+    # three consumers (the sample -> ranked + sizes, and the final
+    # labeling join) — pinned so the unigram-LM chain (tokenize +
+    # vocab logprobs + per-doc sums) runs once, not per consumer (the
+    # multiply-consumed-intermediate rule)
     base = docs.select("doc_id", "lang").join(scored, "doc_id").select(
         "doc_id",
         "lang",
         "n_tokens",
         F.expr("((-sum_logprob_e6) * 1000) div n_tokens").alias("cost_e9"),
-    )
+    ).localCheckpoint(eager=False)
     thr = (4294967296 * sample_permille) // 1000
     samp = base.filter((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(thr))
     w = Window.partitionBy("lang").orderBy("cost_e9", "doc_id")

@@ -575,10 +575,14 @@ def bloom_filter_unprocessed(
     Returns the ``pages`` rows whose ``key`` has no row in
     ``extracted`` (same contract as filter_unprocessed).
     """
+    # two consumers (bitmap build + the maybe semi-join backstop) —
+    # pinned so the done-set scan + distinct runs once (keys only, no
+    # payload; the multiply-consumed-intermediate rule)
     done = (
         extracted.select(F.col(key).alias("_k"))
         .filter(F.col("_k").isNotNull())
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # anti-join parity for NULL keys: NULL never equi-matches done, so
     # filter_unprocessed KEEPS such rows — route them straight to the
@@ -616,6 +620,9 @@ def bloom_filter_unprocessed(
         )
         .groupBy("_k")
         .agg(F.min(F.when(F.col("_hit"), 1).otherwise(0)).alias("_all_hit"))
+        # two consumers (definite_new + maybe) — pinned: keys only,
+        # and the probe join + position explode otherwise replays
+        .localCheckpoint(eager=False)
     )
     definite_new = probes.filter(F.col("_all_hit") == 0).select("_k")
     maybe = probes.filter(F.col("_all_hit") == 1).select("_k")
