@@ -1451,7 +1451,12 @@ def duplicate_spans(docs: DataFrame, n: int = 13) -> DataFrame:
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, n))),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    occ = toks.select("doc_id", F.posexplode(windows).alias("pos", "h"))
+    # occ feeds the duplicated-hash count AND the semi-join back —
+    # pinned so the per-window xxhash transform (|tokens| windows x
+    # n-token concats per doc) runs once, not per consumer
+    occ = toks.select(
+        "doc_id", F.posexplode(windows).alias("pos", "h")
+    ).localCheckpoint(eager=False)
     # corpus-duplicated hashes: total occurrence count > 1 (map-side
     # partial count; only (h, count) longs cross the exchange)
     dup_h = (

@@ -1137,10 +1137,15 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     Returns (doc_id, n_tokens, sum_logprob_e6) for every document with
     at least one token.
     """
+    # toks feeds the corpus LM (tf) AND the per-doc counts (dc); tf
+    # feeds the total AND the LM — pinned so tokenize runs once (the
+    # multiply-consumed-intermediate rule)
     toks = docs.select(
         "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    ).localCheckpoint(eager=False)
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(
+        eager=False
     )
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     total = tf.agg(F.sum("tf").cast("double").alias("t"))
     lm = tf.crossJoin(F.broadcast(total)).select(
         "term",
@@ -1237,7 +1242,11 @@ def bigram_logprob(docs: DataFrame, k: int = 1) -> DataFrame:
     Returns (doc_id, n_bigrams, sum_logprob_e6) for every document
     with at least one bigram (>= 2 tokens).
     """
-    toks = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("_t"))
+    # token arrays pinned: the bigram explode AND the vocabulary count
+    # both consume them (vocab previously re-tokenized docs a 2nd time)
+    toks = docs.select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("_t")
+    ).localCheckpoint(eager=False)
     t = F.col("_t")
     bigr = F.when(
         F.size(t) >= 2,
@@ -1259,7 +1268,7 @@ def bigram_logprob(docs: DataFrame, k: int = 1) -> DataFrame:
     left = F.split(F.col("bigram"), " ", 2).getItem(0)
     ctx = cnt.groupBy(left.alias("_lft")).agg(F.sum("c_ab").alias("c_a"))
     vocab = (
-        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
+        toks.select(F.explode("_t").alias("term"))
         .agg(F.countDistinct("term").cast("double").alias("v"))
     )
     lm = (
@@ -1613,7 +1622,11 @@ def host_boilerplate(
     line STRING itself, so a green driver row also certifies the
     hash-grouping.
     """
-    t = docs.select("doc_id", "host", F.split(F.col("text"), "\n").alias("ln"))
+    # three consumers (occurrence explode, host sizes, the final
+    # removal join) — pinned so the full-text line split runs once
+    t = docs.select(
+        "doc_id", "host", F.split(F.col("text"), "\n").alias("ln")
+    ).localCheckpoint(eager=False)
     occ = (
         t.select("doc_id", "host", F.explode("ln").alias("line"))
         .where(F.col("line") != "")
@@ -1798,12 +1811,15 @@ def vocab_drift(
 
     def freqs(docs: DataFrame, alias: str) -> DataFrame:
         toks = docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
-        total = toks.select(F.count(F.lit(1)).cast("long").alias("t"))
-        return (
-            toks.groupBy("term")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .crossJoin(F.broadcast(total))
-            .select("term", F.expr("(1000000 * c) div t").alias(alias))
+        tf = toks.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ).localCheckpoint(eager=False)
+        # snapshot total = sum of the per-term counts — derived from tf
+        # instead of a second pass over toks, so tokenize runs ONCE per
+        # snapshot (identical value: sum of counts == token count)
+        total = tf.agg(F.sum("c").cast("long").alias("t"))
+        return tf.crossJoin(F.broadcast(total)).select(
+            "term", F.expr("(1000000 * c) div t").alias(alias)
         )
 
     joined = (
