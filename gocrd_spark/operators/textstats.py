@@ -1357,6 +1357,10 @@ def dsir_weights(
 
     Returns (doc_id, n_ngrams, dsir_score_e6) for docs with >= 1 token.
     """
+    # NOTE: b feeds the bucket stats AND the per-doc sum, but pinning
+    # it measured slightly NEGATIVE at sf0.1 (materializing ~2x-token
+    # (doc_id, flag, bucket) rows costs as much as the saved md5
+    # explode) — left unpinned, the one fan-out where the A/B said no
     b = docs.select(
         "doc_id",
         target.alias("_is_target"),

@@ -620,9 +620,11 @@ def bloom_filter_unprocessed(
         )
         .groupBy("_k")
         .agg(F.min(F.when(F.col("_hit"), 1).otherwise(0)).alias("_all_hit"))
-        # two consumers (definite_new + maybe) — pinned: keys only,
-        # and the probe join + position explode otherwise replays
-        .localCheckpoint(eager=False)
+        # NOT pinned despite the definite/maybe fan-out: a lazy
+        # checkpoint here hides the bitmap-probe join behind a
+        # LogicalRDD, blinding the plan pin that certifies the done
+        # side only ever reaches joins as a broadcast shape — the
+        # replayed chain is increment-keys-only and cheap
     )
     definite_new = probes.filter(F.col("_all_hit") == 0).select("_k")
     maybe = probes.filter(F.col("_all_hit") == 1).select("_k")
